@@ -1,0 +1,131 @@
+"""Condition expression compiler: beats-style condition config → Column.
+
+Re-expresses the reference conditions engine (libbeat/conditions/) as
+native Spark boolean columns. Supported (reference file — semantics):
+
+- ``equals``      typed equality on scalars; missing field → false
+                  (conditions/equals.go:64-71)
+- ``contains``    substring match (conditions/matcher.go:71-105)
+- ``regexp``      RE2-ish regex match via ``rlike``. The reference
+                  demotes literal/prefix patterns to substring matchers
+                  (common/match/compile.go:36-56); Catalyst's
+                  LikeSimplification plays the same role for LIKE, and
+                  rlike literals stay cheap in codegen.
+- ``range``       gt/gte/lt/lte numeric bounds (conditions/range.go:29-80)
+- ``has_fields``  all listed columns non-null (conditions/has_fields.go)
+- ``or``/``and``/``not`` combinators (conditions/{or,and,not}.go)
+
+Beats evaluates a missing field as a FALSE leaf (not NULL), and
+``not`` of that is TRUE — so every leaf is coalesced to false before
+combinators apply; plain SQL three-valued logic would differ.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+
+
+class ConditionError(ValueError):
+    pass
+
+
+def _leaf(c: Column) -> Column:
+    # missing/NULL field → false, matching the reference's extractors
+    return F.coalesce(c, F.lit(False))
+
+
+def _field(df: DataFrame | None, name: str) -> Column:
+    # dotted paths address struct fields natively; map overflow columns
+    # are addressed as attrs['key']
+    return F.col(name)
+
+
+def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) -> Column:
+    """Compile a beats-style condition dict into one boolean Column."""
+    if not isinstance(config, Mapping) or len(config) == 0:
+        raise ConditionError(f"invalid condition: {config!r}")
+    if len(config) > 1:
+        # implicit AND of multiple clauses in one mapping
+        return compile_condition(
+            {"and": [{k: v} for k, v in config.items()]}, df
+        )
+    (kind, body), = config.items()
+
+    if kind == "and":
+        out = compile_condition(body[0], df)
+        for sub in body[1:]:
+            out = out & compile_condition(sub, df)
+        return out
+    if kind == "or":
+        out = compile_condition(body[0], df)
+        for sub in body[1:]:
+            out = out | compile_condition(sub, df)
+        return out
+    if kind == "not":
+        return ~compile_condition(body, df)
+
+    if kind == "equals":
+        parts = []
+        for fld, val in body.items():
+            c = _field(df, fld)
+            if isinstance(val, bool):
+                parts.append(_leaf(c.cast("boolean") == F.lit(val)))
+            elif isinstance(val, int):
+                parts.append(_leaf(c.cast("long") == F.lit(val)))
+            elif isinstance(val, str):
+                parts.append(_leaf(c.cast("string") == F.lit(val)))
+            else:
+                raise ConditionError(
+                    f"equals supports bool/int/string only (got {type(val).__name__})"
+                )
+        return _all(parts)
+
+    if kind == "contains":
+        return _all(
+            [_leaf(F.contains(_field(df, fld).cast("string"), F.lit(val)))
+             for fld, val in body.items()]
+        )
+
+    if kind == "regexp":
+        return _all(
+            [_leaf(_field(df, fld).cast("string").rlike(val)) for fld, val in body.items()]
+        )
+
+    if kind == "range":
+        # accept both {"field": {"gte": 1}} and beats' dotted {"field.gte": 1}
+        parts = []
+        for fld, val in body.items():
+            if isinstance(val, Mapping):
+                for op, bound in val.items():
+                    parts.append(_range_leaf(df, fld, op, bound))
+            else:
+                base, _, op = fld.rpartition(".")
+                if op not in _RANGE_OPS:
+                    raise ConditionError(f"bad range op in {fld!r}")
+                parts.append(_range_leaf(df, base, op, val))
+        return _all(parts)
+
+    if kind == "has_fields":
+        fields = body if isinstance(body, (list, tuple)) else [body]
+        return _all([_field(df, f).isNotNull() for f in fields])
+
+    raise ConditionError(f"unknown condition type: {kind!r}")
+
+
+def _range_leaf(df, fld: str, op: str, bound) -> Column:
+    if op not in _RANGE_OPS:
+        raise ConditionError(f"unknown range operator {op!r}")
+    c = _field(df, fld).cast("double")  # reference compares as float64
+    return _leaf(getattr(c, _RANGE_OPS[op])(F.lit(float(bound))))
+
+
+def _all(parts: list[Column]) -> Column:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out

@@ -1,0 +1,304 @@
+"""Field-manipulation processors ("actions") and the chain compiler.
+
+Re-expresses the reference's processor chain
+(libbeat/processors/processor.go:129-142 — sequential, short-circuit
+on drop) and the actions in libbeat/processors/actions/ as DataFrame
+transforms. Each processor implements ``apply(df, guard)`` where
+``guard`` is an optional boolean Column (the ``when:`` wrapper,
+libbeat/processors/conditionals.go:59-91): guarded processors leave
+non-matching rows untouched via ``F.when(guard, new).otherwise(old)``.
+
+The chain stays *sequential at compile time* (a later processor sees
+earlier outputs) but compiles to pure column expressions, so Catalyst
+is free to collapse the projections (CollapseProject) and reorder
+filters — legal because the expressions are side-effect free, unlike
+the reference's imperative chain which must run in order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.conditions import compile_condition
+from ..functions.dissect import (
+    FLAG_PARSING_ERROR,
+    compile_tokenizer,
+    dissect_columns,
+    dissect_pandas_udf,
+)
+from ..schema import FLAGS_FIELD
+
+
+class Processor:
+    """Base: one pipeline step. apply() must be side-effect free."""
+
+    def apply(self, df: DataFrame, guard: Column | None = None) -> DataFrame:
+        raise NotImplementedError
+
+    def _guarded(self, df: DataFrame, guard: Column | None, col: str, new: Column) -> Column:
+        if guard is None:
+            return new
+        old = F.col(col) if col in df.columns else F.lit(None)
+        return F.when(guard, new).otherwise(old)
+
+
+@dataclass
+class AddFields(Processor):
+    """add_fields (actions/add_fields.go:69-77): constant columns."""
+
+    fields: Mapping[str, Any]
+
+    def apply(self, df, guard=None):
+        for k, v in self.fields.items():
+            df = df.withColumn(k, self._guarded(df, guard, k, F.lit(v)))
+        return df
+
+
+@dataclass
+class AddTags(Processor):
+    """add_tags (actions/add_tags.go, mapstr.go:314-345): dedup'd append."""
+
+    tags: Sequence[str]
+    target: str = "tags"
+
+    def apply(self, df, guard=None):
+        base = (
+            F.coalesce(F.col(self.target), F.array().cast("array<string>"))
+            if self.target in df.columns
+            else F.array().cast("array<string>")
+        )
+        new = F.array_union(base, F.array(*[F.lit(t) for t in self.tags]))
+        return df.withColumn(self.target, self._guarded(df, guard, self.target, new))
+
+
+@dataclass
+class Rename(Processor):
+    """rename (actions/rename.go:69-101): fails at compile time if the
+    target column exists (the reference fails at run time per event)."""
+
+    fields: Sequence[Mapping[str, str]]
+    ignore_missing: bool = False
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("rename under a when: guard is not supported")
+        for spec in self.fields:
+            src, dst = spec["from"], spec["to"]
+            if dst in df.columns:
+                raise ValueError(f"rename: target column exists: {dst!r}")
+            if src not in df.columns:
+                if self.ignore_missing:
+                    continue
+                raise ValueError(f"rename: missing source column: {src!r}")
+            df = df.withColumnRenamed(src, dst)
+        return df
+
+
+@dataclass
+class CopyFields(Processor):
+    """copy_fields (actions/copy_fields.go)."""
+
+    fields: Sequence[Mapping[str, str]]
+
+    def apply(self, df, guard=None):
+        for spec in self.fields:
+            src, dst = spec["from"], spec["to"]
+            df = df.withColumn(dst, self._guarded(df, guard, dst, F.col(src)))
+        return df
+
+
+@dataclass
+class DropFields(Processor):
+    """drop_fields (actions/drop_fields.go): non-fatal on missing."""
+
+    fields: Sequence[str]
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("drop_fields under a when: guard is not supported")
+        return df.drop(*[f for f in self.fields if f in df.columns])
+
+
+@dataclass
+class IncludeFields(Processor):
+    """include_fields (actions/include_fields.go:68-89): whitelist
+    projection; the reference always keeps @timestamp and type — we
+    always keep the ordering keys and ts."""
+
+    fields: Sequence[str]
+    always_keep: Sequence[str] = ("conv_id", "turn_idx", "ts")
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("include_fields under a when: guard is not supported")
+        keep = [c for c in df.columns if c in set(self.fields) | set(self.always_keep)]
+        return df.select(*keep)
+
+
+@dataclass
+class TruncateFields(Processor):
+    """truncate_fields (actions/truncate_fields.go:79-110)."""
+
+    fields: Sequence[str]
+    max_characters: int
+
+    def apply(self, df, guard=None):
+        for f in self.fields:
+            new = F.substring(F.col(f), 1, self.max_characters)
+            df = df.withColumn(f, self._guarded(df, guard, f, new))
+        return df
+
+
+@dataclass
+class DropEvent(Processor):
+    """drop_event (actions/drop_event.go): requires a when: in practice;
+    unguarded drops everything, matching the reference."""
+
+    def apply(self, df, guard=None):
+        if guard is None:
+            return df.filter(F.lit(False))
+        return df.filter(~guard)
+
+
+@dataclass
+class DecodeJsonFields(Processor):
+    """decode_json_fields (actions/decode_json_fields.go:82-130):
+    parse a string column as JSON into a typed struct/map column."""
+
+    fields: Sequence[str]
+    schema: str = "map<string,string>"
+    target: str | None = None  # default: <field>_json
+
+    def apply(self, df, guard=None):
+        for f in self.fields:
+            tgt = self.target or f"{f}_json"
+            new = F.from_json(F.col(f), self.schema)
+            df = df.withColumn(tgt, self._guarded(df, guard, tgt, new))
+        return df
+
+
+@dataclass
+class ExtractField(Processor):
+    """extract_field (actions/extract_field.go:75-95): split by
+    separator, take the Nth token."""
+
+    field: str
+    separator: str
+    index: int
+    target: str
+
+    def apply(self, df, guard=None):
+        tok = F.split(F.col(self.field), F.lit(self.separator).cast("string"), -1)
+        new = F.element_at(tok, self.index + 1)
+        return df.withColumn(self.target, self._guarded(df, guard, self.target, new))
+
+
+@dataclass
+class Dissect(Processor):
+    """dissect (libbeat/processors/dissect/processor.go:53-83).
+
+    Modifier-free tokenizers lower to JVM-side regexp_extract columns
+    (one rlike + one extract per key); modifier tokenizers fall back to
+    the Arrow pandas-UDF kernel returning map<string,string>. Parse
+    failure tags the row with ``dissect_parsing_error`` in
+    ``log_flags`` and produces NULL fields; existing columns are never
+    overwritten (processor.go:85-108 refuses) — we fail at compile time
+    instead.
+    """
+
+    tokenizer: str
+    field: str = "text"
+    target_prefix: str = ""
+
+    def _out(self, key: str) -> str:
+        return f"{self.target_prefix}{key}"
+
+    def apply(self, df, guard=None):
+        d = compile_tokenizer(self.tokenizer)
+        clash = [self._out(k) for k in d.output_keys if self._out(k) in df.columns]
+        if clash:
+            raise ValueError(f"dissect would overwrite existing columns: {clash}")
+        src = F.col(self.field)
+        if d.lowerable():
+            cols, ok = dissect_columns(src, self.tokenizer)
+            for k, c in cols.items():
+                df = df.withColumn(self._out(k), self._guarded(df, guard, self._out(k), c))
+        else:
+            udf = dissect_pandas_udf(self.tokenizer)
+            df = df.withColumn("_dissect_m", udf(src))
+            ok = F.col("_dissect_m").isNotNull()
+            for k in d.output_keys:
+                c = F.element_at(F.col("_dissect_m"), k)
+                df = df.withColumn(self._out(k), self._guarded(df, guard, self._out(k), c))
+            df = df.drop("_dissect_m")
+        err = F.when(
+            ~F.coalesce(ok, F.lit(True)), F.array(F.lit(FLAG_PARSING_ERROR))
+        ).otherwise(F.array().cast("array<string>"))
+        base = (
+            F.coalesce(F.col(FLAGS_FIELD), F.array().cast("array<string>"))
+            if FLAGS_FIELD in df.columns
+            else F.array().cast("array<string>")
+        )
+        flags = F.array_union(base, err)
+        return df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
+
+
+@dataclass
+class Script(Processor):
+    """script (libbeat/processors/script/): the reference embeds
+    ECMAScript; our sanctioned escape hatch is an arbitrary
+    DataFrame→DataFrame callable (expected to use pandas UDFs /
+    mapInPandas internally, never row-at-a-time Python)."""
+
+    fn: Callable[[DataFrame], DataFrame]
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("script under a when: guard is not supported")
+        return self.fn(df)
+
+
+@dataclass
+class When(Processor):
+    """when: guard wrapper (processors/conditionals.go:59-91)."""
+
+    condition: Mapping[str, Any]
+    then: Processor
+
+    def apply(self, df, guard=None):
+        cond = compile_condition(self.condition)
+        if guard is not None:
+            cond = cond & guard
+        return self.then.apply(df, guard=cond)
+
+
+@dataclass
+class IfThenElse(Processor):
+    """if/then/else (processors/conditionals.go:113-174)."""
+
+    condition: Mapping[str, Any]
+    then: Sequence[Processor]
+    otherwise: Sequence[Processor] = dc_field(default_factory=tuple)
+
+    def apply(self, df, guard=None):
+        cond = compile_condition(self.condition)
+        if guard is not None:
+            cond = cond & guard
+        for p in self.then:
+            df = p.apply(df, guard=cond)
+        for p in self.otherwise:
+            df = p.apply(df, guard=~cond)
+        return df
+
+
+def apply_chain(df: DataFrame, processors: Sequence[Processor]) -> DataFrame:
+    """Sequential chain execution (processor.go:129-142). Drops
+    short-circuit naturally: a filter removes the rows from every
+    later step."""
+    for p in processors:
+        df = p.apply(df)
+    return df

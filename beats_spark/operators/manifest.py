@@ -1,0 +1,78 @@
+"""Manifest: registrar-style checkpoint for idempotent resume.
+
+The reference's registrar persists per-source offsets on ACK
+(filebeat/registrar/registrar.go:277-313; state shape
+filebeat/input/file/state.go:32-43) so a restart resumes without
+re-shipping. Our unit of progress is the input conv_id bucket
+(``part_id``): after the fan-out write commits, one manifest row per
+bucket records (status, rows_in, rows_routed, checksum). A rerun
+skips ``done`` buckets and dynamic-partition-overwrite replaces any
+partially-written ones — at-least-once write + idempotent replace ≈
+the reference's ACK + offset-dedup.
+
+Storage is an append-only parquet directory (each flush = one commit,
+like registrar's atomic data.json rewrite); latest status per
+(run-scope, part_id) wins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import MANIFEST_SCHEMA
+from .router import PART_COL, ROW_HASH_COL
+
+STATUS_DONE = "done"
+
+
+def manifest_path(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def read_done_parts(spark: SparkSession, root: str) -> set[int]:
+    """Buckets already committed by any previous run over this output."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return set()
+    latest = (
+        m.groupBy("partition_id")
+        .agg(F.max_by("status", "updated_ts").alias("status"))
+        .filter(F.col("status") == STATUS_DONE)
+    )
+    return {r["partition_id"] for r in latest.collect()}
+
+
+def build_manifest_rows(
+    spark: SparkSession,
+    routed_on_disk: DataFrame,
+    run_id: str,
+    rows_in_by_part: DataFrame,
+) -> DataFrame:
+    """Aggregate written data (column-pruned to part_id/row_hash) into
+    one manifest row per bucket."""
+    routed_agg = routed_on_disk.groupBy(PART_COL).agg(
+        F.count("*").alias("rows_routed"),
+        # XOR-fold: order-insensitive and overflow-free (ANSI mode)
+        F.expr(f"bit_xor({ROW_HASH_COL})").alias("_checksum"),
+    )
+    joined = rows_in_by_part.join(routed_agg, PART_COL, "left")
+    return joined.select(
+        F.lit(run_id).alias("run_id"),
+        F.col(PART_COL).cast("int").alias("partition_id"),
+        F.lit(STATUS_DONE).alias("status"),
+        F.col("rows_in").cast("long"),
+        F.coalesce(F.col("rows_routed"), F.lit(0)).cast("long").alias("rows_routed"),
+        F.conv(F.coalesce(F.col("_checksum"), F.lit(0)).cast("string"), 10, 16).alias(
+            "checksum"
+        ),
+        F.current_timestamp().alias("updated_ts"),
+    )
+
+
+def append_manifest(rows: DataFrame, root: str) -> None:
+    rows.write.mode("append").parquet(manifest_path(root))

@@ -1,0 +1,67 @@
+"""Router: fan-out routed rows to per-sink tables in ONE write pass.
+
+The reference dispatches each batch to per-output workers
+(libbeat/publisher/pipeline/output.go:26-71); the Spark-native
+equivalent is a single ``partitionBy("sink", "part_id")`` parquet
+write — every task splits its rows across sink directories, so N sinks
+cost one scan, not N filtered scans. Dynamic partition overwrite means
+a resumed run replaces exactly the (sink, part_id) directories it
+recomputes (idempotent fan-out, FIXTURES.md §6).
+
+Deterministic in-sink ordering (the per-turn text-equality invariant)
+comes from hash-distributing on conv_id and sorting within partitions
+by (conv_id, turn_idx) — the same stable order the reference gets from
+per-file byte order (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PART_COL = "part_id"
+ROW_HASH_COL = "row_hash"
+
+
+def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable logical input partitioning: bucket of conv_id. This is the
+    checkpoint unit (registrar state is keyed per source file; ours per
+    conv_id bucket)."""
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def with_row_hash(df: DataFrame) -> DataFrame:
+    """Order-insensitive per-row content hash over every payload column
+    — summed per partition it forms the manifest checksum, and it lets
+    the manifest pass re-read only (part_id, sink, row_hash) from the
+    written parquet (column pruning) instead of the full payload."""
+    cols = [c for c in df.columns if c not in (ROW_HASH_COL,)]
+    return df.withColumn(ROW_HASH_COL, F.xxhash64(*[F.col(c) for c in cols]))
+
+
+def write_fanout(
+    routed: DataFrame,
+    root: str,
+    n_files_per_bucket: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Single-pass fan-out write.
+
+    Requires columns ``sink`` and ``part_id``. The explicit
+    repartition co-locates each (sink, bucket) so the writer emits
+    few, sorted files; sortWithinPartitions fixes the stable
+    (conv_id, turn_idx) order inside every file.
+    """
+    (
+        routed.repartition(F.col("sink"), F.col(PART_COL))
+        .sortWithinPartitions("sink", PART_COL, "conv_id", "turn_idx")
+        .write.mode(mode)
+        .partitionBy("sink", PART_COL)
+        .parquet(root)
+    )
+
+
+def read_sink(spark, root: str, sink: str) -> DataFrame:
+    return spark.read.parquet(root).filter(F.col("sink") == sink)

