@@ -1,38 +1,390 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 has a ``queries()`` entry
+(Spark DataFrame) and, where SQL-expressible, a matching
+``oracle_sql()`` entry (DuckDB SQL over the same parquet views).
+
+The pipeline queries run over a transcripts table derived
+deterministically from the driver's ``events`` parquet (Spark:
+``beats_spark.synth.transcripts_from_events``; DuckDB: the
+``TRANSCRIPTS_FROM_EVENTS_SQL`` CTE kept in lock-step) so both engines
+see byte-identical input rows.
+
+Column-name discipline: every computed column is aliased identically
+on both sides — the driver sorts columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from beats_spark.functions.conditions import compile_condition
+from beats_spark.functions.fmtstr import compile_fmtstr
+from beats_spark.operators.actions import (
+    AddFields,
+    Dissect,
+    DropEvent,
+    ExtractField,
+    TruncateFields,
+    When,
+    apply_chain,
+)
+from beats_spark.operators.enrich import BroadcastLookup, dim_roles, dim_tools
+from beats_spark.operators.selector import Rule, compile_selector
+from beats_spark.synth import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
+
+# ---------------------------------------------------------------------------
+# shared config
+
+#: dissect tokenizer for the derived-transcript logfmt text — lowers to
+#: one JVM-side anchored regex (no Python in the hot path).
+LOGFMT_TOKENIZER = 'level=%{level} ts=%{ts_epoch} caller=%{caller} msg="%{message}"'
+
+#: routing rules (outil.Selector semantics: ordered, first non-empty wins)
+ROUTES = [
+    Rule(value="errors", when={"equals": {"level": "error"}}),
+    Rule(value="tool-%{[tool]}", when={"not": {"equals": {"tool": "none"}}}),
+    Rule(value="conv-%{[role]}"),
+]
+
+#: the same routes as ANSI SQL (kept in lock-step with ROUTES)
+ROUTES_SQL = """
+CASE WHEN level = 'error' THEN 'errors'
+     WHEN tool <> 'none' THEN 'tool-' || tool
+     ELSE 'conv-' || role END
+"""
+
+#: the dissect parse as ANSI SQL (lock-step with LOGFMT_TOKENIZER over
+#: the derived text, which is always well-formed logfmt)
+PARSE_SQL = """
+  regexp_extract(text, '^level=(.*?) ts=', 1) AS level,
+  regexp_extract(text, ' ts=(.*?) caller=', 1) AS ts_epoch,
+  regexp_extract(text, ' caller=(.*?) msg="', 1) AS caller,
+  regexp_extract(text, ' msg="(.*?)"', 1) AS message
+"""
+
+DIMS_SQL = """
+dim_roles(role, role_group, priority) AS (
+  VALUES ('user','human',1),('assistant','agent',2),
+         ('system','control',3),('tool','agent',2)
+),
+dim_tools(tool, tool_family, risk_level, owner) AS (
+  VALUES ('bash','shell','high','infra'),('search','retrieval','low','platform'),
+         ('edit','fs','medium','infra'),('none','none','none','none')
+)
+"""
+
+
+def _utc(spark: SparkSession) -> None:
+    # date_format is session-TZ dependent; DuckDB reads parquet
+    # timestamps as naive UTC — pin the session to match.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apply_chain(
+        _transcripts(spark, sf_dir), [Dissect(tokenizer=LOGFMT_TOKENIZER)]
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (SURVEY.md §2.2-2.8)
+
+
+def q_dissect_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect processor, native regex tier (§2.2)."""
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "level", "ts_epoch", "caller", "message"
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outil.Selector routing + per-sink tallies (§2.6, §2.8)."""
+    routed = _parsed(spark, sf_dir).withColumn("sink", compile_selector(ROUTES))
+    return routed.groupBy("sink").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def q_conditions_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditions engine + drop_event short-circuit (§2.3)."""
+    chain = [
+        Dissect(tokenizer=LOGFMT_TOKENIZER),
+        When(
+            condition={
+                "or": [
+                    {"equals": {"role": "system"}},
+                    {"contains": {"message": "purchase"}},
+                ]
+            },
+            then=DropEvent(),
+        ),
+    ]
+    kept = apply_chain(_transcripts(spark, sf_dir), chain)
+    return kept.groupBy("role").agg(F.count("*").alias("n_rows"))
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """broadcast-join enrichment (add_*_metadata analog, §2.5)."""
+    chain = [
+        BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+        BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
+    ]
+    enriched = apply_chain(_transcripts(spark, sf_dir), chain)
+    return enriched.groupBy("role_group", "tool_family").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("priority").alias("sum_priority"),
+    )
+
+
+def q_fmtstr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event-format-string selector with %{+date} pattern (§2.6)."""
+    df = _transcripts(spark, sf_dir).withColumn(
+        "sink_key", compile_fmtstr("%{[role]}-%{+yyyy.MM.dd}")
+    )
+    return df.groupBy("sink_key").agg(F.count("*").alias("n_rows"))
+
+
+def q_actions_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate_fields + extract_field + add_fields (§2.2, §2.4)."""
+    chain = [
+        AddFields(fields={"pipeline_tag": "beats-spark"}),
+        TruncateFields(fields=["text"], max_characters=40),
+        ExtractField(field="text", separator=" ", index=0, target="first_tok"),
+    ]
+    out = apply_chain(_transcripts(spark, sf_dir), chain)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("head40"),
+        "first_tok",
+        "pipeline_tag",
+    )
+
+
+def q_multiline_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline-reader batch analog (§2.1): combine a conversation's
+    turns, in stable turn order, into one document."""
+    t = _transcripts(spark, sf_dir)
+    combined = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("doc"),
+        F.count("*").alias("n_turns"),
+    )
+    return combined.select(
+        "conv_id", "n_turns", F.length("doc").alias("doc_chars")
+    )
+
+
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_json_fields / JSON reader (§2.1, §2.2) on events.props."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_metrics_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline observer tallies (§2.8): total / filtered / published
+    through a chain with a drop, per sink."""
+    t = _transcripts(spark, sf_dir)
+    chain = [
+        Dissect(tokenizer=LOGFMT_TOKENIZER),
+        When(condition={"equals": {"level": "warn"}}, then=DropEvent()),
+    ]
+    routed = apply_chain(t, chain).withColumn("sink", compile_selector(ROUTES))
+    return routed.groupBy("sink").agg(F.count("*").alias("events_published"))
+
+
+def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog priority → severity/facility mapping (§2.1, filebeat
+    syslog input event.go:224-238): derive a priority from the event,
+    decode it the way the reference does (pri = fac*8 + sev)."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pri = F.pmod(F.col("event_id"), F.lit(192)).cast("int")
+    sev_names = F.array(
+        *[F.lit(s) for s in [
+            "Emergency", "Alert", "Critical", "Error",
+            "Warning", "Notice", "Informational", "Debug",
+        ]]
+    )
+    df = ev.select(
+        pri.alias("pri"),
+        F.element_at(sev_names, F.pmod(pri, F.lit(8)).cast("int") + 1).alias(
+            "severity_label"
+        ),
+        F.floor(pri / 8).cast("int").alias("facility"),
+    )
+    return df.groupBy("severity_label").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("facility").alias("n_facilities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse → enrich → route pipeline on sf0.001,
+    returning per-sink tallies (the reference's per-output observer)."""
+    sf_dir = "/root/testdata/sf0.001"
+    chain = [
+        Dissect(tokenizer=LOGFMT_TOKENIZER),
+        BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+        BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
+    ]
+    routed = apply_chain(_transcripts(spark, sf_dir), chain).withColumn(
+        "sink", compile_selector(ROUTES)
+    )
+    return routed.groupBy("sink", "role_group", "tool_family").agg(
+        F.count("*").alias("events_published"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "dissect_parse": q_dissect_parse,
+        "route_counts": q_route_counts,
+        "conditions_drop": q_conditions_drop,
+        "enrich_lookup": q_enrich_lookup,
+        "fmtstr_route": q_fmtstr_route,
+        "actions_project": q_actions_project,
+        "multiline_sessionize": q_multiline_sessionize,
+        "json_decode": q_json_decode,
+        "metrics_tallies": q_metrics_tallies,
+        "syslog_severity": q_syslog_severity,
+    }
+    try:
+        from beats_spark.entry_dataops import dataops_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(dataops_queries())
+    except ImportError:
+        pass
+    return q
+
+
+_TRANSCRIPTS_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "dissect_parse": f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, {PARSE_SQL}
+FROM transcripts
+""",
+        "route_counts": f"""
+{_TRANSCRIPTS_CTE},
+parsed AS (SELECT *, regexp_extract(text, '^level=(.*?) ts=', 1) AS level FROM transcripts)
+SELECT {ROUTES_SQL} AS sink,
+       count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_convs
+FROM parsed GROUP BY 1
+""",
+        "conditions_drop": f"""
+{_TRANSCRIPTS_CTE},
+parsed AS (SELECT *, regexp_extract(text, ' msg="(.*?)"', 1) AS message FROM transcripts)
+SELECT role, count(*) AS n_rows
+FROM parsed
+WHERE NOT (role = 'system' OR message LIKE '%purchase%')
+GROUP BY role
+""",
+        "enrich_lookup": f"""
+{_TRANSCRIPTS_CTE},
+{DIMS_SQL.strip()}
+SELECT r.role_group, tl.tool_family,
+       count(*) AS n_rows, sum(r.priority) AS sum_priority
+FROM transcripts t
+LEFT JOIN dim_roles r USING (role)
+LEFT JOIN dim_tools tl USING (tool)
+GROUP BY 1, 2
+""",
+        "fmtstr_route": f"""
+{_TRANSCRIPTS_CTE}
+SELECT role || '-' || strftime(ts, '%Y.%m.%d') AS sink_key,
+       count(*) AS n_rows
+FROM transcripts GROUP BY 1
+""",
+        "actions_project": f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+       substr(text, 1, 40) AS head40,
+       split_part(text, ' ', 1) AS first_tok,
+       'beats-spark' AS pipeline_tag
+FROM transcripts
+""",
+        "multiline_sessionize": f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id,
+       count(*) AS n_turns,
+       len(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_chars
+FROM transcripts GROUP BY conv_id
+""",
+        "json_decode": """
+SELECT event_type,
+       count(*) AS n_rows,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+        "metrics_tallies": f"""
+{_TRANSCRIPTS_CTE},
+parsed AS (SELECT *, regexp_extract(text, '^level=(.*?) ts=', 1) AS level FROM transcripts)
+SELECT {ROUTES_SQL} AS sink, count(*) AS events_published
+FROM parsed
+WHERE NOT (level = 'warn')
+GROUP BY 1
+""",
+        "syslog_severity": """
+WITH s AS (
+  SELECT CAST(event_id % 192 AS INTEGER) AS pri FROM events
+)
+SELECT (['Emergency','Alert','Critical','Error',
+         'Warning','Notice','Informational','Debug'])[(pri % 8) + 1]
+         AS severity_label,
+       count(*) AS n_rows,
+       count(DISTINCT pri // 8) AS n_facilities
+FROM s GROUP BY 1
+""",
+    }
+    try:
+        from beats_spark.entry_dataops import dataops_oracles
+
+        o.update(dataops_oracles())
+    except ImportError:
+        pass
+    return o

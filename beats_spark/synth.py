@@ -190,7 +190,7 @@ SELECT
          CASE WHEN event_type = 'error' THEN 'error'
               WHEN event_type = 'signup' THEN 'warn'
               ELSE 'info' END,
-         CAST(epoch(ts) AS BIGINT),
+         CAST(floor(epoch(ts)) AS BIGINT),
          (event_id % 400) + 1,
          event_type,
          event_id) AS text,
