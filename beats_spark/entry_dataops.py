@@ -1,0 +1,200 @@
+"""Training-data-pipeline queries + oracles (documents / embeddings).
+
+Wired into the driver contract by ``__spark_entry__`` — one entry per
+dedup / similarity / text-analysis / multimodal operator, each with a
+DuckDB oracle built from the same lock-step SQL generators as the
+Spark expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.textstats import (
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+    quality_features,
+    quality_sql,
+    token_count_bpe,
+    token_count_ws,
+)
+from .operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    norm_text,
+    NORM_SQL,
+    simhash,
+    simhash_sql,
+)
+from .operators.multimodal import (
+    extract_features,
+    multimodal_features_sql,
+    with_binary_payload,
+)
+from .operators.similarity import (
+    ann_lsh_topk,
+    ann_lsh_topk_sql,
+    brute_force_topk,
+    brute_force_topk_sql,
+    embedding_neardup_pairs,
+    embedding_neardup_sql,
+)
+
+JACCARD_T = 0.2      # synthetic docs share vocabulary, not phrases —
+MINHASH_T = 0.2      # low thresholds keep result sets non-trivial
+NEARDUP_T = 0.3  # synthetic embeddings are near-orthogonal; within-label max cos ≈ 0.47
+ANN_QUERIES = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_minhash_signature(spark, sf_dir):
+    return minhash_signature(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash(F.col("text")).alias("simhash32")
+    )
+
+
+def q_ann_brute_force(spark, sf_dir):
+    return brute_force_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann_lsh_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
+
+
+def q_text_tokens(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    feats = quality_features(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    pred = lang_id(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = with_binary_payload(_docs(spark, sf_dir))
+    return extract_features(docs)
+
+
+def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+
+def dataops_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": f"""
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents
+GROUP BY {NORM_SQL.format(c='text')}
+""",
+        "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
+        "minhash_signature": minhash_signature_sql("documents"),
+        "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", MINHASH_T),
+        "simhash": f"""
+SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
+""",
+        "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        "embedding_neardup": embedding_neardup_sql("embeddings", NEARDUP_T),
+        "text_tokens": """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         AS n_tokens_bpe
+FROM documents
+""",
+        "text_quality": f"""
+SELECT doc_id, {quality_sql('text')}
+FROM documents
+""",
+        "lang_id": f"""
+SELECT lang, {lang_id_sql('text')} AS pred_lang, count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+        "fingerprint": f"""
+SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents
+""",
+        "multimodal_features": multimodal_features_sql("documents"),
+    }

@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup surface is ES doc-id duplicate counting
+(libbeat/outputs/elasticsearch/client.go:114,357); at 100 TB training
+scale a real engine needs content dedup. Four tiers, cheapest first:
+
+- exact        : normalize → hash-groupBy (one shuffle on the norm key)
+- ngram_jaccard: word n-gram set similarity, shingle-join blocked
+                 (never a cross join — candidates share ≥1 shingle)
+- minhash LSH  : k-perm signature → banded bucket join → verify.
+                 The 100 TB path: candidate generation cost is
+                 #docs × #bands, independent of pair count.
+- simhash      : 32-bit sign-aggregated fingerprint; hamming-0 bucket
+                 match here (bit-rotation tables generalize to ≤k bits)
+
+All hashing uses the portable md5-based word code
+(functions/textstats.py) so every operator has a DuckDB oracle.
+Scale notes: every operator shuffles on bounded-cardinality keys
+(norm-hash, shingle, band bucket) and all joins are equi-joins AQE can
+re-plan; skewed shingles (stopword-only) are filtered by document
+frequency before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import WORDS_SQL, word_code, word_code_sql, words
+
+# ---------------------------------------------------------------------------
+# normalization + exact dedup
+
+
+def norm_text(c: Column) -> Column:
+    """lower → trim → collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+NORM_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    keeping the lowest id as canonical. At scale: group on
+    xxhash64(norm) first so the shuffle key is fixed-width, then
+    resolve rare hash collisions within groups — here SF is small so
+    we group on the norm directly."""
+    return (
+        df.groupBy(norm_text(F.col(text_col)).alias("norm"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    w = words(norm_text(c))
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def shingles_sql(col_expr: str, n: int = 3) -> str:
+    w = WORDS_SQL.format(c=NORM_SQL.format(c=col_expr))
+    return f"""
+    list_distinct(
+      CASE WHEN len({w}) >= {n}
+           THEN list_transform(range(1, len({w}) - {n} + 2),
+                               i -> array_to_string(({w})[i:i+{n - 1}], ' '))
+           ELSE [array_to_string({w}, ' ')] END)
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (shingle-join blocked)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Candidate generation is a self-equi-join on exploded shingles —
+    only documents sharing a shingle ever meet (no cross join), and
+    the join key is the shingle string, which AQE splits if skewed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    sh = sh.withColumn("sz", F.size("sh"))
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), on="s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(
+    table: str, threshold: float, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    sh = shingles_sql(text_col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+),
+ex AS (
+  SELECT id, len(sh) AS sz, unnest(sh) AS s FROM sh
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b USING (s)
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / (sz_a + sz_b - inter)::DOUBLE, 6) AS jaccard
+FROM pairs
+WHERE round(inter / (sz_a + sz_b - inter)::DOUBLE, 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+MINHASH_K = 8
+LSH_ROWS_PER_BAND = 2  # 8 hashes → 4 bands
+
+
+def minhash_signature(
+    df: DataFrame, k: int = MINHASH_K, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """k-hash minhash signature, one column per hash (mh0..mh{k-1}).
+
+    h_i(s) = word_code(i || ':' || s): k independent md5-derived
+    hashes; the signature is the per-hash min over the shingle set.
+    Computed with array expressions — no explode, no Python."""
+    sh = shingles(F.col(text_col), n)
+    cols = [F.col(id_col).alias("id")]
+
+    def seeded(prefix: str):
+        # NB: must stay unary — a 2-arg lambda would make transform()
+        # pass the array index as the second argument
+        return lambda s: word_code(F.concat(F.lit(prefix), s))
+
+    for i in range(k):
+        hashed = F.transform(sh, seeded(f"{i}:"))
+        cols.append(F.array_min(hashed).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def minhash_signature_sql(
+    table: str, k: int = MINHASH_K, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    sh = shingles_sql(text_col, n)
+    mins = ",\n  ".join(
+        "list_min(list_transform(sh, s -> "
+        + word_code_sql(f"'{i}:' || s")
+        + f")) AS mh{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH sh AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})
+SELECT id, {mins} FROM sh
+"""
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified by true shingle Jaccard.
+
+    Scale path: signatures are fixed-width, band keys have bounded
+    fanout, and the verify join touches only candidate pairs. The
+    band bucket join is the 100 TB-safe replacement for the
+    all-pairs shingle join."""
+    sig = minhash_signature(df, k, n, text_col, id_col)
+    n_bands = k // rows_per_band
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    joined = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    threshold: float = 0.6,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    sh = shingles_sql(text_col, n)
+    n_bands = k // rows_per_band
+    band_rows = ", ".join(
+        "({b}, {key})".format(
+            b=b,
+            key="||'_'||".join(
+                f"mh{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + word_code_sql(f"'{i}:' || s")
+        + f")) AS mh{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH shv AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+sig AS (SELECT id, {mins} FROM shv),
+bands AS (
+  SELECT id, bk[1]::INTEGER AS band, bk[2] AS key
+  FROM sig, unnest([{band_rows}]) AS t(bk)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+  FROM cand
+  JOIN shv sa ON sa.id = cand.id_a
+  JOIN shv sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, round(inter / uni::DOUBLE, 6) AS jaccard
+FROM verified
+WHERE round(inter / uni::DOUBLE, 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-aggregated simhash over distinct whitespace tokens of the
+    normalized text: bit b is set iff sum over tokens of
+    (+1 if bit b of word_code(token) else -1) > 0."""
+    toks = F.array_distinct(words(norm_text(c)))
+    codes = F.transform(toks, word_code)
+    out = F.lit(0).cast("long")
+
+    def bit_vote(b: int):
+        # keep the merge lambda binary (acc, x) — extra default args
+        # change the arity PySpark dispatches on
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    for b in range(bits):
+        vote = F.aggregate(codes, F.lit(0).cast("long"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct({WORDS_SQL.format(c=NORM_SQL.format(c=col_expr))})"
+    codes = f"list_transform({toks}, t -> {word_code_sql('t')})"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(codes, x -> "
+        f"CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"(SELECT {terms} FROM (SELECT {codes} AS codes) _sh)"

@@ -1,0 +1,253 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products computed with
+``zip_with``/``aggregate`` (JVM-side, no Python), ranked per query.
+
+Scale path: LSH-bucketed ANN — random-hyperplane signs bucket the
+corpus; a query probes only its bucket. At 100 TB the corpus side
+never shuffles more than once (bucket key), and the per-bucket
+candidate set is bounded.
+
+Cross-engine float discipline: cosine is computed in double and
+rounded to 6 dp *before* ranking, and ranking ties break on the
+neighbor id — so Spark and DuckDB produce identical top-k sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id. The query side is tiny →
+    broadcast; the corpus side streams with no shuffle until the
+    per-query top-k aggregation (a windowed rank over q_id)."""
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = df.alias("c").join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk_sql(
+    table: str, query_ids: list[int], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT q.q_id, c.{id_col} AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.q_vec, c.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM {table} c, q
+  WHERE c.{id_col} <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+
+
+def hyperplane(dim: int, plane_idx: int, mod: int = 1000) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is
+    ((j + 1) * (plane_idx + 1) * 2654435761 mod 1000) / 500 - 1 —
+    reproducible on any engine with integer arithmetic only."""
+    return [
+        (((j + 1) * (plane_idx + 1) * 2654435761) % mod) / (mod / 2.0) - 1.0
+        for j in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id over the hyperplanes."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+        out = out + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe only the query's sign bucket. Recall < 1 by design;
+    the oracle reproduces the identical buckets so results still
+    match exactly."""
+    planes = [hyperplane(dim, i) for i in range(n_planes)]
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = bucketed.alias("c").join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_lsh_topk_sql(
+    table: str, query_ids: list[int], k: int = 10,
+    n_planes: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ",".join(str(i) for i in query_ids)
+    planes = [hyperplane(dim, i) for i in range(n_planes)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip({vec_col}, "
+        f"[{','.join(repr(x) for x in p)}]::DOUBLE[]), "
+        f"p -> p[1]::DOUBLE * p[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT *, ({bucket_terms})::BIGINT AS bucket FROM {table}
+),
+q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec, bucket AS q_bucket
+  FROM b WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT q.q_id, c.{id_col} AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.q_vec, c.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM b c JOIN q ON c.bucket = q.q_bucket AND c.{id_col} <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
+    (at scale: an LSH bucket) so the pair join is within-block only."""
+    lhs = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col(block_col).alias("blk"),
+    )
+    rhs = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col(block_col).alias("blk"),
+    )
+    pairs = lhs.join(rhs, "blk").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_sql(
+    table: str, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str = "label",
+) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM {table} a JOIN {table} b
+    ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""

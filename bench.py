@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Main mode:
+  1. times each headline ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
+     (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``;
+  2. measures parse→route throughput (turns/s, the BASELINE.json
+     metric) over a ``$BENCH_ROWS``-row synthetic transcripts parquet;
+  3. evidences the north rule's two-cluster-size criterion by running
+     the identical parse→route job at local[8] and local[32] in fresh
+     subprocesses and reporting scaling efficiency (set
+     ``BENCH_SCALING=0`` to skip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "throughput_turns_per_sec": ...,
+   "scaling": {"cores_lo": 8, "cores_hi": 32, ...}}
+
+Worker mode (used internally): ``python bench.py --one <cores> <path>``
+runs parse→route over the parquet at <path> and prints a JSON line
+with elapsed seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "2000000"))
+
+
+def _parse_route_job(spark, input_path: str):
+    """The headline job: scan → dissect parse → enrich → route → tally.
+
+    The final aggregation folds every parsed column into the result so
+    Catalyst cannot prune the parse work away — this measures the full
+    parse→route pipeline, not an empty count.
+    """
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import LOGFMT_TOKENIZER, ROUTES
+    from beats_spark.operators.actions import Dissect, apply_chain
+    from beats_spark.operators.enrich import BroadcastLookup, dim_roles, dim_tools
+    from beats_spark.operators.selector import compile_selector
+    from beats_spark.synth import TOK_LOGFMT
+
+    df = spark.read.parquet(input_path)
+    chain = [
+        Dissect(tokenizer=TOK_LOGFMT, field="text"),
+        BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+        BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
+    ]
+    routed = apply_chain(df, chain).withColumn(
+        "sink", compile_selector(ROUTES, default="default")
+    )
+    return routed.groupBy("sink").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(conv_id, turn_idx, level, caller, message,"
+            " role_group, tool_family))"
+        ).alias("chk"),
+    )
+
+
+def run_one(cores: int, input_path: str) -> dict:
+    from beats_spark.session import build_session
+
+    spark = build_session(f"bench-{cores}", cores=cores)
+    # warm the JVM + parquet footer cache out of the timed region
+    spark.read.parquet(input_path).limit(1).collect()
+    t0 = time.monotonic()
+    rows = _parse_route_job(spark, input_path).collect()
+    elapsed = time.monotonic() - t0
+    n = sum(r["n"] for r in rows)
+    spark.stop()
+    return {"cores": cores, "sec": elapsed, "rows": n}
+
+
+def _ensure_synth_input(path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from beats_spark.session import build_session
+    from beats_spark.synth import synth_transcripts
+
+    spark = build_session("bench-synth", cores=CPUS)
+    synth_transcripts(spark, BENCH_ROWS, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        cores, path = int(sys.argv[2]), sys.argv[3]
+        print("BENCH_ONE " + json.dumps(run_one(cores, path)))
+        return
+
+    synth_path = os.path.join(
+        tempfile.gettempdir(), f"beats_spark_bench_{BENCH_ROWS}"
+    )
+    _ensure_synth_input(synth_path)
+
+    # -- headline queries at the sf dir ------------------------------------
+    from beats_spark.session import build_session
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_session("bench", cores=CPUS)
+    qtimes: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # -- throughput on this session's core count ---------------------------
+    t0 = time.monotonic()
+    res = _parse_route_job(spark, synth_path).collect()
+    tp_sec = time.monotonic() - t0
+    n_rows = sum(r["n"] for r in res)
+    throughput = n_rows / tp_sec
+    spark.stop()
+
+    out = {
+        "metric": "parse_route_turns_per_sec",
+        "value": round(sum(qtimes.values()) + tp_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "bench_rows": n_rows,
+        "throughput_turns_per_sec": round(throughput, 1),
+        "cpus": CPUS,
+    }
+
+    # -- scaling evidence: identical job at two parallelism levels ---------
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        lo, hi = 8, 32
+        runs = {}
+        for cores in (lo, hi):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", str(cores), synth_path],
+                capture_output=True, text=True, env=os.environ.copy(),
+                cwd=REPO,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_ONE "):
+                    runs[cores] = json.loads(line[len("BENCH_ONE "):])
+        if lo in runs and hi in runs:
+            tp_lo = runs[lo]["rows"] / runs[lo]["sec"]
+            tp_hi = runs[hi]["rows"] / runs[hi]["sec"]
+            eff = (tp_hi / tp_lo) / (hi / lo)
+            out["scaling"] = {
+                "cores_lo": lo,
+                "cores_hi": hi,
+                "sec_lo": round(runs[lo]["sec"], 3),
+                "sec_hi": round(runs[hi]["sec"], 3),
+                "turns_per_sec_lo": round(tp_lo, 1),
+                "turns_per_sec_hi": round(tp_hi, 1),
+                "efficiency": round(eff, 3),
+            }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

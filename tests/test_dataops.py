@@ -1,0 +1,197 @@
+"""Unit tests for the training-data-pipeline operators.
+
+Spark results are checked against pure-Python oracles computed with
+hashlib/math — independent of both Spark and the DuckDB oracle SQL
+(which tools/check_correctness.py exercises separately).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.textstats import (
+    FP_MOD,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from beats_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from beats_spark.operators.multimodal import extract_features, with_binary_payload
+from beats_spark.operators.similarity import brute_force_topk
+
+
+def wc(x: str) -> int:
+    return int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "The  Quick Brown Fox jumps over the lazy dog"),  # exact dup of 0 after norm
+    (3, "completely different content here entirely"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b  c"), (1, "hello, world!"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                token_count_ws(F.col("text")).alias("ws"),
+                token_count_bpe(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        assert rows[0]["ws"] == 3 and rows[0]["bpe"] == 3
+        # hello , world ! → 4 BPE-ish tokens, 2 ws tokens
+        assert rows[1]["ws"] == 2 and rows[1]["bpe"] == 4
+        assert rows[2]["ws"] == 0 and rows[2]["bpe"] == 0
+
+    def test_quality_features(self, spark):
+        text = "The cat sat."
+        feats = quality_features(F.col("text"))
+        r = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(*[c.alias(k) for k, c in feats.items()])
+            .collect()[0]
+        )
+        assert r["n_chars"] == len(text)
+        assert r["n_tokens"] == 3
+        assert r["punct_ratio"] == round(1 / len(text), 6)
+        assert r["stopword_ratio"] == round(1 / 3, 6)  # "the"
+        assert r["upper_ratio"] == round(1 / len(text), 6)
+
+    def test_fingerprint_matches_python(self, spark, docs):
+        rows = docs.select("doc_id", "text", fingerprint(F.col("text")).alias("fp")).collect()
+        for r in rows:
+            toks = r["text"].split()
+            expect = (
+                sum(wc(w) * (i + 1) for i, w in enumerate(toks)) % FP_MOD
+                if toks
+                else None
+            )
+            if expect is not None:
+                assert r["fp"] == expect, r["text"]
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "beta alpha")], "doc_id long, text string"
+        )
+        fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] != fps[1]
+
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "the cat and the dog of the house"),
+                (1, "el gato de la casa que ladra y"),
+                (2, "der hund und die katze ist da"),
+                (3, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+        assert rows[0] == "en"
+        assert rows[1] == "es"
+        assert rows[2] == "de"
+        assert rows[3] == "und"
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        groups = exact_dedup_groups(docs).collect()
+        # docs 0 and 2 collapse (case+whitespace normalization)
+        by_canon = {r["canonical_id"]: r["n_copies"] for r in groups}
+        assert by_canon[0] == 2
+        assert by_canon[1] == 1
+        assert len(groups) == 4
+
+    def test_ngram_jaccard_pairs(self, spark, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        # 0 vs 2: identical after norm → jaccard 1.0
+        assert found[(0, 2)] == 1.0
+        # 0 vs 1: differ in last word; 7 shingles each, 6 shared
+        assert found[(0, 1)] == round(6 / 8, 6)
+        assert (0, 3) not in found
+
+    def test_minhash_signature_python_oracle(self, spark, docs):
+        sig = {r["id"]: r for r in minhash_signature(docs).collect()}
+        text = DOCS[0][1]
+        toks = text.lower().split()
+        sh = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ))
+        for i in range(8):
+            assert sig[0][f"mh{i}"] == min(wc(f"{i}:{s}") for s in sh)
+
+    def test_identical_docs_same_signature(self, spark, docs):
+        sig = {r["id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in minhash_signature(docs).collect()}
+        assert sig[0] == sig[2]
+        assert sig[0] != sig[3]
+
+    def test_simhash_python_oracle(self, spark, docs):
+        out = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+        toks = sorted(set(DOCS[0][1].lower().split()))
+        codes = [wc(t) for t in toks]
+        expect = 0
+        for b in range(32):
+            vote = sum(1 if (c >> b) & 1 else -1 for c in codes)
+            if vote > 0:
+                expect |= 1 << b
+        assert out[0] == expect
+        assert out[0] == out[2]  # norm-identical docs agree
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = brute_force_topk(df, [0], k=2).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 2]
+        expect = 0.9 / math.sqrt(0.81 + 0.01)
+        assert out[0]["cos_sim"] == round(expect, 6)
+        assert [r["rank"] for r in out] == [1, 2]
+
+
+class TestMultimodal:
+    def test_extract_features_fake_decoder(self, spark, docs):
+        feats = {
+            r["doc_id"]: r
+            for r in extract_features(with_binary_payload(docs)).collect()
+        }
+        for doc_id, text in DOCS:
+            digest = hashlib.md5(text.encode()).hexdigest()
+            assert feats[doc_id]["n_bytes"] == 16
+            assert feats[doc_id]["header_hex"] == digest[:8]
+            assert feats[doc_id]["modality"] == "fake"
+
+    def test_real_decoder_stubbed(self, spark, docs):
+        with pytest.raises(Exception):
+            extract_features(with_binary_payload(docs), decoder="image").collect()
