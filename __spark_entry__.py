@@ -227,6 +227,41 @@ def q_metrics_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("sink").agg(F.count("*").alias("events_published"))
 
 
+#: apache-access grok program (reference ships the equivalent for the
+#: ES ingest node: filebeat/module/apache/access/ingest/default.json)
+APACHE_GROK = (
+    '%{IPV4:ip} - %{USER:user} \\[%{HTTPDATE:httpdate}\\] "%{WORD:method} '
+    '%{NOTSPACE:url} HTTP/%{NUMBER:ver}" %{INT:status:int} %{INT:bytes:long}'
+)
+
+
+def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok parse (§2.2): render an apache access line from each event,
+    parse it back with the grok engine, aggregate per status."""
+    _utc(spark)
+    from beats_spark.operators.actions import Grok
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.format_string(
+        '10.0.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] '
+        '"GET /api/item/%d HTTP/1.1" %d %d',
+        F.pmod("event_id", F.lit(256)),
+        F.pmod(F.col("event_id") * 3, F.lit(256)),
+        F.col("user_id"),
+        F.col("event_id"),
+        (F.lit(200) + F.pmod("event_id", F.lit(5)) * 100).cast("int"),
+        F.pmod(F.col("event_id") * 29, F.lit(65536)),
+    )
+    parsed = apply_chain(
+        ev.select(line.alias("text")), [Grok(patterns=[APACHE_GROK])]
+    )
+    return parsed.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.countDistinct("ip").alias("n_ips"),
+    )
+
+
 def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syslog priority → severity/facility mapping (§2.1, filebeat
     syslog input event.go:224-238): derive a priority from the event,
@@ -286,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_sessionize": q_multiline_sessionize,
         "json_decode": q_json_decode,
         "metrics_tallies": q_metrics_tallies,
+        "grok_apache": q_grok_apache,
         "syslog_severity": q_syslog_severity,
     }
     try:
@@ -368,6 +404,23 @@ SELECT {ROUTES_SQL} AS sink, count(*) AS events_published
 FROM parsed
 WHERE NOT (level = 'warn')
 GROUP BY 1
+""",
+        "grok_apache": """
+WITH lines AS (
+  SELECT printf('10.0.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /api/item/%d HTTP/1.1" %d %d',
+                event_id % 256, (event_id * 3) % 256, user_id, event_id,
+                200 + (event_id % 5) * 100, (event_id * 29) % 65536) AS text
+  FROM events
+),
+parsed AS (
+  SELECT CAST(regexp_extract(text, ' (\\d+) \\d+$', 1) AS BIGINT) AS status,
+         CAST(regexp_extract(text, ' (\\d+)$', 1) AS BIGINT) AS bytes,
+         regexp_extract(text, '^(\\S+) ', 1) AS ip
+  FROM lines
+)
+SELECT status, count(*) AS n_rows, sum(bytes) AS sum_bytes,
+       count(DISTINCT ip) AS n_ips
+FROM parsed GROUP BY status
 """,
         "syslog_severity": """
 WITH s AS (

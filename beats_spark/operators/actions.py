@@ -248,6 +248,42 @@ class Dissect(Processor):
 
 
 @dataclass
+class Grok(Processor):
+    """grok parse (module ingest pipelines, e.g.
+    filebeat/module/apache/access/ingest/default.json:3-27): one or
+    more named-pattern expressions, first match wins, ``:int``/
+    ``:float`` convert types. Failure tags ``grok_parsing_error``."""
+
+    patterns: Sequence[str]
+    field: str = "text"
+    target_prefix: str = ""
+
+    def apply(self, df, guard=None):
+        from ..functions.grok import grok_first_match
+
+        cols, ok = grok_first_match(F.col(self.field), list(self.patterns))
+        clash = [
+            f"{self.target_prefix}{k}" for k in cols
+            if f"{self.target_prefix}{k}" in df.columns
+        ]
+        if clash:
+            raise ValueError(f"grok would overwrite existing columns: {clash}")
+        for k, c in cols.items():
+            out = f"{self.target_prefix}{k}"
+            df = df.withColumn(out, self._guarded(df, guard, out, c))
+        err = F.when(
+            ~F.coalesce(ok, F.lit(True)), F.array(F.lit("grok_parsing_error"))
+        ).otherwise(F.array().cast("array<string>"))
+        base = (
+            F.coalesce(F.col(FLAGS_FIELD), F.array().cast("array<string>"))
+            if FLAGS_FIELD in df.columns
+            else F.array().cast("array<string>")
+        )
+        flags = F.array_union(base, err)
+        return df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
+
+
+@dataclass
 class Script(Processor):
     """script (libbeat/processors/script/): the reference embeds
     ECMAScript; our sanctioned escape hatch is an arbitrary

@@ -1,0 +1,89 @@
+"""Grok compiler + processor tests (reference surface:
+filebeat/module/apache/access/ingest/default.json grok program)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.grok import (
+    GrokError,
+    compile_grok,
+    grok_columns,
+    grok_first_match,
+)
+from beats_spark.operators.actions import Grok, apply_chain
+
+APACHE = (
+    '%{IPV4:ip} - %{USER:user} \\[%{HTTPDATE:ts}\\] "%{WORD:method} '
+    '%{NOTSPACE:url} HTTP/%{NUMBER:ver}" %{INT:status:int} %{INT:bytes:long}'
+)
+LINE = '10.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'
+
+
+class TestCompile:
+    def test_compile_groups(self):
+        g = compile_grok(APACHE)
+        assert [f[0] for f in g.fields] == [
+            "ip", "user", "ts", "method", "url", "ver", "status", "bytes",
+        ]
+        m = re.match(f"^(?s:{g.pattern})$", LINE)
+        assert m
+        assert m.group(1) == "10.0.0.1"
+        assert m.group(7) == "200"
+
+    def test_types(self):
+        g = compile_grok(APACHE)
+        typed = {f[0]: f[2] for f in g.fields}
+        assert typed["status"] == "long" and typed["bytes"] == "long"
+        assert typed["ip"] is None
+
+    def test_unknown_pattern(self):
+        with pytest.raises(GrokError):
+            compile_grok("%{NOPE:x}")
+
+    def test_nested_library_expansion(self):
+        g = compile_grok("%{TIMESTAMP_ISO8601:t}")
+        assert re.match(f"^(?s:{g.pattern})$", "2024-01-01T10:30:00Z")
+        assert not re.match(f"^(?s:{g.pattern})$", "not a date")
+
+
+class TestSparkGrok:
+    def test_grok_columns(self, spark):
+        df = spark.createDataFrame([(LINE,), ("garbage",)], "text string")
+        cols, ok = grok_columns(F.col("text"), APACHE)
+        out = df.select(
+            *[c.alias(k) for k, c in cols.items()], ok.alias("ok")
+        ).collect()
+        good, bad = out
+        assert good["ok"] and good["ip"] == "10.0.0.1" and good["status"] == 200
+        assert good["bytes"] == 2326 and good["method"] == "GET"
+        assert not bad["ok"] and bad["ip"] is None
+
+    def test_first_match_wins(self, spark):
+        df = spark.createDataFrame(
+            [("level=info x", ), ("INFO something",), ("zzz",)], "text string"
+        )
+        exprs = [
+            "level=%{WORD:level} %{GREEDYDATA:rest}",
+            "%{LOGLEVEL:level} %{GREEDYDATA:rest}",
+        ]
+        cols, ok = grok_first_match(F.col("text"), exprs)
+        rows = df.select(
+            *[c.alias(k) for k, c in cols.items()], ok.alias("ok")
+        ).collect()
+        assert rows[0]["level"] == "info" and rows[0]["rest"] == "x"
+        assert rows[1]["level"] == "INFO"
+        assert not rows[2]["ok"] and rows[2]["level"] is None
+
+    def test_grok_processor_tags_failures(self, spark):
+        df = spark.createDataFrame(
+            [(0, LINE), (1, "nope")], "id long, text string"
+        )
+        out = apply_chain(df, [Grok(patterns=[APACHE])])
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[0]["status"] == 200
+        assert "grok_parsing_error" in rows[1]["log_flags"]
+        assert "grok_parsing_error" not in rows[0]["log_flags"]

@@ -1,0 +1,111 @@
+"""Structured Streaming pipeline tests: availableNow micro-batch runs
+must produce exactly the batch results (same router code path), and
+windowed/sessionized aggregations respect event time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.actions import Dissect
+from beats_spark.operators.selector import Rule
+from beats_spark.plans.pipeline import Pipeline
+from beats_spark.streaming.job import (
+    read_transcript_stream,
+    run_stream,
+    sessionized_multiline,
+    windowed_sink_counts,
+)
+from beats_spark.synth import TOK_LOGFMT, synth_transcripts
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    synth_transcripts(spark, N, seed=11).write.mode("overwrite").parquet(path)
+    return path
+
+
+def make_pipeline() -> Pipeline:
+    return Pipeline(
+        processors=[Dissect(tokenizer=TOK_LOGFMT, field="text")],
+        routes=[Rule(value="errors", when={"equals": {"level": "error"}})],
+        default_sink="misc",
+        n_buckets=8,
+    )
+
+
+def test_stream_matches_batch(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream(spark, make_pipeline(), input_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["sink"]: r["n"]
+        for r in spark.read.parquet(f"{out}/data")
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = make_pipeline().transform(spark.read.parquet(input_dir))
+    expect = {
+        r["sink"]: r["n"]
+        for r in batch.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == N
+
+
+def test_stream_restart_no_duplicates(spark, input_dir, tmp_path):
+    """Checkpoint semantics: rerunning the finished stream with the
+    same checkpoint must not re-emit rows (registrar resume)."""
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q1 = run_stream(spark, make_pipeline(), input_dir, out, ckpt)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/data").count()
+    q2 = run_stream(spark, make_pipeline(), input_dir, out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(f"{out}/data").count()
+    assert n1 == n2 == N
+
+
+def test_windowed_sink_counts(spark, input_dir, tmp_path):
+    routed = make_pipeline().transform(read_transcript_stream(spark, input_dir))
+    agg = windowed_sink_counts(routed, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql(
+        "SELECT sum(events_published) AS s FROM win_counts"
+    ).collect()[0]["s"]
+    assert total == N
+    # window boundaries are aligned hours
+    starts = spark.sql("SELECT DISTINCT window_start FROM win_counts").collect()
+    assert all(r["window_start"].minute == 0 for r in starts)
+
+
+def test_sessionized_multiline(spark, input_dir):
+    stream = read_transcript_stream(spark, input_dir)
+    # synth spaces turns 7s apart — use a 10s gap so a conversation's
+    # turns merge into one session per burst
+    sess = sessionized_multiline(stream, gap="10 seconds", watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT sum(n_turns) AS s, count(*) AS c FROM sessions").collect()[0]
+    assert rows["s"] == N
+    assert rows["c"] > 0
