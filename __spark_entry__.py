@@ -288,6 +288,114 @@ def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_field_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rename + copy_fields + add_tags + drop_fields chain (§2.4)."""
+    from beats_spark.operators.actions import AddTags, CopyFields, DropFields, Rename
+
+    chain = [
+        CopyFields(fields=[{"from": "role", "to": "actor"}]),
+        Rename(fields=[{"from": "tool", "to": "tool_name"}]),
+        AddTags(tags=["shipped", "beats-spark"]),
+        DropFields(fields=["text", "ts"]),
+    ]
+    out = apply_chain(_transcripts(spark, sf_dir), chain)
+    return out.groupBy("actor", "tool_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.size("tags")).alias("sum_tags"),
+    )
+
+
+def q_selector_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapping-table selector with default fallback
+    (outil select.go:369-387)."""
+    sel = compile_selector(
+        [
+            Rule(
+                value="%{[role]}",
+                mappings={"user": "humans", "assistant": "bots"},
+                default="other",
+            )
+        ]
+    )
+    df = _transcripts(spark, sf_dir).withColumn("sink", sel)
+    return df.groupBy("sink").agg(F.count("*").alias("n_rows"))
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range condition (conditions/range.go:29-80) as a filter."""
+    cond = compile_condition({"range": {"turn_idx": {"gte": 2, "lt": 30}}})
+    return (
+        _transcripts(spark, sf_dir)
+        .filter(cond)
+        .groupBy("role")
+        .agg(F.count("*").alias("n_rows"), F.max("turn_idx").alias("max_turn"))
+    )
+
+
+def q_dissect_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect append-modifier tokenizer (field.go:175-189) through the
+    Arrow pandas-UDF tier: ordinals reorder the captures and the join
+    uses the field's preceding delimiter."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "pair_src", F.concat_ws(" ", "role", "tool")
+    )
+    parsed = apply_chain(
+        t, [Dissect(tokenizer="%{+pair/2} %{+pair/1}", field="pair_src")]
+    )
+    return parsed.groupBy("pair").agg(F.count("*").alias("n_rows"))
+
+
+def q_flow_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """community_id flow hash (communityid/communityid.go:39,93):
+    deterministic, direction-normalized — both directions of a flow
+    hash identically."""
+    from beats_spark.operators.actions import CommunityID
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flows = ev.select(
+        F.format_string("10.0.%d.%d", F.pmod("event_id", F.lit(64)),
+                        F.pmod("user_id", F.lit(200))).alias("source_ip"),
+        F.format_string("10.1.%d.0", F.pmod("event_id", F.lit(16))).alias("dest_ip"),
+        F.pmod(F.col("event_id") * 7, F.lit(32768)).cast("long").alias("source_port"),
+        F.lit(443).cast("long").alias("dest_port"),
+        F.lit(6).alias("proto"),
+        "event_id",
+    )
+    hashed = apply_chain(flows, [CommunityID(hash_fn="md5")])
+    return hashed.groupBy("community_id").agg(
+        F.count("*").alias("n_rows"), F.min("event_id").alias("first_event")
+    )
+
+
+def q_network_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """network condition (conditions/network.go): CIDR containment via
+    pure column bit math, used as a routing predicate."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ips = ev.select(
+        F.format_string(
+            "%d.%d.%d.%d",
+            F.when(F.pmod("event_id", F.lit(3)) == 0, 10)
+            .when(F.pmod("event_id", F.lit(3)) == 1, 192)
+            .otherwise(8),
+            F.when(F.pmod("event_id", F.lit(3)) == 1, 168).otherwise(
+                F.pmod("user_id", F.lit(256))
+            ),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod(F.col("event_id") * 13, F.lit(256)),
+        ).alias("client_ip")
+    )
+    is_private = compile_condition({"network": {"client_ip": "private"}})
+    routed = ips.withColumn(
+        "sink", F.when(is_private, "internal").otherwise("external")
+    )
+    return routed.groupBy("sink").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("client_ip").alias("n_ips"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries / oracle registry
 
@@ -323,6 +431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_tallies": q_metrics_tallies,
         "grok_apache": q_grok_apache,
         "syslog_severity": q_syslog_severity,
+        "field_actions": q_field_actions,
+        "selector_mapping": q_selector_mapping,
+        "range_filter": q_range_filter,
+        "dissect_append": q_dissect_append,
+        "flow_hash": q_flow_hash,
+        "network_route": q_network_route,
     }
     try:
         from beats_spark.entry_dataops import dataops_queries
@@ -432,6 +546,78 @@ SELECT (['Emergency','Alert','Critical','Error',
        count(*) AS n_rows,
        count(DISTINCT pri // 8) AS n_facilities
 FROM s GROUP BY 1
+""",
+        "field_actions": f"""
+{_TRANSCRIPTS_CTE}
+SELECT role AS actor, tool AS tool_name,
+       count(*) AS n_rows,
+       count(*) * 2 AS sum_tags
+FROM transcripts GROUP BY 1, 2
+""",
+        "selector_mapping": f"""
+{_TRANSCRIPTS_CTE}
+SELECT CASE role WHEN 'user' THEN 'humans'
+                 WHEN 'assistant' THEN 'bots'
+                 ELSE 'other' END AS sink,
+       count(*) AS n_rows
+FROM transcripts GROUP BY 1
+""",
+        "range_filter": f"""
+{_TRANSCRIPTS_CTE}
+SELECT role, count(*) AS n_rows, max(turn_idx) AS max_turn
+FROM transcripts
+WHERE turn_idx >= 2 AND turn_idx < 30
+GROUP BY role
+""",
+        "dissect_append": f"""
+{_TRANSCRIPTS_CTE}
+SELECT tool || ' ' || role AS pair, count(*) AS n_rows
+FROM transcripts GROUP BY 1
+""",
+        "flow_hash": """
+WITH flows AS (
+  SELECT printf('10.0.%d.%d', event_id % 64, user_id % 200) AS s_ip,
+         printf('10.1.%d.0', event_id % 16) AS d_ip,
+         CAST((event_id * 7) % 32768 AS BIGINT) AS s_pt,
+         CAST(443 AS BIGINT) AS d_pt,
+         event_id
+  FROM events
+),
+norm AS (
+  SELECT event_id,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN s_ip ELSE d_ip END AS lo_ip,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN d_ip ELSE s_ip END AS hi_ip,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN s_pt ELSE d_pt END AS lo_pt,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN d_pt ELSE s_pt END AS hi_pt
+  FROM flows
+)
+SELECT '1:' || base64(unhex(md5(
+         concat_ws(':', 0, lo_ip, hi_ip, lo_pt, hi_pt, 6)
+       ))) AS community_id,
+       count(*) AS n_rows,
+       min(event_id) AS first_event
+FROM norm GROUP BY 1
+""",
+        "network_route": """
+WITH ips AS (
+  SELECT printf('%d.%d.%d.%d',
+                CASE WHEN event_id % 3 = 0 THEN 10
+                     WHEN event_id % 3 = 1 THEN 192 ELSE 8 END,
+                CASE WHEN event_id % 3 = 1 THEN 168
+                     ELSE user_id % 256 END,
+                event_id % 256,
+                (event_id * 13) % 256) AS client_ip,
+         CASE WHEN event_id % 3 IN (0, 1)
+              THEN 'internal' ELSE 'external' END AS sink
+  FROM events
+)
+SELECT sink, count(*) AS n_rows,
+       count(DISTINCT client_ip) AS n_ips
+FROM ips GROUP BY sink
 """,
     }
     try:

@@ -13,6 +13,8 @@ native Spark boolean columns. Supported (reference file — semantics):
                   rlike literals stay cheap in codegen.
 - ``range``       gt/gte/lt/lte numeric bounds (conditions/range.go:29-80)
 - ``has_fields``  all listed columns non-null (conditions/has_fields.go)
+- ``network``     IPv4/CIDR containment incl. named ranges
+                  (conditions/network.go) — pure column bit math, no UDF
 - ``or``/``and``/``not`` combinators (conditions/{or,and,not}.go)
 
 Beats evaluates a missing field as a FALSE leaf (not NULL), and
@@ -110,11 +112,64 @@ def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) ->
                 parts.append(_range_leaf(df, base, op, val))
         return _all(parts)
 
+    if kind == "network":
+        # {"network": {"ip_field": "10.0.0.0/8"}} or a named range /
+        # list of ranges; ANY range matching satisfies the field
+        # (reference network.go: multiple networks OR together).
+        parts = []
+        for fld, ranges in body.items():
+            if isinstance(ranges, str):
+                ranges = [ranges]
+            ip_long = _ipv4_to_long(_field(df, fld).cast("string"))
+            alts = None
+            for r in ranges:
+                for cidr in _NAMED_NETWORKS.get(r, [r]):
+                    m = _cidr_match(ip_long, cidr)
+                    alts = m if alts is None else (alts | m)
+            parts.append(_leaf(alts))
+        return _all(parts)
+
     if kind == "has_fields":
         fields = body if isinstance(body, (list, tuple)) else [body]
         return _all([_field(df, f).isNotNull() for f in fields])
 
     raise ConditionError(f"unknown condition type: {kind!r}")
+
+
+#: named ranges from the reference's network condition
+#: (libbeat/conditions/network.go; IPv4 subset — transcripts carry no
+#: IPv6, and the bit math below is 32-bit)
+_NAMED_NETWORKS = {
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "loopback": ["127.0.0.0/8"],
+    "link_local_unicast": ["169.254.0.0/16"],
+    "link_local_multicast": ["224.0.0.0/24"],
+    "multicast": ["224.0.0.0/4"],
+    "unspecified": ["0.0.0.0/32"],
+}
+
+
+def _ipv4_to_long(c: Column) -> Column:
+    """Dotted-quad string → long, NULL for non-IPv4 — all JVM-side."""
+    ok = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    p = F.split(c, r"\.")
+    octs = [F.element_at(p, i).cast("long") for i in (1, 2, 3, 4)]
+    in_range = _all([(o <= 255) for o in octs])
+    val = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    return F.when(ok & in_range, val)
+
+
+def _cidr_match(ip_long: Column, cidr: str) -> Column:
+    net_s, _, plen_s = cidr.partition("/")
+    plen = int(plen_s) if plen_s else 32
+    if not 0 <= plen <= 32:
+        raise ConditionError(f"bad CIDR prefix length: {cidr!r}")
+    o = [int(x) for x in net_s.split(".")]
+    if len(o) != 4 or any(not 0 <= x <= 255 for x in o):
+        raise ConditionError(f"bad CIDR network: {cidr!r}")
+    net = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    mask = 0xFFFFFFFF ^ ((1 << (32 - plen)) - 1)
+    return ip_long.bitwiseAND(F.lit(mask)) == F.lit(net & mask)
 
 
 def _range_leaf(df, fld: str, op: str, bound) -> Column:

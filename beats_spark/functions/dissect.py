@@ -348,9 +348,11 @@ def dissect_pandas_udf(tokenizer: str):
 
     d = compile_tokenizer(tokenizer)
 
-    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
-    def _dissect(s: pd.Series) -> pd.Series:
+    def _dissect(s):
         kernel = d.dissect
         return s.map(lambda x: kernel(x) if isinstance(x, str) else None)
 
-    return _dissect
+    # real-object annotations: the module's postponed (string) hints
+    # can't be resolved by pyspark because pandas is imported locally
+    _dissect.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_dissect, T.MapType(T.StringType(), T.StringType()))

@@ -76,6 +76,69 @@ class AddTags(Processor):
 
 
 @dataclass
+class AddLabels(Processor):
+    """add_labels (actions/add_labels.go:31-59): add_fields specialized —
+    nested label maps flatten to dotted keys under a ``labels.`` prefix
+    (MapStr nesting becomes flat columns in our fixed schema)."""
+
+    labels: Mapping[str, Any]
+    prefix: str = "labels."
+
+    def apply(self, df, guard=None):
+        flat: dict[str, Any] = {}
+
+        def _walk(prefix: str, m: Mapping[str, Any]) -> None:
+            for k, v in m.items():
+                if isinstance(v, Mapping):
+                    _walk(f"{prefix}{k}.", v)
+                else:
+                    flat[f"{prefix}{k}"] = v
+
+        _walk(self.prefix, self.labels)
+        for k, v in flat.items():
+            df = df.withColumn(k, self._guarded(df, guard, k, F.lit(v)))
+        return df
+
+
+@dataclass
+class CommunityID(Processor):
+    """community_id (libbeat/processors/communityid/communityid.go:39,93):
+    deterministic flow hash ``"1:" + base64(hash(seed + tuple))`` over
+    the normalized (smaller endpoint first) 5-tuple. All JVM-side:
+    concat_ws → sha1/md5 → unhex → base64. The reference hashes packed
+    binary fields with SHA1; we hash the canonical text form — equally
+    deterministic per flow, which is the invariant the processor exists
+    for. ``hash_fn="md5"`` is offered because common SQL oracles
+    (DuckDB) lack sha1."""
+
+    src_ip: str = "source_ip"
+    src_port: str = "source_port"
+    dst_ip: str = "dest_ip"
+    dst_port: str = "dest_port"
+    proto: str = "proto"
+    seed: int = 0
+    target: str = "community_id"
+    hash_fn: str = "sha1"
+
+    def apply(self, df, guard=None):
+        s_ip, d_ip = F.col(self.src_ip).cast("string"), F.col(self.dst_ip).cast("string")
+        s_pt, d_pt = F.col(self.src_port).cast("long"), F.col(self.dst_port).cast("long")
+        # normalize flow direction: order endpoints so both directions
+        # of a flow hash identically (communityid.go flow ordering)
+        fwd = (s_ip < d_ip) | ((s_ip == d_ip) & (s_pt <= d_pt))
+        lo_ip, hi_ip = F.when(fwd, s_ip).otherwise(d_ip), F.when(fwd, d_ip).otherwise(s_ip)
+        lo_pt = F.when(fwd, s_pt).otherwise(d_pt)
+        hi_pt = F.when(fwd, d_pt).otherwise(s_pt)
+        canon = F.concat_ws(
+            ":", F.lit(self.seed), lo_ip, hi_ip, lo_pt, hi_pt,
+            F.col(self.proto).cast("string"),
+        )
+        digest = F.sha1(canon) if self.hash_fn == "sha1" else F.md5(canon)
+        cid = F.concat(F.lit("1:"), F.base64(F.unhex(digest)))
+        return df.withColumn(self.target, self._guarded(df, guard, self.target, cid))
+
+
+@dataclass
 class Rename(Processor):
     """rename (actions/rename.go:69-101): fails at compile time if the
     target column exists (the reference fails at run time per event)."""
@@ -223,18 +286,19 @@ class Dissect(Processor):
         if clash:
             raise ValueError(f"dissect would overwrite existing columns: {clash}")
         src = F.col(self.field)
+        tmp = None
         if d.lowerable():
             cols, ok = dissect_columns(src, self.tokenizer)
             for k, c in cols.items():
                 df = df.withColumn(self._out(k), self._guarded(df, guard, self._out(k), c))
         else:
             udf = dissect_pandas_udf(self.tokenizer)
-            df = df.withColumn("_dissect_m", udf(src))
-            ok = F.col("_dissect_m").isNotNull()
+            tmp = "_dissect_m"
+            df = df.withColumn(tmp, udf(src))
+            ok = F.col(tmp).isNotNull()
             for k in d.output_keys:
-                c = F.element_at(F.col("_dissect_m"), k)
+                c = F.element_at(F.col(tmp), k)
                 df = df.withColumn(self._out(k), self._guarded(df, guard, self._out(k), c))
-            df = df.drop("_dissect_m")
         err = F.when(
             ~F.coalesce(ok, F.lit(True)), F.array(F.lit(FLAG_PARSING_ERROR))
         ).otherwise(F.array().cast("array<string>"))
@@ -244,7 +308,8 @@ class Dissect(Processor):
             else F.array().cast("array<string>")
         )
         flags = F.array_union(base, err)
-        return df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
+        df = df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
+        return df.drop(tmp) if tmp else df
 
 
 @dataclass
