@@ -34,6 +34,7 @@ from .operators.dedup import (
     norm_text,
     NORM_SQL,
     simhash,
+    simhash_df,
     simhash_sql,
 )
 from .operators.multimodal import (
@@ -57,12 +58,22 @@ ANN_QUERIES = [0, 1, 2, 3, 4]
 ANN_K = 10
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    # The local test tables are single small parquet files, which scan
+    # as ONE task and serialize every downstream expression onto one
+    # core. At 100 TB the table has thousands of splits and this is a
+    # no-op concern; locally an explicit round-robin repartition makes
+    # the parallelism real. Results are unaffected (all queries
+    # aggregate or join).
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -86,9 +97,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash(F.col("text")).alias("simhash32")
-    )
+    return simhash_df(_docs(spark, sf_dir))
 
 
 def q_ann_brute_force(spark, sf_dir):

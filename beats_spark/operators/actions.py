@@ -204,16 +204,41 @@ class IncludeFields(Processor):
 
 @dataclass
 class TruncateFields(Processor):
-    """truncate_fields (actions/truncate_fields.go:79-110)."""
+    """truncate_fields (actions/truncate_fields.go:79-110). When a
+    value was actually truncated the row is tagged ``truncated`` in
+    ``log_flags`` (the reference sets `log.flags: truncated`,
+    truncate_fields.go:153-168)."""
 
     fields: Sequence[str]
     max_characters: int
+    tag_truncated: bool = True
 
     def apply(self, df, guard=None):
+        # column refs resolve lazily by name — capture the pre-truncate
+        # "was anything longer than the limit" bit BEFORE overwriting
+        changed = F.lit(False)
+        for f in self.fields:
+            changed = changed | (F.length(F.col(f)) > self.max_characters)
+        tmp = "_trunc_changed"
+        df = df.withColumn(tmp, changed)
+        changed = F.col(tmp)
         for f in self.fields:
             new = F.substring(F.col(f), 1, self.max_characters)
             df = df.withColumn(f, self._guarded(df, guard, f, new))
-        return df
+        if self.tag_truncated:
+            base = (
+                F.coalesce(F.col(FLAGS_FIELD), F.array().cast("array<string>"))
+                if FLAGS_FIELD in df.columns
+                else F.array().cast("array<string>")
+            )
+            flags = F.when(
+                F.coalesce(changed, F.lit(False)),
+                F.array_union(base, F.array(F.lit("truncated"))),
+            ).otherwise(base)
+            df = df.withColumn(
+                FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags)
+            )
+        return df.drop(tmp)
 
 
 @dataclass

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import WORDS_SQL, word_code, word_code_sql, words
+from ..functions.textstats import (
+    FP_MOD,
+    WORDS_SQL,
+    word_code,
+    word_code_sql,
+    words,
+)
 
 # ---------------------------------------------------------------------------
 # normalization + exact dedup
@@ -167,37 +173,72 @@ def minhash_signature(
 ) -> DataFrame:
     """k-hash minhash signature, one column per hash (mh0..mh{k-1}).
 
-    h_i(s) = word_code(i || ':' || s): k independent md5-derived
-    hashes; the signature is the per-hash min over the shingle set.
-    Computed with array expressions — no explode, no Python."""
-    sh = shingles(F.col(text_col), n)
-    cols = [F.col(id_col).alias("id")]
+    Two-hash scheme (Kirsch–Mitzenmacher): ONE md5 per shingle, split
+    into two 32-bit halves (c1, c2); derived hash i is
+    ``(c1 + i*c2) mod (2^31 - 1)`` and the signature is the per-hash
+    min over the shingle set. This costs 1 digest per shingle instead
+    of k, and the shingle/digest arrays are materialized in separate
+    projections so codegen computes them once per row — inlining them
+    into every signature column multiplies the regex+md5 work by k.
+    All array expressions — no explode, no Python."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    hx = sh.select("id", F.transform("sh", F.md5).alias("hx"))
+    cs = hx.select(
+        "id",
+        F.transform(
+            "hx", lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long")
+        ).alias("c1"),
+        F.transform(
+            "hx", lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long")
+        ).alias("c2"),
+    )
+    mins = [
+        F.array_min(
+            F.zip_with(
+                "c1", "c2", _affine(i)
+            )
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return cs.select("id", *mins)
 
-    def seeded(prefix: str):
-        # NB: must stay unary — a 2-arg lambda would make transform()
-        # pass the array index as the second argument
-        return lambda s: word_code(F.concat(F.lit(prefix), s))
 
-    for i in range(k):
-        hashed = F.transform(sh, seeded(f"{i}:"))
-        cols.append(F.array_min(hashed).alias(f"mh{i}"))
-    return df.select(*cols)
+def _affine(i: int):
+    # binary on purpose — zip_with dispatches on lambda arity
+    return lambda a, b: (a + F.lit(i) * b) % F.lit(FP_MOD)
+
+
+def _signature_ctes(
+    table: str, k: int, n: int, text_col: str, id_col: str
+) -> str:
+    """DuckDB CTE chain shv → hx → cs → sig mirroring
+    :func:`minhash_signature` (lock-step)."""
+    sh = shingles_sql(text_col, n)
+    mins = ",\n  ".join(
+        f"list_min(list_transform(list_zip(c1, c2),"
+        f" p -> (p[1] + {i} * p[2]) % {FP_MOD})) AS mh{i}"
+        for i in range(k)
+    )
+    return f"""
+shv AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+hx AS (SELECT id, list_transform(sh, s -> md5(s)) AS hx FROM shv),
+cs AS (SELECT id,
+         list_transform(hx, x -> ('0x' || substr(x, 1, 8))::BIGINT) AS c1,
+         list_transform(hx, x -> ('0x' || substr(x, 9, 8))::BIGINT) AS c2
+       FROM hx),
+sig AS (SELECT id, {mins} FROM cs)
+"""
 
 
 def minhash_signature_sql(
     table: str, k: int = MINHASH_K, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> str:
-    sh = shingles_sql(text_col, n)
-    mins = ",\n  ".join(
-        "list_min(list_transform(sh, s -> "
-        + word_code_sql(f"'{i}:' || s")
-        + f")) AS mh{i}"
-        for i in range(k)
-    )
     return f"""
-WITH sh AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})
-SELECT id, {mins} FROM sh
+WITH {_signature_ctes(table, k, n, text_col, id_col)}
+SELECT * FROM sig
 """
 
 
@@ -270,7 +311,6 @@ def minhash_lsh_pairs_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    sh = shingles_sql(text_col, n)
     n_bands = k // rows_per_band
     band_rows = ", ".join(
         "({b}, {key})".format(
@@ -281,15 +321,8 @@ def minhash_lsh_pairs_sql(
         )
         for b in range(n_bands)
     )
-    mins = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + word_code_sql(f"'{i}:' || s")
-        + f")) AS mh{i}"
-        for i in range(k)
-    )
     return f"""
-WITH shv AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
-sig AS (SELECT id, {mins} FROM shv),
+WITH {_signature_ctes(table, k, n, text_col, id_col)},
 bands AS (
   SELECT id, bk[1]::INTEGER AS band, bk[2] AS key
   FROM sig, unnest([{band_rows}]) AS t(bk)
@@ -338,6 +371,35 @@ def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
         vote = F.aggregate(codes, F.lit(0).cast("long"), bit_vote(b))
         out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out
+
+
+def simhash_df(
+    df: DataFrame, bits: int = SIMHASH_BITS,
+    text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "simhash32",
+) -> DataFrame:
+    """DataFrame-level simhash with the token-code array materialized
+    in its own projection — the scalar :func:`simhash` inlines the
+    tokenize+md5 work into every one of the ``bits`` vote expressions,
+    multiplying it 32×."""
+    codes = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(words(norm_text(F.col(text_col)))), word_code
+        ).alias("_codes"),
+    )
+    def bit_vote(b: int):
+        # keep the merge lambda binary (acc, x) — extra default args
+        # change the arity PySpark dispatches on
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(F.col("_codes"), F.lit(0).cast("long"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return codes.select(F.col(id_col), out.alias(out_col))
 
 
 def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:

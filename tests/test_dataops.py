@@ -143,8 +143,16 @@ class TestDedup:
         sh = list(dict.fromkeys(
             " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
         ))
+
+        def halves(s: str) -> tuple[int, int]:
+            h = hashlib.md5(s.encode()).hexdigest()
+            return int(h[:8], 16), int(h[8:16], 16)
+
+        codes = [halves(s) for s in sh]
         for i in range(8):
-            assert sig[0][f"mh{i}"] == min(wc(f"{i}:{s}") for s in sh)
+            assert sig[0][f"mh{i}"] == min(
+                (c1 + i * c2) % FP_MOD for c1, c2 in codes
+            )
 
     def test_identical_docs_same_signature(self, spark, docs):
         sig = {r["id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in minhash_signature(docs).collect()}
@@ -162,6 +170,13 @@ class TestDedup:
                 expect |= 1 << b
         assert out[0] == expect
         assert out[0] == out[2]  # norm-identical docs agree
+        # materialized DataFrame variant agrees with the scalar form
+        from beats_spark.operators.dedup import simhash_df
+
+        out2 = {
+            r["doc_id"]: r["simhash32"] for r in simhash_df(docs).collect()
+        }
+        assert out2 == out
 
 
 class TestSimilarity:

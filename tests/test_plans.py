@@ -1,0 +1,137 @@
+"""Physical-plan regression tests — the 100 TB guarantees.
+
+These assert the plan SHAPE, not results: enrich lookups must stay
+broadcast joins (no shuffle of the fact table), parse/filter columns
+must push down to the parquet scan, and the fan-out transform must
+introduce exactly one exchange (the pre-write repartition). A change
+that silently turns a broadcast into a sort-merge join or defeats
+pushdown would still pass the value tests at sf0.001 and then fall
+over at scale — this file is the guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.actions import Dissect, apply_chain
+from beats_spark.operators.enrich import BroadcastLookup, dim_roles, dim_tools
+from beats_spark.operators.router import with_partition_id
+from beats_spark.operators.selector import Rule, compile_selector
+from beats_spark.plans.pipeline import Pipeline
+from beats_spark.synth import TOK_LOGFMT, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts_on_disk(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    synth_transcripts(spark, 2_000, seed=3).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestEnrichIsBroadcast:
+    def test_broadcast_hash_join(self, spark, transcripts_on_disk):
+        df = spark.read.parquet(transcripts_on_disk)
+        out = apply_chain(
+            df,
+            [
+                BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+                BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
+            ],
+        )
+        plan = _plan(out)
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+
+
+class TestScanPushdown:
+    def test_filter_and_projection_reach_scan(self, spark, transcripts_on_disk):
+        df = spark.read.parquet(transcripts_on_disk)
+        q = df.filter(F.col("role") == "user").select("conv_id", "turn_idx")
+        plan = _plan(q)
+        # predicate pushed into the parquet reader
+        assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+        # column pruning: text/tool/ts never read
+        assert "text" not in plan.split("ReadSchema")[1]
+
+    def test_dissect_native_tier_prunes_unused_keys(
+        self, spark, transcripts_on_disk
+    ):
+        # parse 4 keys but consume 1 → optimizer must drop the other 3
+        # regexp_extracts entirely (projection pruning through the
+        # parse stage)
+        df = spark.read.parquet(transcripts_on_disk)
+        parsed = apply_chain(df, [Dissect(tokenizer=TOK_LOGFMT)])
+        q = parsed.select("level")
+        opt = _optimized(q)
+        # one regexp_extract (for `level`) survives — the other three
+        # keys' extracts are pruned (the tokenizer literal text appears
+        # inside the pattern, so count expressions, not key names)
+        assert opt.count("regexp_extract") == 1
+
+
+class TestFanoutShuffleCount:
+    def test_single_exchange_in_transform(self, spark, transcripts_on_disk):
+        df = spark.read.parquet(transcripts_on_disk)
+        p = Pipeline(
+            processors=[
+                Dissect(tokenizer=TOK_LOGFMT),
+                BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+            ],
+            routes=[Rule(value="errors", when={"equals": {"level": "error"}})],
+            default_sink="misc",
+            n_buckets=8,
+        )
+        routed = with_partition_id(p.transform(df), 8).repartition(
+            F.col("sink"), F.col("part_id")
+        )
+        plan = _plan(routed)
+        # exactly one shuffle: the pre-write repartition on
+        # (sink, part_id); parse/route/enrich must not add exchanges
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+    def test_selector_folds_to_case(self, spark, transcripts_on_disk):
+        # constant rules fold at plan time (outil does this by hand;
+        # Catalyst's ConstantFolding gives it to us) — no UDFs anywhere
+        df = spark.read.parquet(transcripts_on_disk)
+        parsed = apply_chain(df, [Dissect(tokenizer=TOK_LOGFMT)])
+        routed = parsed.withColumn(
+            "sink", compile_selector([Rule(value="const-sink")], default="d")
+        )
+        opt = _optimized(routed)
+        assert "const-sink" in opt
+        assert "pythonUDF" not in opt.lower()
+
+
+class TestWholeStageCodegen:
+    def test_parse_route_stays_in_codegen(self, spark, transcripts_on_disk):
+        df = spark.read.parquet(transcripts_on_disk)
+        parsed = apply_chain(df, [Dissect(tokenizer=TOK_LOGFMT)])
+        routed = parsed.withColumn(
+            "sink",
+            compile_selector(
+                [Rule(value="errors", when={"equals": {"level": "error"}})],
+                default="misc",
+            ),
+        )
+        agg = routed.groupBy("sink").count()
+        agg.collect()  # AQE annotates codegen stages only in the final plan
+        plan = _plan(agg)
+        assert "isFinalPlan=true" in plan
+        # the parse+route projection runs inside WholeStageCodegen —
+        # final plans mark codegen stages with "*(n)"; no
+        # BatchEvalPython / ArrowEvalPython stage for the native tier
+        import re
+
+        assert re.search(r"\*\(\d+\)", plan)
+        assert "EvalPython" not in plan
