@@ -41,26 +41,33 @@ def with_row_hash(df: DataFrame) -> DataFrame:
     return df.withColumn(ROW_HASH_COL, F.xxhash64(*[F.col(c) for c in cols]))
 
 
+def sort_for_fanout(
+    routed: DataFrame, partition_cols: tuple[str, str] = ("sink", PART_COL)
+) -> DataFrame:
+    """Co-locate each (sink, bucket) and fix the stable
+    (conv_id, turn_idx) order inside every output file — the per-turn
+    ordering invariant. Shared by the parquet and Iceberg writers."""
+    return routed.repartition(
+        *[F.col(c) for c in partition_cols]
+    ).sortWithinPartitions(*partition_cols, "conv_id", "turn_idx")
+
+
 def write_fanout(
     routed: DataFrame,
     root: str,
     n_files_per_bucket: int = 1,
     mode: str = "overwrite",
 ) -> None:
-    """Single-pass fan-out write.
+    """Single-pass fan-out write (parquet layout; see
+    sources/tables.py for the Iceberg-backed variant).
 
-    Requires columns ``sink`` and ``part_id``. The explicit
-    repartition co-locates each (sink, bucket) so the writer emits
-    few, sorted files; sortWithinPartitions fixes the stable
-    (conv_id, turn_idx) order inside every file.
+    Requires columns ``sink`` and ``part_id``: every task splits its
+    rows across sink directories, so N sinks cost one scan, not N
+    filtered scans.
     """
-    (
-        routed.repartition(F.col("sink"), F.col(PART_COL))
-        .sortWithinPartitions("sink", PART_COL, "conv_id", "turn_idx")
-        .write.mode(mode)
-        .partitionBy("sink", PART_COL)
-        .parquet(root)
-    )
+    sort_for_fanout(routed).write.mode(mode).partitionBy(
+        "sink", PART_COL
+    ).parquet(root)
 
 
 def read_sink(spark, root: str, sink: str) -> DataFrame:
