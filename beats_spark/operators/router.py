@@ -42,21 +42,38 @@ def with_row_hash(df: DataFrame) -> DataFrame:
 
 
 def sort_for_fanout(
-    routed: DataFrame, partition_cols: tuple[str, str] = ("sink", PART_COL)
+    routed: DataFrame,
+    partition_cols: tuple[str, str] = ("sink", PART_COL),
+    salt: int | None = None,
 ) -> DataFrame:
     """Co-locate each (sink, bucket) and fix the stable
     (conv_id, turn_idx) order inside every output file — the per-turn
-    ordering invariant. Shared by the parquet and Iceberg writers."""
-    return routed.repartition(
-        *[F.col(c) for c in partition_cols]
-    ).sortWithinPartitions(*partition_cols, "conv_id", "turn_idx")
+    ordering invariant. Shared by the parquet and Iceberg writers.
+
+    ``salt`` handles hot conversations (the synth's Zipf head, or one
+    run-away agent session at 100 TB): a bucket whose conv dominates
+    the data would otherwise land on ONE writer task. Salting adds
+    ``hash(conv_id, turn_idx) % salt`` to the SHUFFLE key only — the
+    on-disk partitioning (sink, part_id) is unchanged, the hot bucket
+    just arrives as ≤``salt`` sorted files instead of one. Reading a
+    sink and sorting by (conv_id, turn_idx) is identical either way,
+    which is what the per-turn equality invariant is defined over
+    (mirrors the kafka hash-partitioner's random fallback for hot
+    keys, outputs/kafka/partition.go:216-275).
+    """
+    keys = [F.col(c) for c in partition_cols]
+    if salt and salt > 1:
+        keys.append(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)))
+    return routed.repartition(*keys).sortWithinPartitions(
+        *partition_cols, "conv_id", "turn_idx"
+    )
 
 
 def write_fanout(
     routed: DataFrame,
     root: str,
-    n_files_per_bucket: int = 1,
     mode: str = "overwrite",
+    salt: int | None = None,
 ) -> None:
     """Single-pass fan-out write (parquet layout; see
     sources/tables.py for the Iceberg-backed variant).
@@ -65,7 +82,7 @@ def write_fanout(
     rows across sink directories, so N sinks cost one scan, not N
     filtered scans.
     """
-    sort_for_fanout(routed).write.mode(mode).partitionBy(
+    sort_for_fanout(routed, salt=salt).write.mode(mode).partitionBy(
         "sink", PART_COL
     ).parquet(root)
 

@@ -69,6 +69,9 @@ class Pipeline:
     routes: Sequence[Rule | Mapping] = dc_field(default_factory=tuple)
     default_sink: str = "default"
     n_buckets: int = 64
+    #: spread hot conversations over ≤salt writer tasks per bucket
+    #: (see router.sort_for_fanout); None = no salting
+    salt: int | None = None
 
     # -- lazy plan ----------------------------------------------------------
 
@@ -122,7 +125,7 @@ class Pipeline:
         routed = routed.observe(obs_out, F.count(F.lit(1)).alias("n"))
 
         data_root = f"{output_root}/data"
-        write_fanout(routed, data_root, mode="overwrite")
+        write_fanout(routed, data_root, mode="overwrite", salt=self.salt)
 
         # Observation rows are missing when the observed subtree saw no
         # rows (e.g. cached-empty input); fall back to on-disk counts.
