@@ -1,0 +1,197 @@
+"""Content-based multiline combine — the reference's multiline reader
+as a custom stateful operator.
+
+The session-window variant (job.sessionized_multiline) models only the
+TIMEOUT flush; the real multiline reader
+(libbeat/reader/multiline/multiline.go:42-167) groups by a CONTENT
+predicate: with ``match: after``, a line where ``pattern XOR negate``
+matches is appended to the current event; a non-matching line closes
+the event and starts a new one. ``match: before`` buffers matching
+lines and closes the event on the first non-matching line (which
+joins the event as its last line). ``max_lines`` (default 500) caps an
+event; the 5 s timeout flushes a dangling buffer.
+
+Spark-native forms:
+
+- batch:  ``groupBy(conv_id).applyInPandas`` — everything flushes at
+  group end (the harvester's EOF flush).
+- stream: ``groupBy(conv_id).applyInPandasWithState`` — complete
+  events emit per micro-batch, the dangling tail lives in group state
+  until more lines arrive or the processing-time timeout fires
+  (multiline.go:107-117). This is the sanctioned stateful escape
+  hatch: Arrow-batched, one state row per conversation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("first_turn_idx", T.IntegerType()),
+        T.StructField("doc", T.StringType()),
+        T.StructField("n_lines", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_turn_idx", T.IntegerType()),
+        T.StructField("lines", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def combine_lines(
+    lines: list[tuple[int, str]],
+    pattern: str,
+    match: str = "after",
+    negate: bool = False,
+    max_lines: int = 500,
+) -> tuple[list[tuple[int, str, int]], tuple[int, list[str]] | None]:
+    """Run the multiline state machine over ordered (turn_idx, line).
+
+    Returns (events, tail): events are CLOSED (first_idx, joined_doc,
+    n_lines) tuples; tail is the still-open buffer (None if empty).
+    Join separator is newline (the reference joins raw content).
+    """
+    if match not in ("after", "before"):
+        raise ValueError(f"multiline match must be after/before: {match!r}")
+    rx = re.compile(pattern)
+
+    def continues(line: str) -> bool:
+        return bool(rx.search(line)) != negate
+
+    events: list[tuple[int, str, int]] = []
+    buf: list[str] = []
+    first = 0
+
+    def flush() -> None:
+        nonlocal buf
+        if buf:
+            events.append((first, "\n".join(buf[:max_lines]), min(len(buf), max_lines)))
+            buf = []
+
+    for idx, line in lines:
+        if match == "after":
+            # matching lines continue the current event
+            if continues(line) and buf:
+                buf.append(line)
+            else:
+                flush()
+                first = idx
+                buf = [line]
+        else:  # before
+            # matching lines buffer; the first non-matching line closes
+            # the event as its final line
+            if not buf:
+                first = idx
+            buf.append(line)
+            if not continues(line):
+                flush()
+    return events, ((first, buf) if buf else None)
+
+
+def _mk_machine(pattern: str, match: str, negate: bool, max_lines: int):
+    def run(conv_id, rows_sorted):
+        lines = list(zip(rows_sorted["turn_idx"], rows_sorted["text"]))
+        return combine_lines(lines, pattern, match, negate, max_lines)
+
+    return run
+
+
+def multiline_batch(
+    df: DataFrame,
+    pattern: str,
+    match: str = "after",
+    negate: bool = False,
+    max_lines: int = 500,
+) -> DataFrame:
+    """Batch combine: per conversation in stable turn order; the tail
+    flushes at group end (harvester EOF)."""
+    machine = _mk_machine(pattern, match, negate, max_lines)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("turn_idx")
+        conv = pdf["conv_id"].iloc[0]
+        events, tail = machine(conv, pdf)
+        if tail is not None:
+            first, buf = tail
+            events.append((first, "\n".join(buf[:max_lines]), min(len(buf), max_lines)))
+        return pd.DataFrame(
+            [(conv, f, d, n) for f, d, n in events],
+            columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
+        )
+
+    return (
+        df.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(fn, OUT_SCHEMA)
+    )
+
+
+def multiline_stream(
+    stream: DataFrame,
+    pattern: str,
+    match: str = "after",
+    negate: bool = False,
+    max_lines: int = 500,
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """Streaming combine with per-conversation state: closed events
+    emit immediately; the open tail stays in state until continued or
+    the processing-time timeout flushes it (multiline.go:107-117)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    machine = _mk_machine(pattern, match, negate, max_lines)
+
+    def fn(key, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+
+        (conv,) = key
+        if state.hasTimedOut:
+            first, lines = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(conv, first, "\n".join(lines[:max_lines]), min(len(lines), max_lines))],
+                columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
+            )
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values("turn_idx")
+        if state.exists:
+            first, lines = state.get
+            prefix = pd.DataFrame({"turn_idx": [first] * len(lines), "text": lines})
+            # buffered lines re-enter the machine ahead of new rows
+            pdf = pd.concat([prefix, pdf[["turn_idx", "text"]]])
+        events, tail = machine(conv, pdf)
+        if tail is not None:
+            # native python types — numpy int64 won't serialize to the
+            # state schema
+            state.update((int(tail[0]), [str(x) for x in tail[1]]))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            [(conv, f, d, n) for f, d, n in events],
+            columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
+        )
+
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
