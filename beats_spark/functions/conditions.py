@@ -88,10 +88,19 @@ def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) ->
         return _all(parts)
 
     if kind == "contains":
-        return _all(
-            [_leaf(F.contains(_field(df, fld).cast("string"), F.lit(val)))
-             for fld, val in body.items()]
-        )
+        # strings: substring match; arrays of strings: ANY element
+        # containing the substring matches (matcher.go:71-105). Array
+        # detection needs the DataFrame's schema — without it (df=None)
+        # the string form compiles, which is correct for our flat
+        # transcript columns.
+        parts = []
+        for fld, val in body.items():
+            c = _field(df, fld)
+            if df is not None and _is_string_array(df, fld):
+                parts.append(_leaf(F.exists(c, _elem_contains(val))))
+            else:
+                parts.append(_leaf(F.contains(c.cast("string"), F.lit(val))))
+        return _all(parts)
 
     if kind == "regexp":
         return _all(
@@ -170,6 +179,25 @@ def _cidr_match(ip_long: Column, cidr: str) -> Column:
     net = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
     mask = 0xFFFFFFFF ^ ((1 << (32 - plen)) - 1)
     return ip_long.bitwiseAND(F.lit(mask)) == F.lit(net & mask)
+
+
+def _elem_contains(val: str):
+    # unary on purpose — exists() dispatches on lambda arity
+    return lambda x: x.contains(F.lit(val))
+
+
+def _is_string_array(df: DataFrame, fld: str) -> bool:
+    from pyspark.sql import types as T
+
+    dtype: T.DataType = T.StructType(df.schema.fields)
+    for part in fld.split("."):
+        if not isinstance(dtype, T.StructType):
+            return False
+        match = next((f for f in dtype.fields if f.name == part), None)
+        if match is None:
+            return False
+        dtype = match.dataType
+    return isinstance(dtype, T.ArrayType)
 
 
 def _range_leaf(df, fld: str, op: str, bound) -> Column:

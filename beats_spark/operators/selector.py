@@ -39,13 +39,19 @@ class Rule:
 
 
 def compile_rule(rule: Rule, ts_col: str = "ts") -> Column:
+    """Reference semantics (select_test.go table): an empty/NULL key
+    result never selects; a mapping miss OR an empty mapping result
+    falls through; a rule-level ``default`` catches all of those —
+    with or without a mapping table."""
     expr = compile_fmtstr(rule.value, ts_col=ts_col)
     if rule.mappings:
         kv = []
         for k, v in rule.mappings.items():
             kv.extend([F.lit(k), F.lit(v)])
-        mapped = F.element_at(F.create_map(*kv), expr)
-        expr = F.coalesce(mapped, F.lit(rule.default)) if rule.default is not None else mapped
+        expr = F.element_at(F.create_map(*kv), expr)
+    expr = F.nullif(expr, F.lit(""))
+    if rule.default is not None:
+        expr = F.coalesce(expr, F.lit(rule.default))
     if rule.when is not None:
         expr = F.when(compile_condition(rule.when), expr)
     return expr
