@@ -4,7 +4,10 @@ Re-implements the reference's fmtstr syntax
 (libbeat/common/fmtstr/formatevents.go:36-49):
 
 - ``%{[field.path]}``          field interpolation
+- ``%{[nested][key]}``         alternate nested syntax (≡ nested.key)
 - ``%{[field.path]:default}``  with default when the field is missing
+- ``%{[@timestamp]}``          the event timestamp, ISO-8601 millis
+                               (event.go:56-66 / formatevents_test.go)
 - ``%{+yyyy.MM.dd}``           event-timestamp formatting (Joda-style
                                pattern; subset maps 1:1 onto Spark's
                                ``date_format`` / java.time patterns)
@@ -22,7 +25,11 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_FMT_RE = re.compile(r"%\{(?:\[([^\]]+)\](?::([^}]*))?|\+([^}]+))\}")
+_FMT_RE = re.compile(r"%\{(?:((?:\[[^\]]+\])+)(?::([^}]*))?|\+([^}]+))\}")
+
+#: the reference marshals @timestamp as ISO-8601 with millisecond
+#: precision in UTC (common.Time, libbeat/common/datetime.go)
+_TS_ISO = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
 def compile_fmtstr(fmt: str, ts_col: str = "ts") -> Column:
@@ -36,7 +43,12 @@ def compile_fmtstr(fmt: str, ts_col: str = "ts") -> Column:
         if ts_fmt is not None:
             parts.append(F.date_format(F.col(ts_col), ts_fmt))
         else:
-            col = F.col(field.replace("[", "").replace("]", "")).cast("string")
+            # "[a][b]" and "[a.b]" both address nested field a.b
+            name = field[1:-1].replace("][", ".")
+            if name == "@timestamp":
+                col = F.date_format(F.col(ts_col), _TS_ISO)
+            else:
+                col = F.col(name).cast("string")
             if default is not None:
                 col = F.coalesce(col, F.lit(default))
             parts.append(col)
