@@ -255,17 +255,39 @@ class DropEvent(Processor):
 @dataclass
 class DecodeJsonFields(Processor):
     """decode_json_fields (actions/decode_json_fields.go:82-130):
-    parse a string column as JSON into a typed struct/map column."""
+    parse a string column as JSON into a typed struct/map column.
+    With ``add_error_key`` (the JSON reader's AddErrorKey,
+    readjson/json.go:54-55), a non-null input that fails to decode
+    tags the row ``json_decode_error`` in ``log_flags``."""
 
     fields: Sequence[str]
     schema: str = "map<string,string>"
     target: str | None = None  # default: <field>_json
+    add_error_key: bool = False
 
     def apply(self, df, guard=None):
+        failed = F.lit(False)
         for f in self.fields:
             tgt = self.target or f"{f}_json"
+            if tgt == f:
+                # the error expression reads the source column lazily;
+                # overwriting it in place would poison that read
+                raise ValueError("decode_json_fields: target == source")
             new = F.from_json(F.col(f), self.schema)
+            failed = failed | (F.col(f).isNotNull() & new.isNull())
             df = df.withColumn(tgt, self._guarded(df, guard, tgt, new))
+        if self.add_error_key:
+            base = (
+                F.coalesce(F.col(FLAGS_FIELD), F.array().cast("array<string>"))
+                if FLAGS_FIELD in df.columns
+                else F.array().cast("array<string>")
+            )
+            flags = F.when(
+                failed, F.array_union(base, F.array(F.lit("json_decode_error")))
+            ).otherwise(base)
+            df = df.withColumn(
+                FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags)
+            )
         return df
 
 

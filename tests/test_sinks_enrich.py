@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from beats_spark.operators.actions import TruncateFields, apply_chain
@@ -74,6 +75,29 @@ class TestDnsEnrich:
             "a": "ip-a",
             "b": "ip-b",
         }
+
+
+class TestDecodeJsonErrorKey:
+    def test_tags_only_decode_failures(self, spark):
+        from beats_spark.operators.actions import DecodeJsonFields
+
+        df = spark.createDataFrame(
+            [('{"a":"1"}',), ("not json",), (None,)], "props string"
+        )
+        out = apply_chain(
+            df, [DecodeJsonFields(fields=["props"], add_error_key=True)]
+        ).collect()
+        rows = {r["props"]: (r["props_json"], r["log_flags"]) for r in out}
+        assert rows['{"a":"1"}'] == ({"a": "1"}, [])
+        assert rows["not json"] == (None, ["json_decode_error"])
+        assert rows[None] == (None, [])  # null input is not an error
+
+    def test_target_equals_source_rejected(self, spark):
+        from beats_spark.operators.actions import DecodeJsonFields
+
+        df = spark.createDataFrame([("{}",)], "props string")
+        with pytest.raises(ValueError, match="target == source"):
+            DecodeJsonFields(fields=["props"], target="props").apply(df)
 
 
 class TestTruncateFlag:
