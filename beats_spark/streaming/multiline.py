@@ -147,7 +147,13 @@ def multiline_stream(
 ) -> DataFrame:
     """Streaming combine with per-conversation state: closed events
     emit immediately; the open tail stays in state until continued or
-    the processing-time timeout flushes it (multiline.go:107-117)."""
+    the processing-time timeout flushes it (multiline.go:107-117).
+
+    Deployment note: under ``trigger(availableNow=True)`` a query with
+    processing-time timeouts does NOT self-terminate — pending
+    timeouts keep scheduling batches. Run it with a continuous
+    trigger, or stop() it once the input is drained.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     machine = _mk_machine(pattern, match, negate, max_lines)

@@ -89,6 +89,16 @@ class TestStreamCombine:
     ):
         from beats_spark.streaming.multiline import multiline_stream
 
+        # one conversation → 2 state-store partitions suffice; 8 adds
+        # ~×4 state-commit overhead per micro-batch to this test
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            self._run(spark, tmp_path, multiline_stream)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    @staticmethod
+    def _run(spark, tmp_path, multiline_stream):
         in_dir = str(tmp_path / "in")
         ckpt = str(tmp_path / "ckpt")
         rows = [
@@ -103,7 +113,10 @@ class TestStreamCombine:
 
         out_dir = str(tmp_path / "out")
 
-        def run_query():
+        def run_query(until):
+            # a stateful query with processing-time timeouts does not
+            # self-terminate under availableNow (pending timeouts keep
+            # it alive) — poll for the expected output, then stop
             q = (
                 multiline_stream(
                     spark.readStream.schema(df.schema).parquet(in_dir),
@@ -118,9 +131,20 @@ class TestStreamCombine:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            try:
+                deadline = time.monotonic() + 90
+                while time.monotonic() < deadline:
+                    try:
+                        if until(spark.read.parquet(out_dir)):
+                            return
+                    except Exception:
+                        pass
+                    if q.awaitTermination(2):
+                        return
+            finally:
+                q.stop()
 
-        run_query()
+        run_query(lambda out: out.count() >= 1)
         got = {
             r["first_turn_idx"]: r["doc"]
             for r in spark.read.parquet(out_dir).collect()
@@ -137,7 +161,9 @@ class TestStreamCombine:
             [("c9", 0, "user", "other", "none")],
             "conv_id string, turn_idx int, role string, text string, tool string",
         ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(in_dir)
-        run_query()
+        run_query(
+            lambda out: "head two" in {r["doc"] for r in out.collect()}
+        )
         docs = {r["doc"] for r in spark.read.parquet(out_dir).collect()}
         assert "head two" in docs  # timeout-flushed tail
         assert "head one\n  cont" in docs
