@@ -76,3 +76,48 @@ def build_manifest_rows(
 
 def append_manifest(rows: DataFrame, root: str) -> None:
     rows.write.mode("append").parquet(manifest_path(root))
+
+
+def gc_manifest(
+    spark: SparkSession, root: str, keep_last_runs: int = 10
+) -> int:
+    """Registrar-style state GC (registrar.go:333+ / clean_inactive,
+    input/log/config.go:84): the manifest is append-only, so long-lived
+    outputs accumulate one generation per run. Compact to the newest
+    ``keep_last_runs`` runs, keeping at least the latest row per
+    bucket so resume still sees every committed partition. Returns the
+    number of rows kept. Rewrite is atomic-enough for a maintenance
+    op: write compact → swap directory.
+    """
+    import shutil
+    import tempfile
+
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return 0
+    recent_runs = [
+        r["run_id"]
+        for r in m.groupBy("run_id")
+        .agg(F.max("updated_ts").alias("t"))
+        .orderBy(F.desc("t"))
+        .limit(keep_last_runs)
+        .collect()
+    ]
+    latest_per_part = (
+        m.groupBy("partition_id")
+        .agg(F.max_by(F.struct([F.col(c) for c in m.columns]), "updated_ts").alias("s"))
+        .select("s.*")
+    )
+    kept = (
+        m.filter(F.col("run_id").isin(recent_runs))
+        .unionByName(latest_per_part)
+        .dropDuplicates(["run_id", "partition_id", "updated_ts"])
+    )
+    tmp = tempfile.mkdtemp(prefix="manifest_gc_")
+    kept.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
