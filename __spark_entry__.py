@@ -288,6 +288,49 @@ def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full RFC3164 syslog parse (§2.1, filebeat/input/syslog/parser.go
+    as one anchored regex + arithmetic): render deterministic syslog
+    lines from events (pid optional on every 4th), parse them back,
+    return every extracted field per row."""
+    from beats_spark.functions.syslog import syslog_parse
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    head = F.format_string(
+        "<%d>Oct %02d %02d:%02d:%02d host-%d app%d",
+        F.pmod("event_id", F.lit(192)),
+        F.pmod("event_id", F.lit(28)) + 1,
+        F.pmod("event_id", F.lit(24)),
+        F.pmod(F.col("event_id") * 3, F.lit(60)),
+        F.pmod(F.col("event_id") * 7, F.lit(60)),
+        F.pmod("user_id", F.lit(50)),
+        F.pmod("event_id", F.lit(5)),
+    )
+    pid_part = F.when(
+        F.pmod("event_id", F.lit(4)) == 0, F.lit(":")
+    ).otherwise(
+        F.format_string("[%d]:", F.pmod("event_id", F.lit(900)) + 100)
+    )
+    tail = F.format_string(" %s event %d", F.col("event_type"), F.col("event_id"))
+    lines = ev.select(
+        "event_id", F.concat(head, pid_part, tail).alias("line")
+    )
+    p = syslog_parse(F.col("line"), year=2024)
+    return lines.select(
+        "event_id",
+        p["pri"].alias("pri"),
+        p["severity"].alias("severity"),
+        p["severity_label"].alias("severity_label"),
+        p["facility"].alias("facility"),
+        F.unix_timestamp(p["ts_syslog"]).alias("ts_epoch"),
+        p["hostname"].alias("hostname"),
+        p["program"].alias("program"),
+        p["pid"].alias("pid"),
+        p["msg"].alias("msg"),
+    )
+
+
 def q_field_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rename + copy_fields + add_tags + drop_fields chain (§2.4)."""
     from beats_spark.operators.actions import AddTags, CopyFields, DropFields, Rename
@@ -431,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_tallies": q_metrics_tallies,
         "grok_apache": q_grok_apache,
         "syslog_severity": q_syslog_severity,
+        "syslog_parse": q_syslog_parse,
         "field_actions": q_field_actions,
         "selector_mapping": q_selector_mapping,
         "range_filter": q_range_filter,
@@ -448,6 +492,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TRANSCRIPTS_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+
+def _syslog_parse_oracle() -> str:
+    from beats_spark.functions.syslog import syslog_parse_sql
+
+    return f"""
+WITH lines AS (
+  SELECT event_id,
+         printf('<%d>Oct %02d %02d:%02d:%02d host-%d app%d',
+                event_id % 192, event_id % 28 + 1, event_id % 24,
+                (event_id * 3) % 60, (event_id * 7) % 60,
+                user_id % 50, event_id % 5)
+         || CASE WHEN event_id % 4 = 0 THEN ':'
+                 ELSE printf('[%d]:', event_id % 900 + 100) END
+         || printf(' %s event %d', event_type, event_id) AS line
+  FROM events
+)
+SELECT event_id, {syslog_parse_sql("line", year=2024)}
+FROM lines
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -547,6 +611,7 @@ SELECT (['Emergency','Alert','Critical','Error',
        count(DISTINCT pri // 8) AS n_facilities
 FROM s GROUP BY 1
 """,
+        "syslog_parse": _syslog_parse_oracle(),
         "field_actions": f"""
 {_TRANSCRIPTS_CTE}
 SELECT role AS actor, tool AS tool_name,
