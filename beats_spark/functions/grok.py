@@ -69,6 +69,15 @@ PATTERNS: dict[str, str] = {
     ),
     "QS": r'(?:"(?:[^"\\]|\\.)*")',
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    # composites used by the reference's module ingest pipelines
+    # (filebeat/module/system/syslog/ingest/pipeline.json,
+    # filebeat/module/apache/access/ingest/default.json)
+    "SYSLOGTIMESTAMP": r"(?:%{MONTH} +%{MONTHDAY} %{TIME})",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"(?:%{PROG}(?:\[\d+\])?)",
+    "HTTPVERSION": r"(?:HTTP/\d+\.\d+)",
+    "PATH": r"(?:/[^\s?#]*)",
+    "URIPARAM": r"(?:\?[^\s#]*)",
 }
 
 _REF_RE = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")

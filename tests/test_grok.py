@@ -44,6 +44,33 @@ class TestCompile:
         with pytest.raises(GrokError):
             compile_grok("%{NOPE:x}")
 
+    def test_module_pipeline_composites(self, spark):
+        # system/syslog module grok line shape
+        # (filebeat/module/system/syslog/ingest/pipeline.json)
+        from pyspark.sql import functions as F
+
+        from beats_spark.functions.grok import grok_first_match
+
+        df = spark.createDataFrame(
+            [("Oct 11 22:14:15 web-1 sshd[4123]: Accepted publickey",)],
+            "text string",
+        )
+        cols, ok = grok_first_match(
+            F.col("text"),
+            [
+                "%{SYSLOGTIMESTAMP:ts} %{HOSTNAME:host} "
+                "%{SYSLOGPROG:prog}: %{GREEDYDATA:msg}"
+            ],
+        )
+        row = df.select(
+            *[c.alias(k) for k, c in cols.items()], ok.alias("ok")
+        ).collect()[0]
+        assert row["ok"] is True
+        assert row["ts"] == "Oct 11 22:14:15"
+        assert row["host"] == "web-1"
+        assert row["prog"] == "sshd[4123]"
+        assert row["msg"] == "Accepted publickey"
+
     def test_nested_library_expansion(self):
         g = compile_grok("%{TIMESTAMP_ISO8601:t}")
         assert re.match(f"^(?s:{g.pattern})$", "2024-01-01T10:30:00Z")
