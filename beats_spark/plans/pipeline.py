@@ -35,12 +35,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.actions import Processor, apply_chain
-from ..operators.manifest import (
-    append_manifest,
-    build_manifest_rows,
-    read_done_parts,
-)
-from ..operators.metrics import pipeline_metrics
+from ..operators.manifest import append_manifest, read_done_parts
 from ..operators.router import (
     PART_COL,
     ROW_HASH_COL,
@@ -139,24 +134,49 @@ class Pipeline:
             events_published = 0
         events_filtered = events_total - events_published
 
-        # manifest pass: column-pruned re-read of the written parquet
-        on_disk = spark.read.parquet(data_root).select(PART_COL, "sink", ROW_HASH_COL)
-        rows_in_by_part = (
-            on_disk.groupBy(PART_COL).agg(F.count("*").alias("rows_in"))
-            # rows_in ≈ routed rows per bucket; when the chain drops rows
-            # the true rows_in is total pre-drop — tracked via the
-            # observation; per-bucket pre-drop counts would need a second
-            # input scan, so the manifest stores post-route counts and the
-            # run-level metrics carry the drop tally.
+        # ONE column-pruned re-read of the written parquet feeds both
+        # the manifest (per-bucket) and the metrics (per-sink): the
+        # (part_id, sink) aggregate is at most buckets × sinks rows, so
+        # both rollups happen on the driver.
+        # rows_in ≈ routed rows per bucket; when the chain drops rows
+        # the true rows_in is total pre-drop — tracked via the
+        # observation; per-bucket pre-drop counts would need a second
+        # input scan, so the manifest stores post-route counts and the
+        # run-level metrics carry the drop tally.
+        per = (
+            spark.read.parquet(data_root)
+            .select(PART_COL, "sink", ROW_HASH_COL)
+            .groupBy(PART_COL, "sink")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(f"bit_xor({ROW_HASH_COL})").alias("chk"),
+            )
+            .collect()
         )
-        manifest_rows = build_manifest_rows(spark, on_disk, run_id, rows_in_by_part)
+        by_part: dict[int, list[int]] = {}
+        by_sink: dict[str, int] = {}
+        for r in per:
+            rows, chk = by_part.setdefault(r[PART_COL], [0, 0])
+            by_part[r[PART_COL]] = [rows + r["n"], chk ^ r["chk"]]
+            by_sink[r["sink"]] = by_sink.get(r["sink"], 0) + r["n"]
+
+        manifest_rows = spark.createDataFrame(
+            [
+                (run_id, int(p), "done", rows, rows, format(chk & (2**64 - 1), "x"))
+                for p, (rows, chk) in sorted(by_part.items())
+            ],
+            "run_id string, partition_id int, status string, rows_in long,"
+            " rows_routed long, checksum string",
+        ).withColumn("updated_ts", F.current_timestamp())
         append_manifest(manifest_rows, output_root)
 
-        metrics = pipeline_metrics(
-            spark.read.parquet(data_root).select("sink"),
-            run_id,
-            events_total,
-            events_filtered,
+        metrics = spark.createDataFrame(
+            [
+                (run_id, s, events_total, events_filtered, n, 0)
+                for s, n in sorted(by_sink.items())
+            ],
+            "run_id string, sink string, events_total long,"
+            " events_filtered long, events_published long, events_failed long",
         )
         metrics.write.mode("append").parquet(f"{output_root}/_metrics")
 
