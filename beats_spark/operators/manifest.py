@@ -22,9 +22,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import MANIFEST_SCHEMA
-from .router import PART_COL, ROW_HASH_COL
-
 STATUS_DONE = "done"
 
 
@@ -45,33 +42,6 @@ def read_done_parts(spark: SparkSession, root: str) -> set[int]:
         .filter(F.col("status") == STATUS_DONE)
     )
     return {r["partition_id"] for r in latest.collect()}
-
-
-def build_manifest_rows(
-    spark: SparkSession,
-    routed_on_disk: DataFrame,
-    run_id: str,
-    rows_in_by_part: DataFrame,
-) -> DataFrame:
-    """Aggregate written data (column-pruned to part_id/row_hash) into
-    one manifest row per bucket."""
-    routed_agg = routed_on_disk.groupBy(PART_COL).agg(
-        F.count("*").alias("rows_routed"),
-        # XOR-fold: order-insensitive and overflow-free (ANSI mode)
-        F.expr(f"bit_xor({ROW_HASH_COL})").alias("_checksum"),
-    )
-    joined = rows_in_by_part.join(routed_agg, PART_COL, "left")
-    return joined.select(
-        F.lit(run_id).alias("run_id"),
-        F.col(PART_COL).cast("int").alias("partition_id"),
-        F.lit(STATUS_DONE).alias("status"),
-        F.col("rows_in").cast("long"),
-        F.coalesce(F.col("rows_routed"), F.lit(0)).cast("long").alias("rows_routed"),
-        F.conv(F.coalesce(F.col("_checksum"), F.lit(0)).cast("string"), 10, 16).alias(
-            "checksum"
-        ),
-        F.current_timestamp().alias("updated_ts"),
-    )
 
 
 def append_manifest(rows: DataFrame, root: str) -> None:

@@ -20,19 +20,5 @@ def sink_counts(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count("*").alias("events_published"))
 
 
-def pipeline_metrics(
-    routed: DataFrame,
-    run_id: str,
-    events_total: int,
-    events_filtered: int,
-) -> DataFrame:
-    """One metrics row per sink plus an _all row, tagged with run_id."""
-    per_sink = sink_counts(routed).select(
-        F.lit(run_id).alias("run_id"),
-        F.col("sink"),
-        F.lit(events_total).cast("long").alias("events_total"),
-        F.lit(events_filtered).cast("long").alias("events_filtered"),
-        F.col("events_published").cast("long"),
-        F.lit(0).cast("long").alias("events_failed"),
-    )
-    return per_sink
+# (the Pipeline commit pass now builds the per-run metrics rows from
+# its single (part_id, sink) aggregation — see plans/pipeline.py)
