@@ -27,15 +27,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--config",
+        default=None,
+        help="YAML pipeline config (processors + output selector, "
+        "beats_spark.config schema); overrides the built-in pipeline",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
-
-    from beats_spark.operators.actions import Dissect
-    from beats_spark.operators.enrich import BroadcastLookup, dim_roles, dim_tools
-    from beats_spark.operators.selector import Rule
-    from beats_spark.plans.pipeline import Pipeline
-    from beats_spark.synth import TOK_LOGFMT
 
     spark = (
         SparkSession.builder.appName("beats-spark-parse-route")
@@ -46,20 +46,15 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
 
-    pipeline = Pipeline(
-        processors=[
-            Dissect(tokenizer=TOK_LOGFMT, field="text"),
-            BroadcastLookup(dim=dim_roles(spark), on=["role"]),
-            BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
-        ],
-        routes=[
-            Rule(value="errors", when={"equals": {"level": "error"}}),
-            Rule(value="tool-%{[tool]}", when={"not": {"equals": {"tool": "none"}}}),
-            Rule(value="conv-%{[role]}"),
-        ],
-        default_sink="default",
-        n_buckets=args.buckets,
-    )
+    if args.config:
+        from beats_spark.config import load_pipeline
+
+        with open(args.config) as fh:
+            pipeline = load_pipeline(fh.read())
+        if args.buckets:
+            pipeline.n_buckets = args.buckets
+    else:
+        pipeline = _default_pipeline(spark, args.buckets)
 
     df = spark.read.parquet(args.input)
     t0 = time.monotonic()
@@ -84,6 +79,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.stop()
     return 0
+
+
+def _default_pipeline(spark, buckets: int):
+    from beats_spark.operators.actions import Dissect
+    from beats_spark.operators.enrich import BroadcastLookup, dim_roles, dim_tools
+    from beats_spark.operators.selector import Rule
+    from beats_spark.plans.pipeline import Pipeline
+    from beats_spark.synth import TOK_LOGFMT
+
+    return Pipeline(
+        processors=[
+            Dissect(tokenizer=TOK_LOGFMT, field="text"),
+            BroadcastLookup(dim=dim_roles(spark), on=["role"]),
+            BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
+        ],
+        routes=[
+            Rule(value="errors", when={"equals": {"level": "error"}}),
+            Rule(value="tool-%{[tool]}", when={"not": {"equals": {"tool": "none"}}}),
+            Rule(value="conv-%{[role]}"),
+        ],
+        default_sink="default",
+        n_buckets=buckets,
+    )
 
 
 if __name__ == "__main__":

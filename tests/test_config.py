@@ -1,0 +1,98 @@
+"""YAML config compiler (beats_spark/config.py): a filebeat-style
+config produces the same results as the hand-built Pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.config import ConfigError, load_pipeline
+from beats_spark.operators.actions import Dissect, DropEvent, When
+from beats_spark.operators.selector import Rule
+from beats_spark.plans.pipeline import Pipeline
+from beats_spark.synth import TOK_LOGFMT, synth_transcripts
+
+YAML = """
+processors:
+  - dissect:
+      tokenizer: 'level=%{level} ts=%{timestamp} caller=%{caller} msg="%{message}"'
+      field: text
+  - drop_event:
+      when:
+        equals: {level: warn}
+  - add_tags:
+      tags: [shipped]
+output:
+  default: misc
+  n_buckets: 16
+  keys:
+    - key: errors
+      when:
+        equals: {level: error}
+    - key: '%{[role]}'
+      mappings: {user: humans}
+      default: rest
+"""
+
+
+def test_yaml_matches_hand_built(spark):
+    df = synth_transcripts(spark, 5_000, seed=11)
+    from_yaml = load_pipeline(YAML)
+    by_hand = Pipeline(
+        processors=[
+            Dissect(tokenizer=TOK_LOGFMT, field="text"),
+            When(condition={"equals": {"level": "warn"}}, then=DropEvent()),
+        ],
+        routes=[
+            Rule(value="errors", when={"equals": {"level": "error"}}),
+            Rule(value="%{[role]}", mappings={"user": "humans"}, default="rest"),
+        ],
+        default_sink="misc",
+        n_buckets=16,
+    )
+
+    def counts(p):
+        out = p.transform(df)
+        return {
+            r["sink"]: r["n"]
+            for r in out.groupBy("sink").count().withColumnRenamed("count", "n").collect()
+        }
+
+    got, want = counts(from_yaml), counts(by_hand)
+    assert got == want
+    assert set(got) <= {"errors", "humans", "rest", "misc"}
+    # the add_tags processor survived compilation
+    assert "tags" in from_yaml.transform(df).columns
+
+
+def test_if_then_else_and_single_key():
+    p = load_pipeline(
+        """
+processors:
+  - if:
+      condition:
+        equals: {role: user}
+      then:
+        - add_fields: {fields: {src: human}}
+      else:
+        - add_fields: {fields: {src: machine}}
+output:
+  key: only-sink
+"""
+    )
+    assert len(p.processors) == 1
+    assert [r.value for r in p.routes] == ["only-sink"]
+
+
+@pytest.mark.parametrize(
+    "yaml_text,match",
+    [
+        ("processors: [{nope: {}}]", "unknown processor"),
+        ("processors: [{dissect: {bogus_param: 1}}]", "bad params"),
+        ("output: {keys: [{when: {equals: {a: b}}}]}", "needs a key"),
+        ("output: {keys: [{key: k, typo: 1}]}", "unknown selector rule"),
+        ("3", "must be a mapping"),
+    ],
+)
+def test_config_errors_at_compile_time(yaml_text, match):
+    with pytest.raises(ConfigError, match=match):
+        load_pipeline(yaml_text)
