@@ -136,6 +136,23 @@ class TestDedup:
         assert found[(0, 1)] == round(6 / 8, 6)
         assert (0, 3) not in found
 
+    def test_jaccard_strategies_agree(self, spark, docs):
+        # the blocked join and the PPJoin prefix filter are both exact
+        # — force each and compare at the same threshold
+        from beats_spark.operators.dedup import _ngram_jaccard_blocked
+
+        t = 0.6
+        prefix = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in _ngram_jaccard_blocked(docs, t, 3, "text", "doc_id").collect()
+        }
+        assert prefix == blocked
+        assert (0, 2) in prefix  # the exact-dup pair survives both
+
     def test_minhash_signature_python_oracle(self, spark, docs):
         sig = {r["id"]: r for r in minhash_signature(docs).collect()}
         text = DOCS[0][1]
