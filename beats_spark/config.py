@@ -86,6 +86,8 @@ def compile_processor(entry: Mapping[str, Any]) -> A.Processor:
         otherwise = [compile_processor(p) for p in params.pop("else", [])]
         if cond is None:
             raise ConfigError("if processor needs a condition")
+        if params:
+            raise ConfigError(f"unknown if-processor params: {sorted(params)}")
         return A.IfThenElse(condition=cond, then=then, otherwise=otherwise)
 
     cls = _PROCESSORS.get(name)
@@ -109,6 +111,10 @@ def compile_rules(output: Mapping[str, Any]) -> list[Rule]:
     entries: list[Mapping[str, Any]] = []
     if output.get("keys"):
         entries.extend(output["keys"])
+        # the reference appends a lone `key:` AFTER the keys table as
+        # the fallback rule (select.go:111-184)
+        if "key" in output:
+            entries.append({"key": output["key"]})
     elif "key" in output:
         entries.append({"key": output["key"]})
     for e in entries:

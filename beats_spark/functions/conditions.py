@@ -129,6 +129,10 @@ def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) ->
         for fld, ranges in body.items():
             if isinstance(ranges, str):
                 ranges = [ranges]
+            if not ranges:
+                raise ConditionError(
+                    f"network condition for {fld!r} needs at least one range"
+                )
             ip_long = _ipv4_to_long(_field(df, fld).cast("string"))
             alts = None
             for r in ranges:

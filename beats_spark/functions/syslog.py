@@ -33,11 +33,13 @@ SEVERITY_LABELS = [
     "Warning", "Notice", "Informational", "Debug",
 ]
 
+#: RFC3164 §4.1.1 — 24 facilities, 0-23
 FACILITY_LABELS = [
     "kernel", "user-level", "mail", "system", "security/authorization",
-    "syslogd", "line printer", "network news", "UUCP", "clock", "ftp",
-    "NTP", "log audit", "log alert", "local0", "local1", "local2",
-    "local3", "local4", "local5", "local6", "local7",
+    "syslogd", "line printer", "network news", "UUCP", "clock",
+    "security/authorization", "FTP", "NTP", "log audit", "log alert",
+    "clock", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
 ]
 
 
@@ -56,8 +58,15 @@ def syslog_parse(
     sev = F.pmod(pri, F.lit(8)).cast("int")
     fac = (pri / 8).cast("int")
     sev_labels = F.array(*[F.lit(s) for s in SEVERITY_LABELS])
-    ts = F.to_timestamp(
-        F.concat(F.lit(f"{year} "), g(2)), "yyyy MMM dd HH:mm:ss"
+    # RFC3164 days may be space-padded ("Oct  5") or unpadded; collapse
+    # runs of spaces and parse with single-'d' (1-2 digits).
+    # try_to_timestamp: a malformed-but-regex-matching date must yield
+    # NULL, not an ANSI-mode SparkDateTimeException killing the job.
+    ts = F.try_to_timestamp(
+        F.concat(
+            F.lit(f"{year} "), F.regexp_replace(g(2), r"\s+", " ")
+        ),
+        F.lit("yyyy MMM d HH:mm:ss"),
     )
     return {
         "pri": pri,

@@ -91,6 +91,10 @@ class AddLabels(Processor):
             for k, v in m.items():
                 if isinstance(v, Mapping):
                     _walk(f"{prefix}{k}.", v)
+                elif isinstance(v, (list, tuple)):
+                    # arrays flatten to indexed keys (add_labels.go)
+                    for i, x in enumerate(v):
+                        flat[f"{prefix}{k}.{i}"] = x
                 else:
                     flat[f"{prefix}{k}"] = v
 

@@ -88,6 +88,12 @@ def gc_manifest(
     tmp = tempfile.mkdtemp(prefix="manifest_gc_")
     kept.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    # rename old aside BEFORE installing the new dir — a crash between
+    # the two steps must never leave the output with NO manifest (the
+    # .old copy is recoverable by hand; losing it only costs recompute)
+    old = f"{path}.gc_old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
     return n

@@ -67,8 +67,9 @@ def compile_selector(
     for r in rules:
         if isinstance(r, Mapping):
             r = Rule(**r)
-        # empty-string results don't select (reference list semantics)
-        exprs.append(F.nullif(compile_rule(r, ts_col=ts_col), F.lit("")))
+        # empty-string guarding happens inside compile_rule (so a
+        # rule-level default survives); rule order = priority
+        exprs.append(compile_rule(r, ts_col=ts_col))
     if default is not None:
         exprs.append(F.lit(default))
     return F.coalesce(*exprs).alias("sink")

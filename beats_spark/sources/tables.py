@@ -98,6 +98,7 @@ class TableIO:
         target: str,
         partition_cols: tuple[str, str] = ("sink", "part_id"),
         mode: str = "overwrite",
+        salt: int | None = None,
     ) -> None:
         """Single-pass fan-out (see operators/router.py for the plan
         shape). Iceberg: ``overwritePartitions`` — an atomic snapshot
@@ -108,7 +109,7 @@ class TableIO:
         spark = routed.sparkSession
         from ..operators.router import sort_for_fanout
 
-        ordered = sort_for_fanout(routed, partition_cols)
+        ordered = sort_for_fanout(routed, partition_cols, salt=salt)
         if self.resolve(spark) == "iceberg":
             writer = ordered.writeTo(target).using("iceberg")
             if mode == "overwrite":

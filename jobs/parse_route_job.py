@@ -25,7 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="input bucket count (default 64; an explicit flag also "
+        "overrides a --config file's n_buckets)",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--config",
@@ -51,10 +57,10 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.config) as fh:
             pipeline = load_pipeline(fh.read())
-        if args.buckets:
+        if args.buckets is not None:  # only an explicit flag overrides
             pipeline.n_buckets = args.buckets
     else:
-        pipeline = _default_pipeline(spark, args.buckets)
+        pipeline = _default_pipeline(spark, args.buckets or 64)
 
     df = spark.read.parquet(args.input)
     t0 = time.monotonic()

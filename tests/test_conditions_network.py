@@ -70,6 +70,8 @@ class TestNetworkCondition:
             compile_condition({"network": {"ip": "10.0.0.0/40"}})
         with pytest.raises(ConditionError):
             compile_condition({"network": {"ip": "10.0.0/8"}})
+        with pytest.raises(ConditionError, match="at least one range"):
+            compile_condition({"network": {"ip": []}})
 
 
 class TestAddLabels:
@@ -81,6 +83,15 @@ class TestAddLabels:
         row = out.collect()[0]
         assert row["labels.env"] == "prod"
         assert row["labels.k8s.pod.name"] == "p1"
+
+    def test_flattens_arrays_to_indexed_keys(self, spark):
+        # add_labels.go flattens list values to labels.k.0 / labels.k.1
+        df = spark.createDataFrame([("a",)], "x string")
+        row = apply_chain(
+            df, [AddLabels(labels={"zones": ["eu", "us"]})]
+        ).collect()[0]
+        assert row["labels.zones.0"] == "eu"
+        assert row["labels.zones.1"] == "us"
 
 
 class TestCommunityID:

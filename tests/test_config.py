@@ -83,6 +83,22 @@ output:
     assert [r.value for r in p.routes] == ["only-sink"]
 
 
+def test_single_key_is_fallback_after_keys():
+    # reference semantics: a lone `key:` appends AFTER the keys table
+    # as the final fallback (select.go:111-184)
+    p = load_pipeline(
+        """
+output:
+  key: catchall
+  keys:
+    - key: errors
+      when:
+        equals: {level: error}
+"""
+    )
+    assert [r.value for r in p.routes] == ["errors", "catchall"]
+
+
 @pytest.mark.parametrize(
     "yaml_text,match",
     [
@@ -90,6 +106,10 @@ output:
         ("processors: [{dissect: {bogus_param: 1}}]", "bad params"),
         ("output: {keys: [{when: {equals: {a: b}}}]}", "needs a key"),
         ("output: {keys: [{key: k, typo: 1}]}", "unknown selector rule"),
+        (
+            "processors: [{if: {condition: {equals: {a: b}}, esle: []}}]",
+            "unknown if-processor",
+        ),
         ("3", "must be a mapping"),
     ],
 )

@@ -41,6 +41,31 @@ def test_line_without_pid(spark):
     assert r["msg"] == "up and running"
 
 
+def test_space_padded_and_single_digit_day(spark):
+    # RFC3164 pads single-digit days with a space ("Oct  5"); unpadded
+    # also appears in the wild — both must parse, neither may throw
+    # under ANSI mode
+    rows = _parse(
+        spark,
+        [
+            "<13>Oct  5 01:02:03 h su: m",
+            "<13>Oct 5 01:02:03 h su: m",
+        ],
+    )
+    for r in rows:
+        assert r["syslog_ok"] is True
+        assert r["ts_syslog"] == datetime(2024, 10, 5, 1, 2, 3)
+
+
+def test_facility_label_table_is_complete():
+    from beats_spark.functions.syslog import FACILITY_LABELS
+
+    assert len(FACILITY_LABELS) == 24  # RFC3164 facilities 0-23
+    assert FACILITY_LABELS[10] == "security/authorization"  # authpriv
+    assert FACILITY_LABELS[16] == "local0"
+    assert FACILITY_LABELS[23] == "local7"
+
+
 def test_garbage_yields_nulls_and_flag(spark):
     (r,) = _parse(spark, ["not a syslog line"])
     assert r["syslog_ok"] is False
