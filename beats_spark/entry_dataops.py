@@ -100,6 +100,62 @@ def q_simhash(spark, sf_dir):
     return simhash_df(_docs(spark, sf_dir))
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """the PPJoin prefix-filter strategy (threshold ≥ 0.5 dispatches
+    to it) — oracle stays on the naive algorithm, so the check is
+    algorithm-independent."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """simhash hamming-0 near-dup groups (dedup.py §simhash): docs
+    sharing a fingerprint collapse; emit groups with >1 member."""
+    sh = simhash_df(_docs(spark, sf_dir))
+    return (
+        sh.groupBy("simhash32")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_dns_enrich(spark, sf_dir):
+    """dns processor (broadcast resolver dim; the deterministic stub
+    resolver is md5-derived, so DuckDB reproduces it exactly)."""
+    from .operators.enrich import DnsEnrich
+
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("host-"), F.col("source")).alias("host")
+    )
+    out = DnsEnrich(field="host").apply(hosts)
+    return out.groupBy("host", "dns_resolved").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_multiline_combine(spark, sf_dir):
+    """content-based multiline combine (streaming/multiline.py, the
+    applyInPandas batch binding): treat each doc's text as a line of a
+    per-source stream; lines starting with lowercase continue the
+    previous event (match: after)."""
+    from .streaming.multiline import multiline_batch
+
+    lines = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "text",
+    )
+    combined = multiline_batch(lines, r"^[a-z]", match="after")
+    return combined.select(
+        F.col("conv_id").alias("source"),
+        "first_turn_idx",
+        F.length("doc").alias("doc_chars"),
+        "n_lines",
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     return brute_force_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
 
@@ -158,6 +214,10 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_simhash": q_dedup_simhash,
+        "dns_enrich": q_dns_enrich,
+        "multiline_combine": q_multiline_combine,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -186,6 +246,47 @@ SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
         "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "embedding_neardup": embedding_neardup_sql("embeddings", NEARDUP_T),
+        "dedup_jaccard_prefix": ngram_jaccard_sql("documents", 0.5),
+        "dedup_simhash": f"""
+WITH sh AS (
+  SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
+)
+SELECT simhash32, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM sh GROUP BY simhash32 HAVING count(*) > 1
+""",
+        "dns_enrich": """
+WITH hosts AS (
+  SELECT doc_id, 'host-' || source AS host FROM documents
+)
+SELECT host,
+       '10.' || ('0x' || substr(md5(host), 1, 2))::INT
+           || '.' || ('0x' || substr(md5(host), 3, 2))::INT
+           || '.' || ('0x' || substr(md5(host), 5, 2))::INT AS dns_resolved,
+       count(*) AS n_docs
+FROM hosts GROUP BY 1, 2
+""",
+        "multiline_combine": """
+WITH lines AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text
+  FROM documents
+),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
+    AS is_head
+  FROM lines
+),
+grp AS (
+  SELECT *, sum(is_head) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT conv_id AS source,
+       min(turn_idx) AS first_turn_idx,
+       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
+         AS doc_chars,
+       CAST(count(*) AS INT) AS n_lines
+FROM grp GROUP BY conv_id, g
+""",
         "text_tokens": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
