@@ -41,7 +41,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Sequence
 
 from .operators import actions as A
-from .operators.enrich import BroadcastLookup, DnsEnrich
+from .operators.enrich import DnsEnrich
 from .operators.selector import Rule
 from .plans.pipeline import Pipeline
 
@@ -136,15 +136,26 @@ def compile_rules(output: Mapping[str, Any]) -> list[Rule]:
     return rules
 
 
+_TOP_KEYS = {"processors", "output"}
+_OUTPUT_KEYS = {"key", "keys", "default", "n_buckets", "salt"}
+
+
 def compile_pipeline(config: Mapping[str, Any]) -> Pipeline:
+    unknown = set(config) - _TOP_KEYS
+    if unknown:
+        raise ConfigError(f"unknown top-level config keys: {sorted(unknown)}")
     processors = [compile_processor(p) for p in config.get("processors", [])]
     output = config.get("output", {}) or {}
+    unknown = set(output) - _OUTPUT_KEYS
+    if unknown:
+        raise ConfigError(f"unknown output config keys: {sorted(unknown)}")
+    salt = output.get("salt")
     return Pipeline(
         processors=processors,
         routes=compile_rules(output),
         default_sink=output.get("default", "default"),
         n_buckets=int(output.get("n_buckets", 64)),
-        salt=output.get("salt"),
+        salt=int(salt) if salt is not None else None,
     )
 
 

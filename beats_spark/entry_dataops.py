@@ -147,7 +147,10 @@ def q_multiline_combine(spark, sf_dir):
         F.col("doc_id").cast("int").alias("turn_idx"),
         "text",
     )
-    combined = multiline_batch(lines, r"^[a-z]", match="after")
+    # max_lines is unreachable here on purpose: the SQL oracle models
+    # uncapped grouping, and a capped run would diverge from it once a
+    # per-source continuation run exceeds the cap
+    combined = multiline_batch(lines, r"^[a-z]", match="after", max_lines=10**9)
     return combined.select(
         F.col("conv_id").alias("source"),
         "first_turn_idx",

@@ -278,7 +278,13 @@ class DecodeJsonFields(Processor):
                 # overwriting it in place would poison that read
                 raise ValueError("decode_json_fields: target == source")
             new = F.from_json(F.col(f), self.schema)
-            failed = failed | (F.col(f).isNotNull() & new.isNull())
+            # from_json returns NULL for a failed MAP parse but an
+            # all-NULL STRUCT for a failed struct parse — probe raw
+            # JSON validity too so both schema kinds tag failures
+            probe = F.get_json_object(F.col(f), "$")
+            failed = failed | (
+                F.col(f).isNotNull() & (new.isNull() | probe.isNull())
+            )
             df = df.withColumn(tgt, self._guarded(df, guard, tgt, new))
         if self.add_error_key:
             base = (

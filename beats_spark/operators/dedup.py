@@ -429,12 +429,9 @@ WHERE round(inter / uni::DOUBLE, 6) >= {threshold}
 SIMHASH_BITS = 32
 
 
-def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Sign-aggregated simhash over distinct whitespace tokens of the
-    normalized text: bit b is set iff sum over tokens of
-    (+1 if bit b of word_code(token) else -1) > 0."""
-    toks = F.array_distinct(words(norm_text(c)))
-    codes = F.transform(toks, word_code)
+def _simhash_from_codes(codes: Column, bits: int) -> Column:
+    """Sign-aggregated simhash over an array of word codes: bit b is
+    set iff sum over codes of (+1 if bit b set else -1) > 0."""
     out = F.lit(0).cast("long")
 
     def bit_vote(b: int):
@@ -448,6 +445,15 @@ def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
         vote = F.aggregate(codes, F.lit(0).cast("long"), bit_vote(b))
         out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Scalar simhash over distinct whitespace tokens of the
+    normalized text. NB: the token-code expression is inlined into
+    every bit vote — prefer :func:`simhash_df`, which materializes the
+    codes once, for anything bigger than a test fixture."""
+    codes = F.transform(F.array_distinct(words(norm_text(c))), word_code)
+    return _simhash_from_codes(codes, bits)
 
 
 def simhash_df(
@@ -465,18 +471,10 @@ def simhash_df(
             F.array_distinct(words(norm_text(F.col(text_col)))), word_code
         ).alias("_codes"),
     )
-    def bit_vote(b: int):
-        # keep the merge lambda binary (acc, x) — extra default args
-        # change the arity PySpark dispatches on
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(F.col("_codes"), F.lit(0).cast("long"), bit_vote(b))
-        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return codes.select(F.col(id_col), out.alias(out_col))
+    return codes.select(
+        F.col(id_col),
+        _simhash_from_codes(F.col("_codes"), bits).alias(out_col),
+    )
 
 
 def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -160,13 +160,21 @@ class Pipeline:
             by_part[r[PART_COL]] = [rows + r["n"], chk ^ r["chk"]]
             by_sink[r["sink"]] = by_sink.get(r["sink"], 0) + r["n"]
 
+        from pyspark.sql import types as T
+
+        from ..schema import MANIFEST_SCHEMA, METRICS_SCHEMA
+
+        manifest_schema = T.StructType(
+            [f for f in MANIFEST_SCHEMA.fields if f.name != "updated_ts"]
+        )
         manifest_rows = spark.createDataFrame(
             [
-                (run_id, int(p), "done", rows, rows, format(chk & (2**64 - 1), "x"))
+                # uppercase hex matches the conv(...,10,16) format of
+                # pre-refactor manifest generations
+                (run_id, int(p), "done", rows, rows, format(chk & (2**64 - 1), "X"))
                 for p, (rows, chk) in sorted(by_part.items())
             ],
-            "run_id string, partition_id int, status string, rows_in long,"
-            " rows_routed long, checksum string",
+            manifest_schema,
         ).withColumn("updated_ts", F.current_timestamp())
         append_manifest(manifest_rows, output_root)
 
@@ -175,8 +183,7 @@ class Pipeline:
                 (run_id, s, events_total, events_filtered, n, 0)
                 for s, n in sorted(by_sink.items())
             ],
-            "run_id string, sink string, events_total long,"
-            " events_filtered long, events_published long, events_failed long",
+            METRICS_SCHEMA,
         )
         metrics.write.mode("append").parquet(f"{output_root}/_metrics")
 

@@ -74,14 +74,22 @@ def combine_lines(
     def flush() -> None:
         nonlocal buf
         if buf:
-            events.append((first, "\n".join(buf[:max_lines]), min(len(buf), max_lines)))
+            events.append((first, "\n".join(buf), len(buf)))
             buf = []
+
+    def buffer(line: str) -> None:
+        # cap at append time (multiline.go skips past max_lines while
+        # READING) — this also bounds the tail a streaming caller
+        # persists in group state, so one hot conversation can't grow
+        # state without limit
+        if len(buf) < max_lines:
+            buf.append(line)
 
     for idx, line in lines:
         if match == "after":
             # matching lines continue the current event
             if continues(line) and buf:
-                buf.append(line)
+                buffer(line)
             else:
                 flush()
                 first = idx
@@ -91,7 +99,7 @@ def combine_lines(
             # the event as its final line
             if not buf:
                 first = idx
-            buf.append(line)
+            buffer(line)
             if not continues(line):
                 flush()
     return events, ((first, buf) if buf else None)
@@ -124,7 +132,7 @@ def multiline_batch(
         events, tail = machine(conv, pdf)
         if tail is not None:
             first, buf = tail
-            events.append((first, "\n".join(buf[:max_lines]), min(len(buf), max_lines)))
+            events.append((first, "\n".join(buf), len(buf)))
         return pd.DataFrame(
             [(conv, f, d, n) for f, d, n in events],
             columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
@@ -166,7 +174,7 @@ def multiline_stream(
             first, lines = state.get
             state.remove()
             yield pd.DataFrame(
-                [(conv, first, "\n".join(lines[:max_lines]), min(len(lines), max_lines))],
+                [(conv, first, "\n".join(lines), len(lines))],
                 columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
             )
             return

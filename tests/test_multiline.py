@@ -48,13 +48,15 @@ class TestStateMachine:
         assert events == [(0, "part \\\npart \\\nend;", 3)]
         assert tail == (3, ["next \\"])
 
-    def test_max_lines_cap(self):
+    def test_max_lines_cap_bounds_buffer(self):
         lines = [(i, "  cont") for i in range(10)]
         lines[0] = (0, "head")
         events, tail = combine_lines(lines, r"^\s", match="after", max_lines=3)
         assert events == []
         first, buf = tail
-        assert len(buf) == 10  # buffer keeps all; emit caps
+        # cap applies while BUFFERING (multiline.go skips past
+        # max_lines) — a hot conversation can't grow streaming state
+        assert len(buf) == 3
         ev, _ = combine_lines(lines + [(99, "boundary")], r"^\s", max_lines=3)
         assert ev[0][2] == 3
 
