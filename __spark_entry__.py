@@ -331,6 +331,47 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bulk_failure_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bulk-response scan (§2.7, client.go:461-527): classify
+    per-item statuses into acked/duplicate/retry/drop dispositions and
+    count the retryable subset."""
+    from beats_spark.operators.sinkscan import classify_bulk_status, is_retryable
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in [201, 200, 409, 429, 404, 400, 503, 500]]),
+        F.pmod("event_id", F.lit(8)).cast("int") + 1,
+    )
+    items = ev.select(status.alias("status"))
+    return (
+        items.withColumn("disposition", classify_bulk_status(F.col("status")))
+        .withColumn("retry", is_retryable(F.col("status")))
+        .groupBy("disposition")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("retry").cast("long")).alias("n_retry"),
+        )
+    )
+
+
+def q_kafka_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kafka partition.hash (§2.7, partition.go:216-277): fnv32a over
+    the message key → hash2Partition; per-partition routed counts."""
+    from beats_spark.operators.sinkscan import kafka_partition
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.format_string("user-%d", F.col("user_id"))
+    parts = ev.select(
+        kafka_partition(key, 12).alias("partition"), "user_id"
+    )
+    return parts.groupBy("partition").agg(
+        F.count("*").alias("n_msgs"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
 def q_field_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rename + copy_fields + add_tags + drop_fields chain (§2.4)."""
     from beats_spark.operators.actions import AddTags, CopyFields, DropFields, Rename
@@ -475,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache": q_grok_apache,
         "syslog_severity": q_syslog_severity,
         "syslog_parse": q_syslog_parse,
+        "bulk_failure_scan": q_bulk_failure_scan,
+        "kafka_partitioner": q_kafka_partitioner,
         "field_actions": q_field_actions,
         "selector_mapping": q_selector_mapping,
         "range_filter": q_range_filter,
@@ -492,6 +535,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TRANSCRIPTS_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+
+def _bulk_scan_oracle() -> str:
+    from beats_spark.operators.sinkscan import classify_bulk_status_sql
+
+    return f"""
+WITH items AS (
+  SELECT ([201, 200, 409, 429, 404, 400, 503, 500])[event_id % 8 + 1]
+    AS status
+  FROM events
+)
+SELECT {classify_bulk_status_sql('status')} AS disposition,
+       count(*) AS n_items,
+       sum(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
+         AS n_retry
+FROM items GROUP BY 1
+"""
+
+
+def _kafka_partitioner_oracle() -> str:
+    from beats_spark.operators.sinkscan import kafka_partition_sql
+
+    part = kafka_partition_sql("printf('user-%d', user_id)", 12)
+    return f"""
+SELECT {part} AS partition,
+       count(*) AS n_msgs,
+       count(DISTINCT user_id) AS n_keys
+FROM events GROUP BY 1
+"""
 
 
 def _syslog_parse_oracle() -> str:
@@ -612,6 +684,8 @@ SELECT (['Emergency','Alert','Critical','Error',
 FROM s GROUP BY 1
 """,
         "syslog_parse": _syslog_parse_oracle(),
+        "bulk_failure_scan": _bulk_scan_oracle(),
+        "kafka_partitioner": _kafka_partitioner_oracle(),
         "field_actions": f"""
 {_TRANSCRIPTS_CTE}
 SELECT role AS actor, tool AS tool_name,
