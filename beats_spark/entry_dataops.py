@@ -43,6 +43,8 @@ from .operators.multimodal import (
     with_binary_payload,
 )
 from .operators.similarity import (
+    ann_ivf_topk,
+    ann_ivf_topk_sql,
     ann_lsh_topk,
     ann_lsh_topk_sql,
     brute_force_topk,
@@ -167,6 +169,10 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
 
 
+def q_ann_ivf(spark, sf_dir):
+    return ann_ivf_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
+
+
 def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
 
@@ -216,6 +222,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_simhash": q_dedup_simhash,
@@ -248,6 +255,7 @@ SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
 """,
         "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        "ann_ivf": ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "embedding_neardup": embedding_neardup_sql("embeddings", NEARDUP_T),
         "dedup_jaccard_prefix": ngram_jaccard_sql("documents", 0.5),
         "dedup_simhash": f"""

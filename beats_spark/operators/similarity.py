@@ -202,6 +202,120 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the second scale path: coarse quantizer → probe)
+
+
+def ivf_centroid(dim: int, c_idx: int, mod: int = 1000) -> list[float]:
+    """Deterministic pseudo-random centroid (same integer-arithmetic
+    recipe as :func:`hyperplane` — reproducible on any engine). A real
+    deployment would train these with k-means; the INDEX mechanics
+    (assign → partition → probe) are what this implements."""
+    return [
+        (((j + 1) * (c_idx + 17) * 2654435761) % mod) / (mod / 2.0) - 1.0
+        for j in range(dim)
+    ]
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by maximum dot product (centroids are
+    fixed-norm-ish; dot is the cheap IVF assignment). Deterministic
+    tie-break: the LOWEST centroid id wins — array_max over
+    (dot, -idx) structs."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(-i).alias("neg_idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["neg_idx"]).cast("int")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid; a query probes
+    only its own cell (nprobe=1), then exact cosine ranks the cell.
+    At 100 TB: the corpus shuffles once on the cell id (or is bucketed
+    on it at write time) and each query touches ~1/n_centroids of the
+    data; recall < 1 by design and the oracle reproduces the identical
+    cells so results still match exactly."""
+    cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
+    cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
+    q = cells.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cell").alias("q_cell"),
+    )
+    pairs = cells.alias("c").join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col(id_col) != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_ivf_topk_sql(
+    table: str, query_ids: list[int], k: int = 10,
+    n_centroids: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ",".join(str(i) for i in query_ids)
+    cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
+    # argmax by (dot, -idx): DuckDB list_max over [dot, -idx] pairs
+    pair_terms = ", ".join(
+        f"[list_sum(list_transform(list_zip({vec_col}, "
+        f"[{','.join(repr(x) for x in c)}]::DOUBLE[]), "
+        f"p -> p[1]::DOUBLE * p[2])), {float(-i)}]"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cells AS (
+  SELECT *, CAST(-list_max([{pair_terms}])[2] AS INTEGER) AS cell
+  FROM {table}
+),
+q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec, cell AS q_cell
+  FROM cells WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT q.q_id, c.{id_col} AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.q_vec, c.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM cells c JOIN q ON c.cell = q.q_cell AND c.{id_col} <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -211,6 +211,36 @@ class TestSimilarity:
         assert out[0]["cos_sim"] == round(expect, 6)
         assert [r["rank"] for r in out] == [1, 2]
 
+    def test_ivf_assignment_deterministic_and_partitions(self, spark):
+        from beats_spark.operators.similarity import (
+            ann_ivf_topk,
+            ivf_assign,
+            ivf_centroid,
+        )
+
+        dim, n_cent = 8, 4
+        cents = [ivf_centroid(dim, i) for i in range(n_cent)]
+        # a vector equal to a centroid must land in that centroid's cell
+        vecs = [(i, [float(x) for x in cents[i % n_cent]]) for i in range(8)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in df.select(
+                "vec_id", ivf_assign(F.col("embedding"), cents).alias("cell")
+            ).collect()
+        }
+        for i, c in cells.items():
+            assert 0 <= c < n_cent
+        # identical vectors land in identical cells
+        assert cells[0] == cells[4] and cells[1] == cells[5]
+
+        # a query ranks only its own cell, by cosine, self excluded
+        out = ann_ivf_topk(df, [0], k=3, n_centroids=n_cent, dim=dim).collect()
+        assert all(r["q_id"] == 0 for r in out)
+        assert 0 not in {r["neighbor_id"] for r in out}
+        assert 4 in {r["neighbor_id"] for r in out}  # same-cell twin
+        assert out[0]["neighbor_id"] == 4 and out[0]["cos_sim"] == 1.0
+
 
 class TestMultimodal:
     def test_extract_features_fake_decoder(self, spark, docs):
