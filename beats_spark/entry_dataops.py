@@ -177,6 +177,16 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """sliding-window token chunking (operators/chunking.py): 32-token
+    windows with 8-token overlap, per-row chunk identity + length."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -228,6 +238,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
+        "chunk_documents": q_chunk_documents,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -238,6 +249,12 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # oracles
+
+
+def _chunk_oracle() -> str:
+    from .operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql("documents", chunk_tokens=32, overlap=8)
 
 
 def dataops_oracles() -> dict[str, str]:
@@ -298,6 +315,7 @@ SELECT conv_id AS source,
        CAST(count(*) AS INT) AS n_lines
 FROM grp GROUP BY conv_id, g
 """,
+        "chunk_documents": _chunk_oracle(),
         "text_tokens": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
