@@ -177,6 +177,15 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization fidelity per vector
+    (operators/similarity.py): scale, worst reconstruction error,
+    cosine(original, dequantized)."""
+    from .operators.similarity import quantization_stats
+
+    return quantization_stats(_embs(spark, sf_dir))
+
+
 def q_chunk_documents(spark, sf_dir):
     """sliding-window token chunking (operators/chunking.py): 32-token
     windows with 8-token overlap, per-row chunk identity + length."""
@@ -239,6 +248,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
         "chunk_documents": q_chunk_documents,
+        "quantize_embeddings": q_quantize_embeddings,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -255,6 +265,12 @@ def _chunk_oracle() -> str:
     from .operators.chunking import chunk_documents_sql
 
     return chunk_documents_sql("documents", chunk_tokens=32, overlap=8)
+
+
+def _quant_oracle() -> str:
+    from .operators.similarity import quantization_stats_sql
+
+    return quantization_stats_sql("embeddings")
 
 
 def dataops_oracles() -> dict[str, str]:
@@ -316,6 +332,7 @@ SELECT conv_id AS source,
 FROM grp GROUP BY conv_id, g
 """,
         "chunk_documents": _chunk_oracle(),
+        "quantize_embeddings": _quant_oracle(),
         "text_tokens": """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),

@@ -316,6 +316,88 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (embedding storage compression)
+
+
+def quantize_embedding(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization: ``scale = max|x| / 127``,
+    ``q_j = floor(x_j / scale + 0.5)`` — 4× smaller storage for
+    embedding columns with bounded reconstruction error. The explicit
+    floor(+0.5) rounding (half toward +inf) is used instead of
+    round() because engines disagree on round-half ties. Zero vectors
+    quantize to zeros with scale 0."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / 127.0
+    q = F.transform(
+        vec,
+        lambda x: F.when(scale > 0, F.floor(x.cast("double") / scale + 0.5))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return q, scale
+
+
+def dequantize_embedding(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def quantization_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector quantization fidelity: the scale, worst absolute
+    reconstruction error, and cosine between original and
+    reconstructed vector (all rounded 6 dp for cross-engine
+    compare)."""
+    q, scale = quantize_embedding(F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        q.alias("q"),
+        scale.alias("s"),
+    )
+    deq = dequantize_embedding(F.col("q"), F.col("s"))
+    err = F.array_max(
+        F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a.cast("double") - b))
+    )
+    return base.select(
+        "id",
+        F.round(F.col("s"), 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(cosine(F.col("v"), deq), 6).alias("cos_orig_deq"),
+    )
+
+
+def quantization_stats_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS v,
+         list_max(list_transform({vec_col}, x -> abs(x::DOUBLE))) / 127.0
+           AS s
+  FROM {table}
+),
+qd AS (
+  SELECT id, v, s,
+         list_transform(v, x -> CASE WHEN s > 0
+             THEN floor(x::DOUBLE / s + 0.5) ELSE 0 END * s) AS deq
+  FROM base
+)
+SELECT id,
+       round(s, 6) AS scale,
+       round(list_max(list_transform(list_zip(v, deq),
+                                     p -> abs(p[1]::DOUBLE - p[2]))), 6)
+         AS max_abs_err,
+       round(
+         list_sum(list_transform(list_zip(v, deq),
+                                 p -> p[1]::DOUBLE * p[2]))
+         / (sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(deq, x -> x * x)))),
+         6) AS cos_orig_deq
+FROM qd
+"""
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

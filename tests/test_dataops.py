@@ -257,3 +257,34 @@ class TestMultimodal:
     def test_real_decoder_stubbed(self, spark, docs):
         with pytest.raises(Exception):
             extract_features(with_binary_payload(docs), decoder="image").collect()
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, spark):
+        from beats_spark.operators.similarity import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+
+        vecs = [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.001, 0.002, -0.003, 0.0005]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q, s = quantize_embedding(F.col("embedding"))
+        out = df.select(
+            "vec_id", "embedding", q.alias("q"), s.alias("s")
+        ).withColumn(
+            "deq", dequantize_embedding(F.col("q"), F.col("s"))
+        ).collect()
+        rows = {r["vec_id"]: r for r in out}
+        # int8 range respected, error ≤ scale/2 per component
+        for vid, r in rows.items():
+            assert all(-127 <= x <= 127 for x in r["q"])
+            for orig, back in zip(r["embedding"], r["deq"]):
+                assert abs(orig - back) <= r["s"] / 2 + 1e-12
+        # zero vector → zero scale, exact zeros
+        assert rows[2]["s"] == 0.0 and rows[2]["deq"] == [0, 0, 0, 0]
+        # max-magnitude component hits ±127 exactly
+        assert max(abs(x) for x in rows[0]["q"]) == 127
