@@ -41,12 +41,14 @@ def chunk_documents(
     toks = df.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("toks")
     )
-    # window start offsets 0, stride, 2*stride, ... < max(n_tokens, 1)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size("toks") - 1, F.lit(0)),
-        F.lit(stride),
-    )
+    # window start offsets 0, stride, ... up to the FIRST start whose
+    # window reaches the document end — i.e. the smallest multiple of
+    # stride ≥ max(n - chunk, 0). Generating starts past that point
+    # would emit trailing windows fully contained in the previous one
+    # (pure duplicate text the dedup operators would have to remove).
+    tail = F.greatest(F.size("toks") - chunk_tokens, F.lit(0))
+    last_start = ((tail + stride - 1).cast("long") / stride).cast("long") * stride
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride))
     chunks = toks.select(
         "id",
         F.posexplode(
@@ -80,17 +82,19 @@ def chunk_documents_sql(
 ) -> str:
     """DuckDB mirror (lock-step with :func:`chunk_documents`)."""
     stride = chunk_tokens - overlap
-    toks = (
-        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
-        " x -> x <> '')"
-    )
+    from ..functions.textstats import WORDS_SQL
+
+    toks = WORDS_SQL.format(c=text_col)
     return f"""
 WITH t AS (
   SELECT {id_col} AS id, {toks} AS toks FROM {table}
 ),
 c AS (
   SELECT id, toks,
-         unnest(range(0, greatest(len(toks), 1), {stride})) AS start
+         unnest(range(0,
+                      ((greatest(len(toks) - {chunk_tokens}, 0)
+                        + {stride} - 1) // {stride}) * {stride} + 1,
+                      {stride})) AS start
   FROM t
 )
 SELECT id,

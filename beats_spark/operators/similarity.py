@@ -320,14 +320,25 @@ FROM ranked WHERE rank <= {k}
 # int8 scalar quantization (embedding storage compression)
 
 
-def quantize_embedding(vec: Column) -> tuple[Column, Column]:
+def quantize_embedding(
+    vec: Column, scale: Column | None = None
+) -> tuple[Column, Column]:
     """Symmetric int8 scalar quantization: ``scale = max|x| / 127``,
     ``q_j = floor(x_j / scale + 0.5)`` — 4× smaller storage for
     embedding columns with bounded reconstruction error. The explicit
     floor(+0.5) rounding (half toward +inf) is used instead of
     round() because engines disagree on round-half ties. Zero vectors
-    quantize to zeros with scale 0."""
-    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / 127.0
+    quantize to zeros with scale 0.
+
+    Pass a pre-materialized ``scale`` Column when quantizing at scale:
+    inlining the default scale expression into the per-element lambda
+    recomputes the O(d) max-abs scan per element (Spark does no CSE
+    inside higher-order-function lambdas)."""
+    if scale is None:
+        scale = (
+            F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+            / 127.0
+        )
     q = F.transform(
         vec,
         lambda x: F.when(scale > 0, F.floor(x.cast("double") / scale + 0.5))
@@ -348,22 +359,28 @@ def quantization_stats(
     reconstruction error, and cosine between original and
     reconstructed vector (all rounded 6 dp for cross-engine
     compare)."""
-    q, scale = quantize_embedding(F.col(vec_col))
+    # materialize the scale FIRST, then quantize from the materialized
+    # column — one O(d) scan per row, not one per element
+    _, scale = quantize_embedding(F.col(vec_col))
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        q.alias("q"),
         scale.alias("s"),
     )
+    q, _ = quantize_embedding(F.col("v"), scale=F.col("s"))
+    base = base.select("id", "v", "s", q.alias("q"))
     deq = dequantize_embedding(F.col("q"), F.col("s"))
     err = F.array_max(
         F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a.cast("double") - b))
     )
+    # zero vector → scale 0 → cosine is 0/0: NULL (the oracle's
+    # division yields NULL; ANSI mode would otherwise throw)
+    cos = F.when(F.col("s") > 0, F.round(cosine(F.col("v"), deq), 6))
     return base.select(
         "id",
         F.round(F.col("s"), 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
-        F.round(cosine(F.col("v"), deq), 6).alias("cos_orig_deq"),
+        cos.alias("cos_orig_deq"),
     )
 
 
@@ -388,12 +405,12 @@ SELECT id,
        round(list_max(list_transform(list_zip(v, deq),
                                      p -> abs(p[1]::DOUBLE - p[2]))), 6)
          AS max_abs_err,
-       round(
+       CASE WHEN s > 0 THEN round(
          list_sum(list_transform(list_zip(v, deq),
                                  p -> p[1]::DOUBLE * p[2]))
          / (sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE)))
             * sqrt(list_sum(list_transform(deq, x -> x * x)))),
-         6) AS cos_orig_deq
+         6) END AS cos_orig_deq
 FROM qd
 """
 

@@ -95,18 +95,20 @@ def fnv32a_sql(expr: str) -> str:
 def kafka_partition(key: Column, num_partitions: int) -> Column:
     """hash2Partition (partition.go:272-277): reinterpret the uint32
     as int32, absolute value (in 64-bit — no MinInt32 overflow), mod
-    partitions. NULL keys keep NULL (the reference falls back to a
-    random partition; randomness is banned here — route NULLs
-    explicitly upstream)."""
+    partitions. ``|int32(h)| = min(h, 2^32 - h)`` for h in [0, 2^32),
+    which is branch-free — the expensive per-char fold appears only in
+    least()'s two arguments, which codegen subexpression elimination
+    shares (WHEN branches would not be). NULL keys keep NULL (the
+    reference falls back to a random partition; randomness is banned
+    here — route NULLs explicitly upstream)."""
     h = fnv32a(key)
-    i32 = F.when(h >= (1 << 31), h - _U32).otherwise(h)
-    return F.when(key.isNotNull(), F.abs(i32) % num_partitions).cast("int")
+    p = F.least(h, F.lit(_U32) - h) % num_partitions
+    return F.when(key.isNotNull(), p).cast("int")
 
 
 def kafka_partition_sql(expr: str, num_partitions: int) -> str:
     h = fnv32a_sql(expr)
     return f"""
 CAST(CASE WHEN {expr} IS NULL THEN NULL ELSE
-  abs(CASE WHEN ({h}) >= 2147483648 THEN ({h}) - {_U32} ELSE ({h}) END)
-  % {num_partitions} END AS INTEGER)
+  least(({h}), {_U32} - ({h})) % {num_partitions} END AS INTEGER)
 """

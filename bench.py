@@ -185,16 +185,14 @@ def main() -> None:
                     return json.loads(line[len("BENCH_ONE "):])
             return None
 
-        # the lo level is stable across JVMs (<1% observed); the hi
-        # level swings ±10% between JVM instances on this shared box —
-        # take the best of two fresh JVMs for it
+        # throughput swings up to ±10% between JVM instances on this
+        # shared box — take the best of two fresh JVMs at EACH level
+        # (symmetric: a one-sided best-of would bias the ratio)
         runs = {}
-        lo_run = scaling_run(lo)
-        if lo_run:
-            runs[lo] = lo_run
-        hi_runs = [r for r in (scaling_run(hi), scaling_run(hi)) if r]
-        if hi_runs:
-            runs[hi] = min(hi_runs, key=lambda r: r["sec"])
+        for cores in (lo, hi):
+            pair = [r for r in (scaling_run(cores), scaling_run(cores)) if r]
+            if pair:
+                runs[cores] = min(pair, key=lambda r: r["sec"])
         if lo in runs and hi in runs:
             tp_lo = runs[lo]["rows"] / runs[lo]["sec"]
             tp_hi = runs[hi]["rows"] / runs[hi]["sec"]

@@ -30,13 +30,25 @@ def test_no_overlap_windows(spark):
 def test_overlap_windows(spark):
     text = " ".join(f"t{i}" for i in range(8))
     got = _chunks(spark, text, chunk_tokens=4, overlap=2)
-    # stride 2: starts 0,2,4,6
+    # stride 2: starts stop at the first window reaching the end —
+    # no trailing windows fully contained in the previous one
     assert got == [
         (0, "t0 t1 t2 t3", 4),
         (1, "t2 t3 t4 t5", 4),
         (2, "t4 t5 t6 t7", 4),
-        (3, "t6 t7", 2),
     ]
+
+
+def test_overlap_no_contained_duplicates(spark):
+    # a doc exactly one window long yields exactly one chunk even
+    # with overlap
+    got = _chunks(spark, "a b c d", chunk_tokens=4, overlap=2)
+    assert got == [(0, "a b c d", 4)]
+    # uneven tail: the last window still reaches the end once
+    got = _chunks(spark, " ".join(f"x{i}" for i in range(10)),
+                  chunk_tokens=4, overlap=2)
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    assert got[-1] == (3, "x6 x7 x8 x9", 4)
 
 
 def test_short_and_empty_docs(spark):

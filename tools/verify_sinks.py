@@ -24,13 +24,26 @@ import duckdb
 
 
 def sink_digests(con, root: str) -> dict[str, tuple[int, str]]:
+    # canonicalization notes: each row folds to a fixed-width hex
+    # triple (md5 of each field separately — no delimiter-injection
+    # ambiguity from tabs/newlines inside text), NULL text gets a
+    # distinct marker instead of vanishing from string_agg, and the
+    # row hash itself is the ordering tie-break so duplicate
+    # (conv_id, turn_idx) keys still digest deterministically.
     rows = con.execute(
         f"""
+        WITH r AS (
+          SELECT sink,
+                 conv_id, turn_idx,
+                 md5(conv_id) || md5(CAST(turn_idx AS VARCHAR)) ||
+                 CASE WHEN text IS NULL THEN 'N' ELSE md5(text) END AS row_h
+          FROM parquet_scan('{root}/data/*/*/*.parquet',
+                            hive_partitioning=1)
+        )
         SELECT sink, count(*) AS n,
-               md5(string_agg(conv_id || chr(9) || turn_idx || chr(9) || text,
-                              chr(10) ORDER BY conv_id, turn_idx)) AS digest
-        FROM parquet_scan('{root}/data/*/*/*.parquet', hive_partitioning=1)
-        GROUP BY sink
+               md5(string_agg(row_h, ''
+                              ORDER BY conv_id, turn_idx, row_h)) AS digest
+        FROM r GROUP BY sink
         """
     ).fetchall()
     return {r[0]: (r[1], r[2]) for r in rows}
