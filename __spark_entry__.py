@@ -548,8 +548,8 @@ WITH items AS (
 )
 SELECT {classify_bulk_status_sql('status')} AS disposition,
        count(*) AS n_items,
-       sum(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
-         AS n_retry
+       CAST(sum(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_retry
 FROM items GROUP BY 1
 """
 
@@ -613,7 +613,7 @@ GROUP BY role
 {_TRANSCRIPTS_CTE},
 {DIMS_SQL.strip()}
 SELECT r.role_group, tl.tool_family,
-       count(*) AS n_rows, sum(r.priority) AS sum_priority
+       count(*) AS n_rows, CAST(sum(r.priority) AS BIGINT) AS sum_priority
 FROM transcripts t
 LEFT JOIN dim_roles r USING (role)
 LEFT JOIN dim_tools tl USING (tool)
@@ -643,8 +643,10 @@ FROM transcripts GROUP BY conv_id
         "json_decode": """
 SELECT event_type,
        count(*) AS n_rows,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
 FROM events GROUP BY event_type
 """,
         "metrics_tallies": f"""
@@ -668,7 +670,7 @@ parsed AS (
          regexp_extract(text, '^(\\S+) ', 1) AS ip
   FROM lines
 )
-SELECT status, count(*) AS n_rows, sum(bytes) AS sum_bytes,
+SELECT status, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
        count(DISTINCT ip) AS n_ips
 FROM parsed GROUP BY status
 """,

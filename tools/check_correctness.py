@@ -76,11 +76,24 @@ def main() -> int:
             print(f"{name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
             continue
         try:
+            # The driver canonicalizes HUGEINT/DECIMAL differently than
+            # fetchall()'s Python ints (r1 lesson: 5 hash fails from bare
+            # DuckDB sum()). Flag them here so they never reach the driver.
+            wide = [
+                (row[0], row[1])
+                for row in con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                if row[1] in ("HUGEINT", "UHUGEINT")
+                or row[1].startswith("DECIMAL")
+            ]
             dres = con.execute(oracles[name])
             dcols = [d[0] for d in dres.description]
             drows = dres.fetchall()
         except Exception as e:
             print(f"{name:28s} ORACLE ERROR: {e}")
+            failures += 1
+            continue
+        if wide:
+            print(f"{name:28s} FAIL oracle has driver-unsafe types: {wide}")
             failures += 1
             continue
         ok_n = len(srows) == len(drows)
