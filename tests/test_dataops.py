@@ -136,22 +136,51 @@ class TestDedup:
         assert found[(0, 1)] == round(6 / 8, 6)
         assert (0, 3) not in found
 
-    def test_jaccard_strategies_agree(self, spark, docs):
-        # the blocked join and the PPJoin prefix filter are both exact
-        # — force each and compare at the same threshold
-        from beats_spark.operators.dedup import _ngram_jaccard_blocked
+    @pytest.mark.parametrize("t", [0.2, 0.6])
+    def test_jaccard_strategies_agree(self, spark, docs, t):
+        # the all-pairs reference join and the PPJoin prefix filter are
+        # both exact — compare at a low and a high threshold
+        from beats_spark.operators.dedup import _ngram_jaccard_allpairs
 
-        t = 0.6
         prefix = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in ngram_jaccard_pairs(docs, threshold=t).collect()
         }
-        blocked = {
+        allpairs = {
             (r["id_a"], r["id_b"]): r["jaccard"]
-            for r in _ngram_jaccard_blocked(docs, t, 3, "text", "doc_id").collect()
+            for r in _ngram_jaccard_allpairs(docs, t, 3, "text", "doc_id").collect()
         }
-        assert prefix == blocked
+        assert prefix == allpairs
         assert (0, 2) in prefix  # the exact-dup pair survives both
+
+    def test_ppjoin_hot_shingle_candidates_bounded(self, spark):
+        # Adversarial fixture from the r1 verdict: every doc shares one
+        # stopword trigram ("the end of"); the rest of each doc is
+        # unique. All-pairs blocking would generate N*(N-1)/2 = 1225
+        # candidates from that one shingle; the dfreq-ordered PPJoin
+        # prefix must exclude it entirely (it sorts last, and
+        # ceil(t*|s|) >= 2 for these sizes), leaving zero candidates.
+        from beats_spark.operators.dedup import _ppjoin_candidates, shingles
+
+        n_docs = 50
+        rows = [
+            (
+                i,
+                " ".join(f"tok{i}x{j}" for j in range(10)) + " the end of",
+            )
+            for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = docs.select(
+            F.col("doc_id").alias("id"),
+            shingles(F.col("text"), 3).alias("sh"),
+        ).withColumn("sz", F.size("sh"))
+        for t in (0.2, 0.5, 0.8):
+            n_cand = _ppjoin_candidates(sh, t).count()
+            assert n_cand == 0, f"t={t}: hot shingle leaked {n_cand} candidates"
+        # and the full operator still returns no >=0.2 pairs (true
+        # jaccard of any pair here is 1/21 < 0.2)
+        assert ngram_jaccard_pairs(docs, threshold=0.2).count() == 0
 
     def test_minhash_signature_python_oracle(self, spark, docs):
         sig = {r["id"]: r for r in minhash_signature(docs).collect()}
