@@ -262,6 +262,69 @@ def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ECS-flavored apache grok with dotted field names and a date-able
+#: timestamp — the dotted spelling mirrors the reference module's
+#: ingest program (filebeat/module/apache/access/ingest/default.json:7)
+APACHE_ECS_GROK = (
+    "%{IPV4:source.address} - %{USER:user.name} "
+    "\\[%{HTTPDATE:apache.access.time}\\] "
+    '"%{WORD:http.request.method} %{NOTSPACE:url.original} '
+    'HTTP/%{NUMBER:http.version}" '
+    "%{INT:http.response.status_code:int} %{INT:http.response.body.bytes:long}"
+)
+
+
+def q_grok_apache_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """module ingest-pipeline steps (§2.2): grok → remove → date →
+    remove → convert over rendered apache lines with per-row varying
+    timestamps and UTC offsets, mirroring
+    filebeat/module/apache/access/ingest/default.json:3-45 (grok
+    patterns, `date` with joda format `dd/MMM/yyyy:H:m:s Z`, field
+    removes). The timestamp instant (epoch) and its UTC rendering
+    prove real zone-offset-aware parsing."""
+    _utc(spark)
+    from beats_spark.operators.ingest import IngestPipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    offs = F.array(
+        F.lit("-0700"), F.lit("+0000"), F.lit("+0530"), F.lit("+0100")
+    )
+    line = F.format_string(
+        '10.0.%d.%d - user%d [%02d/Oct/2000:%02d:%02d:%02d %s] '
+        '"GET /api/item/%d HTTP/1.1" %d %d',
+        F.pmod("event_id", F.lit(256)),
+        F.pmod(F.col("event_id") * 3, F.lit(256)),
+        F.col("user_id"),
+        (F.pmod("event_id", F.lit(28)) + 1).cast("int"),
+        F.pmod("event_id", F.lit(24)).cast("int"),
+        F.pmod(F.col("event_id") * 3, F.lit(60)).cast("int"),
+        F.pmod(F.col("event_id") * 7, F.lit(60)).cast("int"),
+        F.element_at(offs, F.pmod("event_id", F.lit(4)).cast("int") + 1),
+        F.col("event_id"),
+        (F.lit(200) + F.pmod("event_id", F.lit(5)) * 100).cast("int"),
+        F.pmod(F.col("event_id") * 29, F.lit(65536)),
+    )
+    steps = [
+        {"grok": {"field": "message", "patterns": [APACHE_ECS_GROK],
+                  "ignore_missing": True}},
+        {"remove": {"field": "message"}},
+        {"date": {"field": "apache.access.time", "target_field": "@timestamp",
+                  "formats": ["dd/MMM/yyyy:H:m:s Z"], "ignore_failure": True}},
+        {"remove": {"field": "apache.access.time", "ignore_failure": True}},
+        {"convert": {"field": "http.response.status_code", "type": "long"}},
+    ]
+    out = IngestPipeline(steps).apply(
+        ev.select("event_id", line.alias("message"))
+    )
+    ts_epoch = F.unix_timestamp(F.col("`@timestamp`"))
+    return out.select(
+        "event_id",
+        F.col("`http.response.status_code`").alias("status"),
+        ts_epoch.alias("ts_epoch"),
+        F.from_unixtime(ts_epoch, "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
+    )
+
+
 def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syslog priority → severity/facility mapping (§2.1, filebeat
     syslog input event.go:224-238): derive a priority from the event,
@@ -514,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_decode": q_json_decode,
         "metrics_tallies": q_metrics_tallies,
         "grok_apache": q_grok_apache,
+        "grok_apache_date": q_grok_apache_date,
         "syslog_severity": q_syslog_severity,
         "syslog_parse": q_syslog_parse,
         "bulk_failure_scan": q_bulk_failure_scan,
@@ -673,6 +737,29 @@ parsed AS (
 SELECT status, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
        count(DISTINCT ip) AS n_ips
 FROM parsed GROUP BY status
+""",
+        "grok_apache_date": """
+WITH lines AS (
+  SELECT event_id,
+         printf('[%02d/Oct/2000:%02d:%02d:%02d %s]',
+                event_id % 28 + 1, event_id % 24,
+                (event_id * 3) % 60, (event_id * 7) % 60,
+                (['-0700','+0000','+0530','+0100'])[event_id % 4 + 1])
+           AS bracket,
+         CAST(200 + (event_id % 5) * 100 AS BIGINT) AS status
+  FROM events
+),
+parsed AS (
+  SELECT event_id, status,
+         CAST(epoch(try_strptime(substr(bracket, 2, len(bracket) - 2),
+                                 '%d/%b/%Y:%H:%M:%S %z')) AS BIGINT)
+           AS ts_epoch
+  FROM lines
+)
+SELECT event_id, status, ts_epoch,
+       strftime(make_timestamp(ts_epoch * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS ts_utc
+FROM parsed
 """,
         "syslog_severity": """
 WITH s AS (

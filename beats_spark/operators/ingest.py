@@ -1,0 +1,203 @@
+"""ES ingest-pipeline step executor for module pipelines.
+
+The reference's filebeat modules do their parsing in Elasticsearch
+ingest-node programs that beats uploads at setup
+(``/root/reference/filebeat/fileset/pipelines.go:60-120``); the
+canonical example is the apache access pipeline
+(``/root/reference/filebeat/module/apache/access/ingest/default.json:1-60``):
+grok → remove → grok → rename → date → remove → user_agent → geoip.
+
+Here the step list compiles to DataFrame transforms, all JVM-side:
+
+- ``grok``      → :class:`~beats_spark.operators.actions.Grok`
+                  (first-match-wins, ``:type`` suffix casts)
+- ``date``      → per-format ``try_to_timestamp`` coalesced in order
+                  (ingest's first-parseable-format-wins), joda-style
+                  format strings translated to Spark/java.time
+- ``convert``   → ``cast`` (integer/long/float/double/string/boolean)
+- ``remove`` / ``rename`` / ``set`` / ``lowercase`` / ``uppercase``
+                  → projections
+
+``user_agent`` and ``geoip`` require databases the ingest node ships;
+they are out of scope here (a broadcast-lookup enrich covers the same
+shape — operators/enrich.py).
+
+Field names keep the reference's dotted ECS spelling
+(``source.address``) as FLAT column names; every internal reference is
+backtick-quoted so Spark never treats the dot as a struct accessor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class IngestError(ValueError):
+    pass
+
+
+def _fcol(name: str) -> Column:
+    return F.col("`" + name + "`")
+
+
+#: joda-time pattern fragments whose java.time spelling differs.
+#: Module pipelines use a narrow dialect (dd/MMM/yyyy:H:m:s Z,
+#: ISO8601, UNIX, TAI64N); the overlap with java.time is exact except
+#: for the offset spellings below.
+_JODA_TO_JAVA = {
+    "ZZ": "XXX",  # +07:00 (joda extended offset)
+}
+
+
+def translate_joda(fmt: str) -> str:
+    """Translate a joda-time date format (what ingest ``date`` takes:
+    org.elasticsearch ingest common DateFormat) to a Spark/java.time
+    pattern. Identity for the shared subset; named formats map to
+    their java.time equivalents."""
+    named = {
+        "ISO8601": "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
+        "UNIX": "epoch-seconds",  # handled in _date_parse
+        "UNIX_MS": "epoch-millis",
+    }
+    if fmt in named:
+        return named[fmt]
+    out = fmt
+    for joda, java in _JODA_TO_JAVA.items():
+        out = out.replace(joda, java)
+    return out
+
+
+def _date_parse(col: Column, formats: Sequence[str]) -> Column:
+    """First-parseable-format-wins (ingest date processor semantics):
+    per-format try_to_timestamp, coalesced in declaration order."""
+    alts = []
+    for f in formats:
+        j = translate_joda(f)
+        if j == "epoch-seconds":
+            alts.append(F.try_to_timestamp(F.from_unixtime(col.cast("long"))))
+        elif j == "epoch-millis":
+            alts.append(
+                F.try_to_timestamp(
+                    F.from_unixtime((col.cast("long") / 1000).cast("long"))
+                )
+            )
+        else:
+            alts.append(F.try_to_timestamp(col, F.lit(j)))
+    return F.coalesce(*alts) if len(alts) > 1 else alts[0]
+
+
+_CONVERT_TYPES = {
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+@dataclass
+class IngestPipeline:
+    """Compile an ES ingest processor list (parsed pipeline JSON) to a
+    DataFrame transform. Steps are applied in order; unknown processor
+    names raise (never silently skipped) unless listed in
+    ``ignore_processors`` (for module programs carrying user_agent /
+    geoip steps we can't run)."""
+
+    steps: Sequence[Mapping[str, Mapping[str, Any]]]
+    ignore_processors: Sequence[str] = ("user_agent", "geoip")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for step in self.steps:
+            if len(step) != 1:
+                raise IngestError(f"each step must have one processor: {step}")
+            (name, conf), = step.items()
+            handler = getattr(self, f"_step_{name}", None)
+            if handler is None:
+                if name in self.ignore_processors:
+                    continue
+                raise IngestError(f"unsupported ingest processor: {name}")
+            df = handler(df, conf)
+        return df
+
+    # -- steps ----------------------------------------------------------
+
+    def _step_grok(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        from .actions import Grok
+
+        field = conf["field"]
+        if field not in df.columns:
+            if conf.get("ignore_missing"):
+                return df
+            raise IngestError(f"grok field missing: {field}")
+        return Grok(patterns=list(conf["patterns"]), field=field).apply(df)
+
+    def _step_remove(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        fields = conf["field"]
+        if isinstance(fields, str):
+            fields = [fields]
+        missing = [f for f in fields if f not in df.columns]
+        if missing and not (
+            conf.get("ignore_missing") or conf.get("ignore_failure")
+        ):
+            raise IngestError(f"remove field missing: {missing}")
+        present = [f for f in fields if f in df.columns]
+        return df.drop(*[_fcol(f) for f in present]) if present else df
+
+    def _step_rename(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        src, dst = conf["field"], conf["target_field"]
+        if src not in df.columns:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"rename field missing: {src}")
+        if dst in df.columns:
+            raise IngestError(f"rename target exists: {dst}")
+        return df.withColumnRenamed(src, dst)
+
+    def _step_set(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        return df.withColumn(conf["field"], F.lit(conf["value"]))
+
+    def _step_date(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        field = conf["field"]
+        if field not in df.columns:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"date field missing: {field}")
+        target = conf.get("target_field", "@timestamp")
+        ts = _date_parse(_fcol(field), conf["formats"])
+        # ingest `timezone` shifts zone-less formats; our supported
+        # formats carry their own offset or are epoch-based, so a
+        # requested timezone on a zoned format is a config error.
+        if conf.get("timezone") not in (None, "UTC"):
+            raise IngestError("date: only UTC/offset-carrying formats supported")
+        return df.withColumn(target, ts)
+
+    def _step_convert(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        field = conf["field"]
+        if field not in df.columns:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"convert field missing: {field}")
+        typ = conf["type"]
+        if typ not in _CONVERT_TYPES:
+            raise IngestError(f"convert: unsupported type {typ}")
+        target = conf.get("target_field", field)
+        return df.withColumn(target, _fcol(field).cast(_CONVERT_TYPES[typ]))
+
+    def _step_lowercase(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        return self._case(df, conf, F.lower)
+
+    def _step_uppercase(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        return self._case(df, conf, F.upper)
+
+    def _case(self, df, conf, fn) -> DataFrame:
+        field = conf["field"]
+        if field not in df.columns:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"case field missing: {field}")
+        return df.withColumn(field, fn(_fcol(field)))
