@@ -35,6 +35,7 @@ from .operators.dedup import (
     NORM_SQL,
     simhash,
     simhash_df,
+    simhash_hamming_pairs_sql,
     simhash_sql,
 )
 from .operators.multimodal import (
@@ -49,6 +50,7 @@ from .operators.similarity import (
     ann_lsh_topk_sql,
     brute_force_topk,
     brute_force_topk_sql,
+    embedding_neardup_lsh_sql,
     embedding_neardup_pairs,
     embedding_neardup_sql,
 )
@@ -103,10 +105,19 @@ def q_simhash(spark, sf_dir):
 
 
 def q_dedup_jaccard_prefix(spark, sf_dir):
-    """the PPJoin prefix-filter strategy (threshold ≥ 0.5 dispatches
-    to it) — oracle stays on the naive algorithm, so the check is
+    """the PPJoin prefix-filter strategy at a high threshold — oracle
+    stays on the naive all-pairs algorithm, so the check is
     algorithm-independent."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """banded simhash ≤k-bit matching (dedup.py
+    simhash_hamming_pairs): 4×8-bit bands generate candidates, full
+    bit_count(xor) verifies hamming ≤ 3."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -174,6 +185,17 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact within-label evaluation variant — the data-column block is
+    quadratic within a block and is NOT the scale default."""
+    return embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=NEARDUP_T, block_col="label"
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale-default near-dup: blocked on the deterministic
+    hyperplane-sign LSH bucket (similarity.py lsh_bucket) — bounded,
+    data-independent fanout."""
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
 
 
@@ -243,8 +265,10 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
         "chunk_documents": q_chunk_documents,
@@ -290,6 +314,9 @@ SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
         "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_ivf": ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "embedding_neardup": embedding_neardup_sql("embeddings", NEARDUP_T),
+        "embedding_neardup_lsh": embedding_neardup_lsh_sql(
+            "embeddings", NEARDUP_T
+        ),
         "dedup_jaccard_prefix": ngram_jaccard_sql("documents", 0.5),
         "dedup_simhash": f"""
 WITH sh AS (
@@ -298,6 +325,9 @@ WITH sh AS (
 SELECT simhash32, count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM sh GROUP BY simhash32 HAVING count(*) > 1
 """,
+        "dedup_simhash_hamming": simhash_hamming_pairs_sql(
+            "documents", max_hamming=3
+        ),
         "dns_enrich": """
 WITH hosts AS (
   SELECT doc_id, 'host-' || source AS host FROM documents

@@ -489,6 +489,108 @@ def simhash_df(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within hamming distance ``max_hamming`` of each other's
+    simhash — the ≤k-bit matching the r1 hamming-0 grouping promised.
+
+    Standard banding trick: split the ``bits``-bit fingerprint into
+    ``n_bands`` equal bands; by pigeonhole any pair differing in at
+    most ``n_bands - 1`` bits agrees exactly on ≥ 1 band, so an
+    equi-join on (band, band_value) generates every candidate
+    (requires ``max_hamming < n_bands``). Verification is
+    ``bit_count(xor)`` on the full fingerprints. At 100 TB: candidate
+    cost is #docs × n_bands exploded rows joined on bounded-width
+    keys — never all-pairs, same shape as minhash LSH banding."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded matching needs max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash_df(df, bits, text_col, id_col, out_col="fp").select(
+        F.col(id_col).alias("id"), "fp"
+    )
+    bands = sh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa = sh.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = sh.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    verified = cand.join(fa, "id_a").join(fb, "id_b")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        verified.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_pairs_sql(
+    table: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`simhash_hamming_pairs` (lock-step)."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    fp = simhash_sql(text_col, bits)
+    band_list = ",".join(str(b) for b in range(n_bands))
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, {fp} AS fp FROM {table}
+),
+bands AS (
+  SELECT id, b AS band, (fp >> (b * {width})) & {mask} AS key
+  FROM sh, unnest([{band_list}]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM bands a JOIN bands b2 USING (band, key)
+  WHERE a.id < b2.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+  FROM cand
+  JOIN sh fa ON fa.id = cand.id_a
+  JOIN sh fb ON fb.id = cand.id_b
+)
+SELECT id_a, id_b, hamming FROM verified WHERE hamming <= {max_hamming}
+"""
+
+
 def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:
     toks = f"list_distinct({WORDS_SQL.format(c=NORM_SQL.format(c=col_expr))})"
     codes = f"list_transform({toks}, t -> {word_code_sql('t')})"

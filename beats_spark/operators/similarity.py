@@ -420,10 +420,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    block_col: str | None = None,
+    n_planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
-    (at scale: an LSH bucket) so the pair join is within-block only."""
+    """Embedding-cosine near-duplicate pairs, joined within blocks only.
+
+    The DEFAULT block key (``block_col=None``) is the hyperplane-sign
+    LSH bucket (:func:`lsh_bucket`) — the 100-TB-safe choice: bucket
+    fanout is data-independent (2^n_planes keys) and a near-dup pair
+    (cosine ≥ 0.95) lands in the same bucket unless it straddles a
+    hyperplane, the standard sign-LSH recall trade. Passing a data
+    column (e.g. ``label``) keeps exact within-block comparison for
+    evaluation fixtures — but a large real block there is quadratic,
+    so it is never the default."""
+    if block_col is None:
+        planes = [hyperplane(dim, i) for i in range(n_planes)]
+        df = df.withColumn("_nd_blk", lsh_bucket(F.col(vec_col), planes))
+        block_col = "_nd_blk"
     lhs = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -461,6 +475,40 @@ WITH pairs AS (
            6) AS cos_sim
   FROM {table} a JOIN {table} b
     ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+def embedding_neardup_lsh_sql(
+    table: str, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 4, dim: int = 64,
+) -> str:
+    """DuckDB twin of the DEFAULT (LSH-bucket-blocked)
+    :func:`embedding_neardup_pairs`: identical deterministic
+    hyperplanes → identical buckets → identical pair set."""
+    planes = [hyperplane(dim, i) for i in range(n_planes)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip({vec_col}, "
+        f"[{','.join(repr(x) for x in p)}]::DOUBLE[]), "
+        f"p -> p[1]::DOUBLE * p[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT *, ({bucket_terms})::BIGINT AS blk FROM {table}
+),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b2.{id_col} AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.{vec_col}, b2.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b2.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM b a JOIN b b2
+    ON a.blk = b2.blk AND a.{id_col} < b2.{id_col}
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """

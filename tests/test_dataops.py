@@ -224,6 +224,40 @@ class TestDedup:
         }
         assert out2 == out
 
+    def test_simhash_hamming_pairs_vs_brute_force(self, spark):
+        # banding must find EXACTLY the pairs brute-force hamming does
+        # (pigeonhole guarantees no candidate is missed at k < bands)
+        from beats_spark.operators.dedup import (
+            simhash_df,
+            simhash_hamming_pairs,
+        )
+
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(12)) + f" extra{i % 4}")
+            for i in range(24)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = {r["doc_id"]: r["simhash32"] for r in simhash_df(df).collect()}
+        expect = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for a in fp
+            for b in fp
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(df, max_hamming=3).collect()
+        }
+        assert got == expect
+        assert expect  # fixture produces at least one close pair
+
+    def test_simhash_hamming_rejects_bad_bands(self, spark):
+        from beats_spark.operators.dedup import simhash_hamming_pairs
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(df, max_hamming=4, n_bands=4)
+
 
 class TestSimilarity:
     def test_brute_force_topk(self, spark):
