@@ -325,6 +325,65 @@ def q_grok_apache_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_metadata_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@metadata.* routing + ES pipeline/ILM index selection (§2.6/
+    §2.7): per-event pipeline from @metadata.pipeline
+    (libbeat/outputs/elasticsearch/client.go:445-459), index from the
+    alias > dated-index > ILM-alias ladder
+    (libbeat/idxmgmt/std.go:295-331). The `meta_cols_in_payload`
+    column is a compile-time schema check — it counts @metadata.*
+    columns surviving strip_metadata() into the payload (must be 0,
+    and the oracle hard-codes 0, so a leak fails the hash gate)."""
+    _utc(spark)
+    from beats_spark.operators.esroute import (
+        IlmMode,
+        assert_no_metadata,
+        meta_col,
+        select_index,
+        select_pipeline,
+        strip_metadata,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = (
+        ev.withColumn(
+            meta_col("pipeline"),
+            F.when(F.col("event_type") == "error", F.lit("errors-pipeline")),
+        )
+        .withColumn(
+            meta_col("index"),
+            F.when(F.col("event_type") == "signup", F.lit("signup-custom")),
+        )
+        .withColumn(
+            meta_col("alias"),
+            F.when(F.col("event_type") == "purchase", F.lit("billing-alias")),
+        )
+    )
+    routed = df.withColumn(
+        "pipeline", select_pipeline(df, configured=F.lit("beats-default"))
+    ).withColumn(
+        "es_index",
+        select_index(
+            df,
+            configured=F.lit("beats-spark-idx"),
+            ilm_mode=IlmMode.AUTO,
+            ilm_alias="beats-ilm-alias",
+            ilm_active=True,
+        ),
+    )
+    payload = strip_metadata(routed)
+    # the routing pair itself feeds the bulk action header, not the doc
+    assert_no_metadata(payload)
+    n_leaked = len(
+        [c for c in payload.columns if c.startswith("@metadata.")]
+    )
+    return payload.groupBy("pipeline", "es_index").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(n_leaked).cast("long").alias("meta_cols_in_payload"),
+    )
+
+
 def q_syslog_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syslog priority → severity/facility mapping (§2.1, filebeat
     syslog input event.go:224-238): derive a priority from the event,
@@ -578,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_tallies": q_metrics_tallies,
         "grok_apache": q_grok_apache,
         "grok_apache_date": q_grok_apache_date,
+        "es_metadata_route": q_es_metadata_route,
         "syslog_severity": q_syslog_severity,
         "syslog_parse": q_syslog_parse,
         "bulk_failure_scan": q_bulk_failure_scan,
@@ -737,6 +797,22 @@ parsed AS (
 SELECT status, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
        count(DISTINCT ip) AS n_ips
 FROM parsed GROUP BY status
+""",
+        "es_metadata_route": """
+WITH m AS (
+  SELECT *,
+         CASE WHEN event_type = 'error' THEN 'errors-pipeline' END AS mp,
+         CASE WHEN event_type = 'signup' THEN 'signup-custom' END AS mi,
+         CASE WHEN event_type = 'purchase' THEN 'billing-alias' END AS ma
+  FROM events
+)
+SELECT coalesce(mp, 'beats-default') AS pipeline,
+       coalesce(ma, mi || '-' || strftime(ts, '%Y.%m.%d'),
+                'beats-ilm-alias') AS es_index,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(0 AS BIGINT) AS meta_cols_in_payload
+FROM m GROUP BY 1, 2
 """,
         "grok_apache_date": """
 WITH lines AS (
