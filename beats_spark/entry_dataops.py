@@ -172,6 +172,34 @@ def q_multiline_combine(spark, sf_dir):
     )
 
 
+def q_multiline_flush(spark, sf_dir):
+    """multiline with flush_pattern (multiline.go:218-231): a line
+    containing 'vector' joins the open event as its final line and
+    closes it; otherwise lowercase-start lines continue (match:
+    after). The oracle models the same boundaries with window SQL, so
+    the check is algorithm-independent."""
+    from .streaming.multiline import multiline_batch
+
+    lines = _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "text",
+    )
+    combined = multiline_batch(
+        lines,
+        r"^[a-z]",
+        match="after",
+        max_lines=10**9,
+        flush_pattern=r"vector",
+    )
+    return combined.select(
+        F.col("conv_id").alias("source"),
+        "first_turn_idx",
+        F.length("doc").alias("doc_chars"),
+        "n_lines",
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     return brute_force_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
 
@@ -271,6 +299,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
+        "multiline_flush": q_multiline_flush,
         "chunk_documents": q_chunk_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "text_tokens": q_text_tokens,
@@ -360,6 +389,43 @@ SELECT conv_id AS source,
          AS doc_chars,
        CAST(count(*) AS INT) AS n_lines
 FROM grp GROUP BY conv_id, g
+""",
+        "multiline_flush": """
+WITH RECURSIVE lines AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
+           AS is_head,
+         CASE WHEN regexp_matches(text, 'vector') THEN 1 ELSE 0 END
+           AS is_flush
+  FROM documents
+),
+-- walk each conversation line by line: a flush line joins-and-closes
+-- an OPEN event; a line arriving with no open event always opens one
+-- (even if it matches the flush pattern — readFirst does no flush
+-- check); a head line closes the open event without joining it
+walk AS (
+  SELECT conv_id, rn, turn_idx, text,
+         1 AS eid, 1 AS open_after
+  FROM lines WHERE rn = 1
+  UNION ALL
+  SELECT l.conv_id, l.rn, l.turn_idx, l.text,
+         CASE WHEN w.open_after = 0 THEN w.eid + 1
+              WHEN l.is_flush = 1 THEN w.eid
+              WHEN l.is_head = 1 THEN w.eid + 1
+              ELSE w.eid END AS eid,
+         CASE WHEN w.open_after = 0 THEN 1
+              WHEN l.is_flush = 1 THEN 0
+              ELSE 1 END AS open_after
+  FROM walk w
+  JOIN lines l ON l.conv_id = w.conv_id AND l.rn = w.rn + 1
+)
+SELECT conv_id AS source,
+       min(turn_idx) AS first_turn_idx,
+       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
+         AS doc_chars,
+       CAST(count(*) AS INT) AS n_lines
+FROM walk GROUP BY conv_id, eid
 """,
         "chunk_documents": _chunk_oracle(),
         "quantize_embeddings": _quant_oracle(),

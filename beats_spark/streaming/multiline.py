@@ -48,21 +48,36 @@ STATE_SCHEMA = T.StructType(
 
 
 def combine_lines(
-    lines: list[tuple[int, str]],
+    lines: list[tuple],
     pattern: str,
     match: str = "after",
     negate: bool = False,
     max_lines: int = 500,
+    flush_pattern: str | None = None,
+    timeout: float | None = None,
 ) -> tuple[list[tuple[int, str, int]], tuple[int, list[str]] | None]:
-    """Run the multiline state machine over ordered (turn_idx, line).
+    """Run the multiline state machine over ordered (turn_idx, line)
+    or (turn_idx, line, ts_seconds) tuples.
 
     Returns (events, tail): events are CLOSED (first_idx, joined_doc,
     n_lines) tuples; tail is the still-open buffer (None if empty).
     Join separator is newline (the reference joins raw content).
-    """
+
+    ``flush_pattern`` (multiline.go:218-231): checked BEFORE the
+    match predicate while an event is open — a matching line joins
+    the event as its final line and closes it; the first line of an
+    event is never flush-checked (it enters via readFirst, which
+    loads without the check).
+
+    ``timeout`` (multiline.go:107-117 via the timeout reader): the
+    batch replay of the 5 s idle flush — if the gap between
+    consecutive line timestamps exceeds ``timeout`` seconds, the open
+    buffer flushes before the new line is processed (the new line then
+    starts a fresh event, exactly as after a live timeout fire)."""
     if match not in ("after", "before"):
         raise ValueError(f"multiline match must be after/before: {match!r}")
     rx = re.compile(pattern)
+    frx = re.compile(flush_pattern) if flush_pattern is not None else None
 
     def continues(line: str) -> bool:
         return bool(rx.search(line)) != negate
@@ -70,6 +85,7 @@ def combine_lines(
     events: list[tuple[int, str, int]] = []
     buf: list[str] = []
     first = 0
+    prev_ts: float | None = None
 
     def flush() -> None:
         nonlocal buf
@@ -85,7 +101,22 @@ def combine_lines(
         if len(buf) < max_lines:
             buf.append(line)
 
-    for idx, line in lines:
+    for item in lines:
+        idx, line = item[0], item[1]
+        ts = item[2] if len(item) > 2 else None
+        if (
+            timeout is not None
+            and buf
+            and ts is not None
+            and prev_ts is not None
+            and ts - prev_ts > timeout
+        ):
+            flush()
+        prev_ts = ts
+        if frx is not None and buf and frx.search(line):
+            buffer(line)
+            flush()
+            continue
         if match == "after":
             # matching lines continue the current event
             if continues(line) and buf:
@@ -105,10 +136,29 @@ def combine_lines(
     return events, ((first, buf) if buf else None)
 
 
-def _mk_machine(pattern: str, match: str, negate: bool, max_lines: int):
+def _mk_machine(
+    pattern: str,
+    match: str,
+    negate: bool,
+    max_lines: int,
+    flush_pattern: str | None = None,
+    timeout: float | None = None,
+    ts_col: str | None = None,
+):
     def run(conv_id, rows_sorted):
-        lines = list(zip(rows_sorted["turn_idx"], rows_sorted["text"]))
-        return combine_lines(lines, pattern, match, negate, max_lines)
+        if ts_col is not None:
+            lines = list(
+                zip(
+                    rows_sorted["turn_idx"],
+                    rows_sorted["text"],
+                    rows_sorted[ts_col],
+                )
+            )
+        else:
+            lines = list(zip(rows_sorted["turn_idx"], rows_sorted["text"]))
+        return combine_lines(
+            lines, pattern, match, negate, max_lines, flush_pattern, timeout
+        )
 
     return run
 
@@ -119,10 +169,19 @@ def multiline_batch(
     match: str = "after",
     negate: bool = False,
     max_lines: int = 500,
+    flush_pattern: str | None = None,
+    timeout: float | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Batch combine: per conversation in stable turn order; the tail
-    flushes at group end (harvester EOF)."""
-    machine = _mk_machine(pattern, match, negate, max_lines)
+    flushes at group end (harvester EOF). ``flush_pattern`` closes an
+    event on a matching line; ``timeout`` + ``ts_col`` (epoch seconds)
+    replay the idle flush on recorded timestamps."""
+    if timeout is not None and ts_col is None:
+        raise ValueError("batch timeout flush needs ts_col")
+    machine = _mk_machine(
+        pattern, match, negate, max_lines, flush_pattern, timeout, ts_col
+    )
 
     def fn(pdf):
         import pandas as pd
@@ -138,11 +197,8 @@ def multiline_batch(
             columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
         )
 
-    return (
-        df.select("conv_id", "turn_idx", "text")
-        .groupBy("conv_id")
-        .applyInPandas(fn, OUT_SCHEMA)
-    )
+    cols = ["conv_id", "turn_idx", "text"] + ([ts_col] if ts_col else [])
+    return df.select(*cols).groupBy("conv_id").applyInPandas(fn, OUT_SCHEMA)
 
 
 def multiline_stream(
@@ -152,6 +208,7 @@ def multiline_stream(
     negate: bool = False,
     max_lines: int = 500,
     timeout_ms: int = 5000,
+    flush_pattern: str | None = None,
 ) -> DataFrame:
     """Streaming combine with per-conversation state: closed events
     emit immediately; the open tail stays in state until continued or
@@ -164,7 +221,7 @@ def multiline_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    machine = _mk_machine(pattern, match, negate, max_lines)
+    machine = _mk_machine(pattern, match, negate, max_lines, flush_pattern)
 
     def fn(key, pdfs: Iterable, state: GroupState):
         import pandas as pd

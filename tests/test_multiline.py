@@ -64,6 +64,72 @@ class TestStateMachine:
         with pytest.raises(ValueError):
             combine_lines([], "x", match="sideways")
 
+    def test_flush_pattern_closes_with_line(self):
+        # multiline.go:218-231 — the flush line JOINS the event as its
+        # final line, and the next line starts fresh
+        lines = [
+            (0, "begin"),
+            (1, "  cont"),
+            (2, "  END mark"),
+            (3, "  more"),
+        ]
+        events, tail = combine_lines(
+            lines, r"^\s", match="after", flush_pattern=r"END"
+        )
+        assert events == [(0, "begin\n  cont\n  END mark", 3)]
+        assert tail == (3, ["  more"])
+
+    def test_flush_pattern_first_line_never_flush_checked(self):
+        # readFirst loads without a flush check: a flush-matching line
+        # that OPENS an event keeps it open
+        lines = [(0, "END start"), (1, "  cont"), (2, "  END close")]
+        events, tail = combine_lines(
+            lines, r"^\s", match="after", flush_pattern=r"END"
+        )
+        assert events == [(0, "END start\n  cont\n  END close", 3)]
+        assert tail is None
+
+    def test_flush_pattern_consecutive_flush_lines_alternate(self):
+        # f closes; next f opens (no check on first line); next f closes
+        lines = [(0, "a"), (1, "END"), (2, "END"), (3, "END")]
+        events, tail = combine_lines(
+            lines, r".", match="after", flush_pattern=r"END"
+        )
+        assert events == [(0, "a\nEND", 2), (2, "END\nEND", 2)]
+        assert tail is None
+
+    def test_flush_beats_head_check(self):
+        # flush precedence: a line matching BOTH head and flush joins
+        # and closes the open event (the flush check runs first)
+        lines = [(0, "head one"), (1, "head END")]
+        events, tail = combine_lines(
+            lines, r"^\s", match="after", flush_pattern=r"END"
+        )
+        assert events == [(0, "head one\nhead END", 2)]
+        assert tail is None
+
+    def test_timeout_gap_flush(self):
+        # batch replay of the idle timeout (multiline.go:107-117): a
+        # gap > timeout between line timestamps flushes the open buffer
+        lines = [
+            (0, "begin", 100.0),
+            (1, "  cont", 101.0),
+            (2, "  late", 110.0),  # 9s gap > 5s -> flush before this
+            (3, "  tail", 111.0),
+        ]
+        events, tail = combine_lines(
+            lines, r"^\s", match="after", timeout=5.0
+        )
+        assert events == [(0, "begin\n  cont", 2)]
+        # the late line starts a NEW event even though it matches the
+        # continuation pattern (exactly as after a live timeout fire)
+        assert tail == (2, ["  late", "  tail"])
+
+    def test_timeout_none_ignores_timestamps(self):
+        lines = [(0, "begin", 100.0), (1, "  cont", 1000.0)]
+        events, tail = combine_lines(lines, r"^\s", match="after")
+        assert events == [] and tail == (0, ["begin", "  cont"])
+
 
 class TestBatchCombine:
     def test_per_conversation_groups(self, spark):
@@ -83,6 +149,25 @@ class TestBatchCombine:
         assert out[("c1", 0)] == ("start one\n  cont", 2)
         assert out[("c1", 2)] == ("start two", 1)  # tail flushes at EOF
         assert out[("c2", 0)] == ("solo", 1)
+
+    def test_batch_timeout_gap_via_ts_col(self, spark):
+        rows = [
+            ("c1", 0, "start", 100.0),
+            ("c1", 1, "  cont", 101.0),
+            ("c1", 2, "  late", 200.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, ts double"
+        )
+        out = {
+            r["first_turn_idx"]: r["n_lines"]
+            for r in multiline_batch(
+                df, r"^\s", match="after", timeout=5.0, ts_col="ts"
+            ).collect()
+        }
+        assert out == {0: 2, 2: 1}
+        with pytest.raises(ValueError):
+            multiline_batch(df, r"^\s", timeout=5.0)  # ts_col required
 
 
 class TestStreamCombine:
