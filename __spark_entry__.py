@@ -325,6 +325,52 @@ def q_grok_apache_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_include_fields_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """include_fields nested-struct projection (§2.4,
+    actions/include_fields.go:68-89): whitelist `http.response.status`,
+    `http.request.method`, `user.name` through two struct columns —
+    sibling subfields (seq, uid, id) and the unlisted scalar column
+    must disappear. The `kept_schema` column is the projected Spark
+    schema rendered at plan time; the oracle pins the expected string,
+    so keeping too much or too little fails the hash gate."""
+    _utc(spark)
+    from beats_spark.operators.actions import IncludeFields
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("method"),
+                F.pmod("event_id", F.lit(7)).alias("seq"),
+            ).alias("request"),
+            F.struct(
+                (F.lit(200) + F.pmod("event_id", F.lit(5)) * 100).alias(
+                    "status"
+                ),
+                F.col("user_id").alias("uid"),
+            ).alias("response"),
+        ).alias("http"),
+        F.struct(
+            F.format_string("user%d", F.col("user_id")).alias("name"),
+            F.col("user_id").alias("id"),
+        ).alias("user"),
+        F.col("value"),
+    )
+    proj = IncludeFields(
+        fields=["http.response.status", "http.request.method", "user.name"],
+        always_keep=("event_id",),
+    ).apply(nested)
+    kept_schema = proj.schema.simpleString()
+    return proj.select(
+        "event_id",
+        F.col("http.request.method").alias("method"),
+        F.col("http.response.status").alias("status"),
+        F.col("user.name").alias("uname"),
+        F.lit(kept_schema).alias("kept_schema"),
+    )
+
+
 def q_es_metadata_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """@metadata.* routing + ES pipeline/ILM index selection (§2.6/
     §2.7): per-event pipeline from @metadata.pipeline
@@ -638,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache": q_grok_apache,
         "grok_apache_date": q_grok_apache_date,
         "es_metadata_route": q_es_metadata_route,
+        "include_fields_nested": q_include_fields_nested,
         "syslog_severity": q_syslog_severity,
         "syslog_parse": q_syslog_parse,
         "bulk_failure_scan": q_bulk_failure_scan,
@@ -797,6 +844,15 @@ parsed AS (
 SELECT status, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
        count(DISTINCT ip) AS n_ips
 FROM parsed GROUP BY status
+""",
+        "include_fields_nested": """
+SELECT event_id,
+       event_type AS method,
+       CAST(200 + (event_id % 5) * 100 AS BIGINT) AS status,
+       'user' || user_id AS uname,
+       'struct<event_id:bigint,http:struct<response:struct<status:bigint>,request:struct<method:string>>,user:struct<name:string>>'
+         AS kept_schema
+FROM events
 """,
         "es_metadata_route": """
 WITH m AS (

@@ -190,20 +190,85 @@ class DropFields(Processor):
         return df.drop(*[f for f in self.fields if f in df.columns])
 
 
+def _field_trie(specs: Sequence[str]) -> dict:
+    """Dotted field specs → nested dict; a leaf ``{}`` keeps the whole
+    subtree (a broader spec subsumes a narrower one, as the
+    reference's ``filtered.Put`` naturally does)."""
+    trie: dict = {}
+    for spec in specs:
+        node = trie
+        parts = spec.split(".")
+        for i, part in enumerate(parts):
+            if part in node and node[part] == {} and i < len(parts) - 1:
+                break  # whole subtree already kept
+            node = node.setdefault(part, {})
+        else:
+            node.clear()  # exact spec keeps the whole subtree
+    return trie
+
+
+def _project_struct(col: Column, dtype, node: dict) -> Column | None:
+    """Rebuild a struct keeping only whitelisted subtrees (the Spark
+    form of the reference's GetValue/Put rebuild,
+    include_fields.go:68-89). Missing subfields are ignored
+    (ErrKeyNotFound is non-fatal there); a deeper spec through a
+    non-struct value is likewise skipped."""
+    from pyspark.sql import types as T
+
+    names = {f.name: f.dataType for f in dtype.fields}
+    out = []
+    for name, sub in node.items():
+        if name not in names:
+            continue
+        child, ctype = col[name], names[name]
+        if not sub:
+            out.append(child.alias(name))
+        elif isinstance(ctype, T.StructType):
+            nested = _project_struct(child, ctype, sub)
+            if nested is not None:
+                out.append(nested.alias(name))
+    if not out:
+        return None
+    return F.struct(*out)
+
+
 @dataclass
 class IncludeFields(Processor):
     """include_fields (actions/include_fields.go:68-89): whitelist
-    projection; the reference always keeps @timestamp and type — we
-    always keep the ordering keys and ts."""
+    projection with nested-struct rebuild — ``a.b`` keeps only
+    subfield ``b`` inside struct column ``a`` (the reference resolves
+    dotted paths with GetValue and re-Puts them into a fresh map).
+    The reference always keeps @timestamp and type — we always keep
+    the ordering keys and ts. A literal flat column named ``a.b``
+    wins over path interpretation (the @metadata.* convention)."""
 
     fields: Sequence[str]
     always_keep: Sequence[str] = ("conv_id", "turn_idx", "ts")
 
     def apply(self, df, guard=None):
+        from pyspark.sql import types as T
+
         if guard is not None:
             raise NotImplementedError("include_fields under a when: guard is not supported")
-        keep = [c for c in df.columns if c in set(self.fields) | set(self.always_keep)]
-        return df.select(*keep)
+        flat = [s for s in self.fields if s in df.columns or "." not in s]
+        nested = [s for s in self.fields if s not in flat]
+        trie = _field_trie(nested)
+        keep_whole = set(flat) | set(self.always_keep)
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        out = []
+        for c in df.columns:
+            if c in keep_whole:
+                out.append(F.col("`" + c + "`"))
+            elif c in trie:
+                node = trie[c]
+                if not node:
+                    out.append(F.col("`" + c + "`"))
+                elif isinstance(schema[c], T.StructType):
+                    proj = _project_struct(F.col("`" + c + "`"), schema[c], node)
+                    if proj is not None:
+                        out.append(proj.alias(c))
+                # deeper path through a non-struct: skipped (non-fatal)
+        return df.select(*out)
 
 
 @dataclass
