@@ -345,10 +345,16 @@ class DecodeJsonFields(Processor):
             new = F.from_json(F.col(f), self.schema)
             # from_json returns NULL for a failed MAP parse but an
             # all-NULL STRUCT for a failed struct parse — probe raw
-            # JSON validity too so both schema kinds tag failures
+            # JSON validity too so both schema kinds tag failures.
+            # The literal document `null` is LEGAL JSON that decodes to
+            # NULL — both probes yield NULL for it, so exempt it
+            # explicitly rather than tagging a valid document.
             probe = F.get_json_object(F.col(f), "$")
+            is_null_doc = F.trim(F.col(f)) == "null"
             failed = failed | (
-                F.col(f).isNotNull() & (new.isNull() | probe.isNull())
+                F.col(f).isNotNull()
+                & ~is_null_doc
+                & (new.isNull() | probe.isNull())
             )
             df = df.withColumn(tgt, self._guarded(df, guard, tgt, new))
         if self.add_error_key:
@@ -493,7 +499,9 @@ class When(Processor):
     then: Processor
 
     def apply(self, df, guard=None):
-        cond = compile_condition(self.condition)
+        # pass df so schema-aware condition forms activate (the
+        # array-element 'contains' needs the column's type)
+        cond = compile_condition(self.condition, df)
         if guard is not None:
             cond = cond & guard
         return self.then.apply(df, guard=cond)
@@ -508,7 +516,7 @@ class IfThenElse(Processor):
     otherwise: Sequence[Processor] = dc_field(default_factory=tuple)
 
     def apply(self, df, guard=None):
-        cond = compile_condition(self.condition)
+        cond = compile_condition(self.condition, df)
         if guard is not None:
             cond = cond & guard
         for p in self.then:

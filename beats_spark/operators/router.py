@@ -82,9 +82,13 @@ def write_fanout(
     rows across sink directories, so N sinks cost one scan, not N
     filtered scans.
     """
-    sort_for_fanout(routed, salt=salt).write.mode(mode).partitionBy(
-        "sink", PART_COL
-    ).parquet(root)
+    # dynamic overwrite is load-bearing for resume: static overwrite
+    # would DELETE every previously-committed (sink, part_id) partition
+    # the manifest still marks done. The per-write option pins it
+    # regardless of the caller's session conf.
+    sort_for_fanout(routed, salt=salt).write.mode(mode).option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("sink", PART_COL).parquet(root)
 
 
 def read_sink(spark, root: str, sink: str) -> DataFrame:

@@ -38,11 +38,13 @@ class Rule:
     default: str | None = None
 
 
-def compile_rule(rule: Rule, ts_col: str = "ts") -> Column:
+def compile_rule(rule: Rule, ts_col: str = "ts", df=None) -> Column:
     """Reference semantics (select_test.go table): an empty/NULL key
     result never selects; a mapping miss OR an empty mapping result
     falls through; a rule-level ``default`` catches all of those —
-    with or without a mapping table."""
+    with or without a mapping table. Pass ``df`` so schema-aware
+    condition forms (array-element 'contains') activate in ``when:``
+    guards."""
     expr = compile_fmtstr(rule.value, ts_col=ts_col)
     if rule.mappings:
         kv = []
@@ -53,7 +55,7 @@ def compile_rule(rule: Rule, ts_col: str = "ts") -> Column:
     if rule.default is not None:
         expr = F.coalesce(expr, F.lit(rule.default))
     if rule.when is not None:
-        expr = F.when(compile_condition(rule.when), expr)
+        expr = F.when(compile_condition(rule.when, df), expr)
     return expr
 
 
@@ -61,6 +63,7 @@ def compile_selector(
     rules: list[Rule | Mapping[str, Any]],
     default: str | None = None,
     ts_col: str = "ts",
+    df=None,
 ) -> Column:
     """Ordered rule list → sink key Column (first non-empty wins)."""
     exprs: list[Column] = []
@@ -69,7 +72,7 @@ def compile_selector(
             r = Rule(**r)
         # empty-string guarding happens inside compile_rule (so a
         # rule-level default survives); rule order = priority
-        exprs.append(compile_rule(r, ts_col=ts_col))
+        exprs.append(compile_rule(r, ts_col=ts_col, df=df))
     if default is not None:
         exprs.append(F.lit(default))
     return F.coalesce(*exprs).alias("sink")

@@ -76,7 +76,10 @@ class Pipeline:
         plan without writing."""
         df = apply_chain(df, self.processors)
         return df.withColumn(
-            "sink", compile_selector(list(self.routes), default=self.default_sink)
+            "sink",
+            compile_selector(
+                list(self.routes), default=self.default_sink, df=df
+            ),
         )
 
     # -- materializing run --------------------------------------------------
@@ -93,6 +96,7 @@ class Pipeline:
         df = with_partition_id(df, self.n_buckets)
 
         skipped = 0
+        done: list[int] = []
         if resume:
             done = read_done_parts(spark, output_root)
             if done:
@@ -143,10 +147,17 @@ class Pipeline:
         # observation; per-bucket pre-drop counts would need a second
         # input scan, so the manifest stores post-route counts and the
         # run-level metrics carry the drop tally.
+        commit_src = spark.read.parquet(data_root).select(
+            PART_COL, "sink", ROW_HASH_COL
+        )
+        if done:
+            # a partial resume commits only the buckets THIS run wrote:
+            # skipped buckets keep their original manifest rows (their
+            # run_id stays attributable) and the per-sink metrics count
+            # only rows published by this run
+            commit_src = commit_src.filter(~F.col(PART_COL).isin(*done))
         per = (
-            spark.read.parquet(data_root)
-            .select(PART_COL, "sink", ROW_HASH_COL)
-            .groupBy(PART_COL, "sink")
+            commit_src.groupBy(PART_COL, "sink")
             .agg(
                 F.count("*").alias("n"),
                 F.expr(f"bit_xor({ROW_HASH_COL})").alias("chk"),

@@ -94,3 +94,47 @@ def test_guarded_grok(spark):
     rows = {r["k"]: r["code"] for r in out}
     assert rows["p"] == 200
     assert rows["q"] is None
+
+
+def test_when_contains_on_array_column_matches_per_element(spark):
+    # matcher.go:71-105: 'contains' over an array matches ANY ELEMENT
+    # containing the substring. The probe value "n, w" would match the
+    # STRING RENDERING "[production, web]" but no element — so this
+    # test fails if the guard compiles without the DataFrame schema.
+    df = spark.createDataFrame(
+        [(1, ["production", "web"]), (2, ["staging"])],
+        "id long, tags array<string>",
+    )
+    out = apply_chain(
+        df,
+        [
+            When(
+                condition={"contains": {"tags": "n, w"}},
+                then=AddFields({"hit": "y"}),
+            ),
+            When(
+                condition={"contains": {"tags": "prod"}},
+                then=AddFields({"element_hit": "y"}),
+            ),
+        ],
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["hit"] is None  # rendered-string match must NOT fire
+    assert rows[1]["element_hit"] == "y"  # per-element substring does
+    assert rows[2]["element_hit"] is None
+
+
+def test_selector_rule_contains_on_array_column(spark):
+    from beats_spark.operators.selector import Rule, compile_selector
+
+    df = spark.createDataFrame(
+        [(1, ["production", "web"]), (2, ["staging"])],
+        "id long, tags array<string>",
+    )
+    sel = compile_selector(
+        [Rule(value="prod-sink", when={"contains": {"tags": "prod"}})],
+        default="misc",
+        df=df,
+    )
+    got = {r["id"]: r["sink"] for r in df.withColumn("sink", sel).collect()}
+    assert got == {1: "prod-sink", 2: "misc"}

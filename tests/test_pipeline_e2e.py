@@ -148,3 +148,45 @@ def test_resume_is_idempotent(spark, transcripts, tmp_path):
     assert res2.skipped_parts == pipe.n_buckets or res2.skipped_parts > 0
     data = spark.read.parquet(f"{out}/data")
     assert data.count() == N_ROWS  # unchanged, no duplicates
+
+
+def test_partial_resume_commits_only_new_buckets(spark, transcripts, tmp_path):
+    """A partial resume must not re-stamp untouched buckets with the
+    new run_id, and its metrics must count only rows THIS run wrote
+    (not the whole on-disk table re-attributed)."""
+    from beats_spark.operators.router import PART_COL, with_partition_id
+
+    out = str(tmp_path / "outp")
+    pipe = make_pipeline(spark)
+    bucketed = with_partition_id(transcripts, pipe.n_buckets)
+    half = [p for p in range(pipe.n_buckets) if p % 2 == 0]
+    first_input = bucketed.filter(F.col(PART_COL).isin(half)).drop(PART_COL)
+
+    res1 = pipe.run(spark, first_input, out, run_id="p1")
+    n_first = res1.events_published
+    assert 0 < n_first < N_ROWS
+
+    committed_p1 = {
+        r["partition_id"]
+        for r in spark.read.parquet(f"{out}/_manifest").collect()
+    }
+    assert committed_p1  # p1 committed some even buckets
+
+    res2 = pipe.run(spark, transcripts, out, run_id="p2", resume=True)
+    assert res2.skipped_parts == len(committed_p1)
+    assert res2.events_published == N_ROWS - n_first
+
+    # manifest: p1's buckets keep p1 attribution; p2 stamps only new ones
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    stamped = {
+        r["run_id"]
+        for r in manifest.filter(
+            F.col("partition_id").isin(list(committed_p1))
+        ).collect()
+    }
+    assert stamped == {"p1"}
+    # metrics for p2 count only this run's rows
+    m2 = spark.read.parquet(f"{out}/_metrics").filter(F.col("run_id") == "p2")
+    assert m2.agg(F.sum("events_published")).collect()[0][0] == N_ROWS - n_first
+    # and the data itself is complete with no duplicates
+    assert spark.read.parquet(f"{out}/data").count() == N_ROWS

@@ -92,6 +92,22 @@ class TestDecodeJsonErrorKey:
         assert rows["not json"] == (None, ["json_decode_error"])
         assert rows[None] == (None, [])  # null input is not an error
 
+    def test_json_null_literal_is_not_an_error(self, spark):
+        # 'null' is a LEGAL JSON document that decodes to NULL — it
+        # must not be tagged (readjson only tags actual parse errors)
+        from beats_spark.operators.actions import DecodeJsonFields
+
+        df = spark.createDataFrame(
+            [("null",), ("  null ",), ("null garbage",)], "props string"
+        )
+        out = apply_chain(
+            df, [DecodeJsonFields(fields=["props"], add_error_key=True)]
+        ).collect()
+        rows = {r["props"]: r["log_flags"] for r in out}
+        assert rows["null"] == []
+        assert rows["  null "] == []  # whitespace-trimmed
+        assert rows["null garbage"] == ["json_decode_error"]
+
     def test_target_equals_source_rejected(self, spark):
         from beats_spark.operators.actions import DecodeJsonFields
 
