@@ -350,7 +350,9 @@ class DecodeJsonFields(Processor):
             # NULL — both probes yield NULL for it, so exempt it
             # explicitly rather than tagging a valid document.
             probe = F.get_json_object(F.col(f), "$")
-            is_null_doc = F.trim(F.col(f)) == "null"
+            # rlike, not trim(): trim strips only spaces, but JSON
+            # whitespace includes tab/newline/CR
+            is_null_doc = F.col(f).rlike(r"^[ \t\r\n]*null[ \t\r\n]*$")
             failed = failed | (
                 F.col(f).isNotNull()
                 & ~is_null_doc

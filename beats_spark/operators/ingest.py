@@ -73,18 +73,18 @@ def translate_joda(fmt: str) -> str:
 
 def _date_parse(col: Column, formats: Sequence[str]) -> Column:
     """First-parseable-format-wins (ingest date processor semantics):
-    per-format try_to_timestamp, coalesced in declaration order."""
+    per-format try-parse, coalesced in declaration order. Epoch forms
+    use try_cast (ANSI cast would abort the JOB on one dirty value,
+    where ingest fails only the document) and timestamp_seconds/
+    timestamp_millis (exact — no string round-trip truncating
+    millisecond precision)."""
     alts = []
     for f in formats:
         j = translate_joda(f)
         if j == "epoch-seconds":
-            alts.append(F.try_to_timestamp(F.from_unixtime(col.cast("long"))))
+            alts.append(F.timestamp_seconds(col.try_cast("long")))
         elif j == "epoch-millis":
-            alts.append(
-                F.try_to_timestamp(
-                    F.from_unixtime((col.cast("long") / 1000).cast("long"))
-                )
-            )
+            alts.append(F.timestamp_millis(col.try_cast("long")))
         else:
             alts.append(F.try_to_timestamp(col, F.lit(j)))
     return F.coalesce(*alts) if len(alts) > 1 else alts[0]
@@ -116,10 +116,13 @@ class IngestPipeline:
             if len(step) != 1:
                 raise IngestError(f"each step must have one processor: {step}")
             (name, conf), = step.items()
+            # the skip list wins even over supported processors, so a
+            # caller can run a module program minus steps they can't
+            # or won't support
+            if name in self.ignore_processors:
+                continue
             handler = getattr(self, f"_step_{name}", None)
             if handler is None:
-                if name in self.ignore_processors:
-                    continue
                 raise IngestError(f"unsupported ingest processor: {name}")
             df = handler(df, conf)
         return df
@@ -155,6 +158,10 @@ class IngestPipeline:
                 return df
             raise IngestError(f"rename field missing: {src}")
         if dst in df.columns:
+            # ES rename fails when the target exists; with
+            # ignore_failure the document passes through unchanged
+            if conf.get("ignore_failure"):
+                return df
             raise IngestError(f"rename target exists: {dst}")
         return df.withColumnRenamed(src, dst)
 
@@ -186,7 +193,9 @@ class IngestPipeline:
         if typ not in _CONVERT_TYPES:
             raise IngestError(f"convert: unsupported type {typ}")
         target = conf.get("target_field", field)
-        return df.withColumn(target, _fcol(field).cast(_CONVERT_TYPES[typ]))
+        # try_cast: ANSI cast aborts the whole job on one malformed
+        # value; ES convert fails only the single document (NULL here)
+        return df.withColumn(target, _fcol(field).try_cast(_CONVERT_TYPES[typ]))
 
     def _step_lowercase(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
         return self._case(df, conf, F.lower)

@@ -46,6 +46,24 @@ from ..operators.router import (
 from ..operators.selector import Rule, compile_selector
 
 
+def _clear_output(spark: SparkSession, output_root: str) -> None:
+    """Delete a previous run's data/manifest/metrics under the root.
+
+    A FRESH (resume=False) run means full replace: with dynamic
+    partition overwrite now pinned in write_fanout, partitions the new
+    run doesn't produce would otherwise survive on disk and the commit
+    aggregation would attribute their rows to the new run_id — and a
+    stale manifest would poison a later resume. Hadoop FS API, so any
+    warehouse scheme works."""
+    jconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    for sub in ("data", "_manifest", "_metrics"):
+        path = jvm.org.apache.hadoop.fs.Path(f"{output_root}/{sub}")
+        fs = path.getFileSystem(jconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -97,6 +115,8 @@ class Pipeline:
 
         skipped = 0
         done: list[int] = []
+        if not resume:
+            _clear_output(spark, output_root)
         if resume:
             done = read_done_parts(spark, output_root)
             if done:

@@ -117,4 +117,10 @@ class TableIO:
             else:
                 writer.append()
         else:
-            ordered.write.mode(mode).partitionBy(*partition_cols).parquet(target)
+            # per-write dynamic overwrite (mirrors router.write_fanout):
+            # the docstring's directory-level replace must not depend on
+            # the caller's session conf — a static overwrite would
+            # delete every previously-committed partition
+            ordered.write.mode(mode).option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(*partition_cols).parquet(target)

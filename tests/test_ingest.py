@@ -103,6 +103,72 @@ class TestSteps:
             F.unix_timestamp("`@timestamp`")
         ).first()[0] == 1704110400
 
+    def test_date_dirty_value_fails_document_not_job(self, spark):
+        # ANSI cast would abort the whole job on one malformed value;
+        # ingest date fails only the document (NULL here)
+        df = spark.createDataFrame(
+            [("1704110400",), ("not-a-number",)], "t string"
+        )
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["UNIX"],
+                       "ignore_failure": True}}]
+        ).apply(df)
+        got = sorted(
+            (r[0] for r in out.select(
+                F.unix_timestamp("`@timestamp`")).collect()),
+            key=lambda x: (x is None, x),
+        )
+        assert got == [1704110400, None]
+
+    def test_date_mixed_formats_fall_through(self, spark):
+        # a non-numeric value must fall through UNIX to the next format
+        df = spark.createDataFrame(
+            [("1704110400",), ("2024-01-01T12:00:00+00:00",)], "t string"
+        )
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["UNIX", "ISO8601"]}}]
+        ).apply(df)
+        got = {r[0] for r in out.select(F.unix_timestamp("`@timestamp`")).collect()}
+        assert got == {1704110400, 1704110400}
+
+    def test_date_unix_ms_keeps_millis(self, spark):
+        df = spark.createDataFrame([("1704110400123",)], "t string")
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["UNIX_MS"]}}]
+        ).apply(df)
+        micros = out.select(
+            (F.unix_micros("`@timestamp`")).alias("us")
+        ).first()["us"]
+        assert micros == 1704110400123000
+
+    def test_convert_dirty_value_nulls_not_crashes(self, spark):
+        df = spark.createDataFrame([("abc",), ("42",)], "n string")
+        out = IngestPipeline(
+            [{"convert": {"field": "n", "type": "long",
+                          "ignore_failure": True}}]
+        ).apply(df)
+        assert {r["n"] for r in out.collect()} == {None, 42}
+
+    def test_rename_target_exists_ignore_failure(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        out = IngestPipeline(
+            [{"rename": {"field": "a", "target_field": "b",
+                         "ignore_failure": True}}]
+        ).apply(df)
+        assert out.columns == ["a", "b"]  # document passes unchanged
+        with pytest.raises(IngestError):
+            IngestPipeline(
+                [{"rename": {"field": "a", "target_field": "b"}}]
+            ).apply(df)
+
+    def test_ignore_processors_skips_supported_steps_too(self, spark):
+        df = spark.createDataFrame([(1,)], "a long")
+        out = IngestPipeline(
+            [{"set": {"field": "tag", "value": "x"}}],
+            ignore_processors=("set",),
+        ).apply(df)
+        assert out.columns == ["a"]  # step skipped, not applied
+
     def test_convert_rename_set_case(self, spark):
         df = spark.createDataFrame([("42", "AbC")], "n string, s string")
         out = IngestPipeline(

@@ -190,3 +190,27 @@ def test_partial_resume_commits_only_new_buckets(spark, transcripts, tmp_path):
     assert m2.agg(F.sum("events_published")).collect()[0][0] == N_ROWS - n_first
     # and the data itself is complete with no duplicates
     assert spark.read.parquet(f"{out}/data").count() == N_ROWS
+
+
+def test_fresh_rerun_replaces_stale_partitions(spark, transcripts, tmp_path):
+    """A resume=False rerun over an existing root is a FULL replace:
+    partitions (and manifest/metrics rows) of the previous run must not
+    survive — dynamic partition overwrite alone would keep buckets the
+    new run doesn't produce."""
+    from beats_spark.operators.router import PART_COL, with_partition_id
+
+    out = str(tmp_path / "outf")
+    pipe = make_pipeline(spark)
+    pipe.run(spark, transcripts, out, run_id="f1")
+    assert spark.read.parquet(f"{out}/data").count() == N_ROWS
+
+    bucketed = with_partition_id(transcripts, pipe.n_buckets)
+    subset = bucketed.filter(F.col(PART_COL) % 2 == 0).drop(PART_COL)
+    res2 = pipe.run(spark, subset, out, run_id="f2")
+
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == res2.events_published < N_ROWS
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    assert {r["run_id"] for r in manifest.collect()} == {"f2"}
+    metrics = spark.read.parquet(f"{out}/_metrics")
+    assert {r["run_id"] for r in metrics.collect()} == {"f2"}

@@ -98,14 +98,18 @@ class TestDecodeJsonErrorKey:
         from beats_spark.operators.actions import DecodeJsonFields
 
         df = spark.createDataFrame(
-            [("null",), ("  null ",), ("null garbage",)], "props string"
+            [("null",), ("  null ",), ("null\n",), ("\tnull",),
+             ("null garbage",)],
+            "props string",
         )
         out = apply_chain(
             df, [DecodeJsonFields(fields=["props"], add_error_key=True)]
         ).collect()
         rows = {r["props"]: r["log_flags"] for r in out}
         assert rows["null"] == []
-        assert rows["  null "] == []  # whitespace-trimmed
+        assert rows["  null "] == []  # space padding
+        assert rows["null\n"] == []  # JSON whitespace incl. newline
+        assert rows["\tnull"] == []  # and tab
         assert rows["null garbage"] == ["json_decode_error"]
 
     def test_target_equals_source_rejected(self, spark):
