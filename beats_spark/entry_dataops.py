@@ -19,11 +19,13 @@ from .functions.textstats import (
     lang_id,
     lang_id_sql,
     quality_features,
+    quality_filter_oracle,
     quality_sql,
     token_count_bpe,
     token_count_ws,
 )
 from .operators.dedup import (
+    connected_components_sql,
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
@@ -38,6 +40,7 @@ from .operators.dedup import (
     simhash_hamming_pairs_sql,
     simhash_sql,
 )
+from .operators.decontam import ngram_overlap_sql
 from .operators.multimodal import (
     extract_features,
     multimodal_features_sql,
@@ -53,6 +56,7 @@ from .operators.similarity import (
     embedding_neardup_lsh_sql,
     embedding_neardup_pairs,
     embedding_neardup_sql,
+    kmeans_ivf_sql,
 )
 
 JACCARD_T = 0.2      # synthetic docs share vocabulary, not phrases —
@@ -132,6 +136,72 @@ def q_dedup_simhash(spark, sf_dir):
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def q_dedup_components(spark, sf_dir):
+    """near-dup CLUSTERS: minhash-LSH pairs → min-label-propagation
+    connected components (dedup.py connected_components); every doc
+    labeled with its canonical (minimum) reachable id + cluster
+    size — the select-one-per-cluster step every dedup pipeline ends
+    with."""
+    from .operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=MINHASH_T)
+    return connected_components(pairs, docs)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality filter (textstats.quality_filter):
+    per-rule booleans + the AND'd keep flag, map-side only."""
+    from .functions.textstats import quality_filter
+
+    rules = quality_filter(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators/redact.py): deterministic synthetic
+    lines embedding email/phone/ip/card/ssn; output the redacted text
+    plus sequential per-kind substitution counts."""
+    from .operators.redact import pii_counts, redact_text
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.format_string(
+        "u%d mail u%d@ex%d.com tel +1 (%03d) %03d-%04d ip 10.%d.%d.%d"
+        " card 4111-1111-1111-%04d %s",
+        F.col("user_id"),
+        F.col("user_id"),
+        F.pmod("event_id", F.lit(50)),
+        F.pmod("event_id", F.lit(1000)).cast("int"),
+        F.pmod(F.col("event_id") * 3, F.lit(1000)).cast("int"),
+        F.pmod(F.col("event_id") * 7, F.lit(10000)).cast("int"),
+        F.pmod("event_id", F.lit(256)),
+        F.pmod(F.col("event_id") * 3, F.lit(256)),
+        F.pmod(F.col("event_id") * 5, F.lit(256)),
+        F.pmod(F.col("event_id") * 11, F.lit(10000)).cast("int"),
+        F.col("event_type"),
+    )
+    base = ev.select("event_id", line.alias("text"))
+    return base.select(
+        "event_id",
+        redact_text(F.col("text")).alias("redacted"),
+        *pii_counts(F.col("text")),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """benchmark decontamination (operators/decontam.py): docs sharing
+    a 4-gram with the held-out set (doc_id % 97 == 0) are flagged;
+    benchmark n-grams broadcast, corpus never shuffles by gram."""
+    from .operators.decontam import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(corpus, bench, n=4, threshold=1)
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -227,6 +297,15 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_T)
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """trained-IVF cell assignment (similarity.py kmeans_ivf):
+    deterministic distributed Lloyd k-means (2 iterations, lowest-id
+    seeds) — replaces the r1 stub centroids with data-learned ones."""
+    from .operators.similarity import kmeans_ivf
+
+    return kmeans_ivf(_embs(spark, sf_dir), k=8, iters=2)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization fidelity per vector
     (operators/similarity.py): scale, worst reconstruction error,
@@ -297,6 +376,11 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "dedup_components": q_dedup_components,
+        "quality_filter": q_quality_filter,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
         "multiline_flush": q_multiline_flush,
@@ -312,6 +396,30 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # oracles
+
+
+def _pii_redact_oracle() -> str:
+    from .operators.redact import pii_counts_sql, redact_sql
+
+    line = (
+        "printf('u%d mail u%d@ex%d.com tel +1 (%03d) %03d-%04d"
+        " ip 10.%d.%d.%d card 4111-1111-1111-%04d %s',"
+        " user_id, user_id, event_id % 50,"
+        " event_id % 1000, (event_id * 3) % 1000,"
+        " (event_id * 7) % 10000,"
+        " event_id % 256, (event_id * 3) % 256, (event_id * 5) % 256,"
+        " (event_id * 11) % 10000, event_type)"
+    )
+    counts = ",\n       ".join(pii_counts_sql("text"))
+    return f"""
+WITH lines AS (
+  SELECT event_id, {line} AS text FROM events
+)
+SELECT event_id,
+       {redact_sql('text')} AS redacted,
+       {counts}
+FROM lines
+"""
 
 
 def _chunk_oracle() -> str:
@@ -356,6 +464,18 @@ FROM sh GROUP BY simhash32 HAVING count(*) > 1
 """,
         "dedup_simhash_hamming": simhash_hamming_pairs_sql(
             "documents", max_hamming=3
+        ),
+        "dedup_components": connected_components_sql(
+            minhash_lsh_pairs_sql("documents", MINHASH_T), "documents"
+        ),
+        "quality_filter": quality_filter_oracle("documents"),
+        "ann_ivf_trained": kmeans_ivf_sql("embeddings", k=8, iters=2),
+        "pii_redact": _pii_redact_oracle(),
+        "decontaminate": ngram_overlap_sql(
+            "SELECT * FROM documents WHERE doc_id % 97 <> 0",
+            "SELECT * FROM documents WHERE doc_id % 97 = 0",
+            n=4,
+            threshold=1,
         ),
         "dns_enrich": """
 WITH hosts AS (

@@ -436,7 +436,107 @@ WHERE round(inter / uni::DOUBLE, 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# connected components over near-dup pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from a pair list: the transitive closure of
+    (id_a, id_b) edges, labeling every vertex with the minimum id
+    reachable from it (the canonical document a dedup pipeline keeps).
+
+    Min-label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in
+    practice; ``max_iter`` is a guard, and non-convergence raises
+    rather than returning wrong labels). Each round is one join + one
+    groupBy on the vertex id — the standard scalable shape (Kiveris et
+    al. "Connected Components in MapReduce", SoCC'14 small-star is an
+    optimization of exactly this loop). The convergence check is a
+    driver-side count on a boolean aggregate, not a collect of data.
+
+    Returns (id, component_id, component_size) for EVERY vertex;
+    singletons are their own component.
+    """
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    comp = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
+    )
+    # materialize the starting labels so each round's plan contains
+    # ONE round, not the whole history (without this the lineage —
+    # and Catalyst analysis time — grows exponentially with rounds)
+    comp = comp.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp, edges.src == comp.v)
+            .select(F.col("dst").alias("v"), "comp")
+        )
+        new = (
+            comp.union(nbr_min)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        # one cheap fixpoint probe per round (count of changed labels)
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "v")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("v").alias(id_col),
+        F.col("comp").alias("component_id"),
+        "component_size",
+    )
+
+
+def connected_components_sql(
+    pairs_sql: str, table: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`connected_components`: recursive
+    transitive closure (fine at oracle scale), component = min
+    reachable id."""
+    return f"""
+WITH RECURSIVE base AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM base
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM base
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labeled AS (
+  SELECT t.{id_col} AS id,
+         least(t.{id_col}, coalesce(min(r.dst), t.{id_col}))
+           AS component_id
+  FROM {table} t LEFT JOIN reach r ON r.src = t.{id_col}
+  GROUP BY t.{id_col}
+)
+SELECT id AS {id_col}, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size
+FROM labeled
+"""
 
 SIMHASH_BITS = 32
 

@@ -415,6 +415,187 @@ FROM qd
 """
 
 
+# ---------------------------------------------------------------------------
+# trained IVF: deterministic distributed k-means (Lloyd)
+
+KMEANS_SCALE = 1_000_000
+
+
+def _km_scaled(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # floor(x*1e6 + 0.5) → exact longs: group-aggregation over floats
+    # is ORDER-DEPENDENT (fp addition isn't associative), so centroid
+    # updates sum integers (exact, order-free) and divide once
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(
+                x.cast("double") * KMEANS_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xq"),
+    )
+
+
+def _km_assign(xq: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by squared euclidean (scaled space), ties to
+    the lowest cell. Centroids are k rows → broadcast; the corpus
+    never shuffles for assignment."""
+    j = xq.crossJoin(F.broadcast(cents))
+    dist = F.aggregate(
+        F.zip_with(
+            "xq",
+            "cvec",
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("dist"), F.asc("cell"))
+    return (
+        j.withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "cell", "xq", "dist")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: exact integer element-wise sums / counts. Empty
+    cells simply vanish (deterministic on both engines)."""
+    cnt = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    sums = (
+        assigned.select("cell", F.posexplode("xq").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t.s,
+            ).alias("sums")
+        )
+    )
+    return sums.join(cnt, "cell").select(
+        "cell",
+        F.transform(
+            "sums", lambda s: s.cast("double") / F.col("n")
+        ).alias("cvec"),
+    )
+
+
+def kmeans_ivf(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED IVF assignment: deterministic distributed Lloyd k-means
+    (fixed iteration count; seeds = the k lowest-id vectors, cells
+    numbered by seed rank) followed by the final cell assignment.
+
+    Replaces the r1 stub centroids (ivf_centroid) with data-learned
+    ones while staying oracle-checkable: every float operation is an
+    identically-ordered fold, and the one aggregation that would be
+    order-sensitive (the centroid mean) sums exact scaled integers.
+    At 100 TB: per iteration one broadcast-join assignment pass (no
+    corpus shuffle) + one (cell, pos) aggregation of k×dim cells —
+    the textbook distributed k-means shape.
+
+    Returns (vec_id, cell, dist) with dist the squared euclidean in
+    ORIGINAL units, rounded 6 dp."""
+    xq = _km_scaled(df, id_col, vec_col)
+    w = Window.orderBy("vid")
+    cents = (
+        xq.orderBy("vid")
+        .limit(k)
+        .select(
+            F.row_number().over(w).alias("cell"),
+            F.transform("xq", lambda v: v.cast("double")).alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        cents = _km_update(_km_assign(xq, cents))
+    final = _km_assign(xq, cents)
+    return final.select(
+        F.col("vid").alias(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.round(
+            F.col("dist") / F.lit(float(KMEANS_SCALE) ** 2), 6
+        ).alias("dist"),
+    )
+
+
+def kmeans_ivf_sql(
+    table: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_ivf` — the Lloyd loop unrolled into
+    CTE pairs (aN = assignment, cN = centroid update)."""
+    def assign(cents: str) -> str:
+        return f"""(
+  SELECT vid, cell, xq, dist FROM (
+    SELECT vid, cell, xq, dist,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM (
+      SELECT x.vid, c.cell, x.xq,
+             list_sum(list_transform(list_zip(x.xq, c.cvec),
+               p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))
+               AS dist
+      FROM xq x CROSS JOIN {cents} c
+    )
+  ) WHERE rn = 1
+)"""
+
+    def update(assigned: str) -> str:
+        return f"""(
+  SELECT s.cell,
+         list_transform(s.sums, v -> v::DOUBLE / n.n) AS cvec
+  FROM (
+    SELECT cell, list(s ORDER BY pos) AS sums FROM (
+      SELECT cell, t.i AS pos, CAST(sum(xq[t.i]) AS BIGINT) AS s
+      FROM {assigned} CROSS JOIN generate_series(1, {dim}) AS t(i)
+      GROUP BY cell, t.i
+    ) GROUP BY cell
+  ) s JOIN (
+    SELECT cell, count(*) AS n FROM {assigned} GROUP BY cell
+  ) n USING (cell)
+)"""
+
+    ctes = [
+        f"""xq AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col},
+           x -> CAST(floor(x::DOUBLE * {KMEANS_SCALE} + 0.5) AS BIGINT))
+           AS xq
+  FROM {table}
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cell,
+         list_transform(xq, v -> v::DOUBLE) AS cvec
+  FROM (SELECT vid, xq FROM xq ORDER BY vid LIMIT {k})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS {assign(prev)}")
+        ctes.append(f"c{i} AS {update(f'a{i}')}")
+        prev = f"c{i}"
+    ctes.append(f"af AS {assign(prev)}")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vid AS {id_col}, CAST(cell AS BIGINT) AS cell,
+       round(dist / {float(KMEANS_SCALE) ** 2:.1f}, 6) AS dist
+FROM af
+"""
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,177 @@
+"""Training-data curation operators: PII redaction, quality filter,
+connected components, decontamination, trained-IVF k-means."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.decontam import ngram_overlap
+from beats_spark.operators.dedup import connected_components
+from beats_spark.operators.redact import PII_PATTERNS, pii_counts, redact_text
+from beats_spark.functions.textstats import QUALITY_RULES, quality_filter
+
+
+class TestRedact:
+    def test_each_kind_redacts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write to alice.smith+x@corp.example.org today"),
+                (2, "card 4111 1111 1111 1111 on file"),
+                (3, "ssn 123-45-6789 leaked"),
+                (4, "call +1 (415) 555-0100 now"),
+                (5, "host 192.168.10.250 down"),
+                (6, "nothing sensitive here"),
+            ],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r["red"]
+            for r in df.select(
+                "id", redact_text(F.col("text")).alias("red")
+            ).collect()
+        }
+        assert rows[1] == "write to [EMAIL] today"
+        assert rows[2] == "card [CARD] on file"
+        assert rows[3] == "ssn [SSN] leaked"
+        assert rows[4] == "call [PHONE] now"
+        assert rows[5] == "host [IPV4] down"
+        assert rows[6] == "nothing sensitive here"
+
+    def test_card_wins_over_phone(self, spark):
+        # declaration order: a 16-digit card is not half-eaten as phone
+        df = spark.createDataFrame(
+            [("pay 4111-1111-1111-1111 ok",)], "text string"
+        )
+        out = df.select(redact_text(F.col("text")).alias("r")).first()["r"]
+        assert out == "pay [CARD] ok"
+
+    def test_counts_sum_to_substitutions(self, spark):
+        df = spark.createDataFrame(
+            [("a@b.co and c@d.io ip 1.2.3.4",)], "text string"
+        )
+        r = df.select(*pii_counts(F.col("text"))).first()
+        assert r["n_email"] == 2 and r["n_ipv4"] == 1
+        assert r["n_card"] == 0 and r["n_phone"] == 0 and r["n_ssn"] == 0
+
+    def test_patterns_are_re2_safe(self):
+        # the DuckDB oracle runs the same strings through RE2: no
+        # lookarounds or backreferences allowed
+        for pat in PII_PATTERNS.values():
+            assert "(?=" not in pat and "(?<" not in pat and "\\1" not in pat
+
+
+class TestQualityFilter:
+    def test_rules_and_keep(self, spark):
+        good = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [
+                (1, good),
+                (2, "word " * 2),             # too few tokens
+                (3, "zz qq ww ee rr tt yy"),  # no stopwords
+                (4, good + " !!!" * 40),      # punctuation soup
+            ],
+            "id long, text string",
+        )
+        rules = quality_filter(F.col("text"))
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[c.alias(n) for n, c in rules.items()]
+            ).collect()
+        }
+        assert rows[1]["keep"] is True
+        assert rows[2]["r_len"] is False and rows[2]["keep"] is False
+        assert rows[3]["r_stop"] is False and rows[3]["keep"] is False
+        assert rows[4]["r_punct"] is False and rows[4]["keep"] is False
+
+    def test_thresholds_exported(self):
+        assert set(QUALITY_RULES) == {
+            "min_tokens", "max_tokens", "min_mean_token_len",
+            "max_mean_token_len", "max_punct_ratio", "min_stopword_ratio",
+        }
+
+
+class TestConnectedComponents:
+    def test_chain_and_singleton(self, spark):
+        # 1-2, 2-3 chain plus isolated 9: one 3-cluster, one singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame(
+            [(1,), (2,), (3,), (9,)], "doc_id long"
+        )
+        out = {
+            r["doc_id"]: (r["component_id"], r["component_size"])
+            for r in connected_components(pairs, verts).collect()
+        }
+        assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+        assert out[9] == (9, 1)
+
+    def test_long_chain_converges(self, spark):
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+        out = connected_components(pairs, verts).collect()
+        assert {r["component_id"] for r in out} == {0}
+        assert all(r["component_size"] == n + 1 for r in out)
+
+    def test_nonconvergence_raises(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        verts = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, verts, max_iter=0)
+
+
+class TestDecontam:
+    def test_overlap_flags(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the capital of france is paris obviously")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "we know the capital of france is paris"),  # shares 4-grams
+                (2, "completely different words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in ngram_overlap(corpus, bench, n=4).collect()
+        }
+        assert out[1][0] >= 2 and out[1][1] is True
+        assert out[2] == (0, False)
+
+
+class TestKmeansIvf:
+    def test_deterministic_and_partitions_all(self, spark):
+        from beats_spark.operators.similarity import kmeans_ivf
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 13) / 13.0 for j in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {(r["vec_id"], r["cell"]) for r in kmeans_ivf(df, k=4, iters=2).collect()}
+        b = {(r["vec_id"], r["cell"]) for r in kmeans_ivf(df, k=4, iters=2).collect()}
+        assert a == b  # bit-identical across runs
+        assert len(a) == 40  # every vector assigned exactly once
+        assert {c for _, c in a} <= {1, 2, 3, 4}
+
+    def test_training_moves_centroids(self, spark):
+        from beats_spark.operators.similarity import kmeans_ivf
+
+        # two tight blobs far apart: after training, assignment must
+        # split exactly along the blobs regardless of seed placement
+        rows = [(i, [0.0 + (i % 3) * 0.01] * 4) for i in range(10)] + [
+            (i, [100.0 + (i % 3) * 0.01] * 4) for i in range(10, 20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_ivf(df, k=2, iters=2).collect()
+        cells_low = {r["cell"] for r in out if r["vec_id"] < 10}
+        cells_high = {r["cell"] for r in out if r["vec_id"] >= 10}
+        assert len(cells_low) == 1 and len(cells_high) == 1
+        assert cells_low != cells_high
