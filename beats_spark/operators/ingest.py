@@ -40,6 +40,33 @@ class IngestError(ValueError):
     pass
 
 
+def load_ingest_pipeline(
+    source: str | Mapping[str, Any],
+    ignore_processors: Sequence[str] = ("user_agent", "geoip"),
+) -> "IngestPipeline":
+    """Build an :class:`IngestPipeline` from an ES ingest-pipeline
+    document — the JSON format filebeat modules ship and upload at
+    setup (``/root/reference/filebeat/fileset/pipelines.go:60-120``):
+    ``{"description": ..., "processors": [...], "on_failure": [...]}``.
+
+    Accepts a JSON string or an already-parsed mapping. ``on_failure``
+    handlers are driver-level error routing in the ingest node; our
+    step compilation surfaces failures as NULLs/flags instead, so the
+    block is validated for shape but not executed (documented
+    divergence, not a silent drop)."""
+    import json
+
+    doc = json.loads(source) if isinstance(source, str) else source
+    if "processors" not in doc:
+        raise IngestError("ingest pipeline document has no 'processors'")
+    on_failure = doc.get("on_failure", [])
+    if not isinstance(on_failure, list):
+        raise IngestError("'on_failure' must be a list of steps")
+    return IngestPipeline(
+        steps=list(doc["processors"]), ignore_processors=ignore_processors
+    )
+
+
 def _fcol(name: str) -> Column:
     return F.col("`" + name + "`")
 

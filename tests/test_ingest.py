@@ -204,6 +204,31 @@ class TestSteps:
         with pytest.raises(IngestError):
             IngestPipeline([{"frobnicate": {"field": "a"}}]).apply(df)
 
+    def test_load_pipeline_document(self, spark, lines):
+        # the module-pipeline JSON format loads directly (shape of
+        # filebeat/module/apache/access/ingest/default.json)
+        import json
+
+        from beats_spark.operators.ingest import load_ingest_pipeline
+
+        doc = json.dumps(
+            {
+                "description": "test program",
+                "processors": APACHE_STEPS,
+                "on_failure": [
+                    {"set": {"field": "error.message",
+                             "value": "{{ _ingest.on_failure_message }}"}}
+                ],
+            }
+        )
+        out = load_ingest_pipeline(doc).apply(lines)
+        assert "message" not in out.columns
+        assert "@timestamp" in out.columns
+        from beats_spark.operators.ingest import IngestError
+
+        with pytest.raises(IngestError):
+            load_ingest_pipeline("{}")
+
     def test_translate_joda(self):
         assert translate_joda("dd/MMM/yyyy:H:m:s Z") == "dd/MMM/yyyy:H:m:s Z"
         assert translate_joda("yyyy-MM-dd HH:mm:ss ZZ") == "yyyy-MM-dd HH:mm:ss XXX"
