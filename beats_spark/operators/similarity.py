@@ -475,7 +475,8 @@ def _km_update(assigned: DataFrame) -> DataFrame:
             ).alias("sums")
         )
     )
-    return sums.join(cnt, "cell").select(
+    # both sides are k rows — never let this become a sort-merge join
+    return sums.join(F.broadcast(cnt), "cell").select(
         "cell",
         F.transform(
             "sums", lambda s: s.cast("double") / F.col("n")

@@ -18,8 +18,21 @@ def test_gc_compacts_but_preserves_resume(spark, tmp_path):
         default_sink="misc",
         n_buckets=8,
     )
-    for i in range(4):
-        p.run(spark, df, out, run_id=f"r{i}")
+    # one real run, then three appended manifest generations (a fresh
+    # run now CLEARS the root, so multi-generation history only arises
+    # on long-lived resumed outputs — synthesize that history here)
+    p.run(spark, df, out, run_id="r0")
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{out}/_manifest")
+    for i in range(1, 4):
+        gen = base.withColumn("run_id", F.lit(f"r{i}")).withColumn(
+            "updated_ts",
+            F.col("updated_ts") + F.expr(f"INTERVAL {i} SECONDS"),
+        )
+        from beats_spark.operators.manifest import append_manifest
+
+        append_manifest(gen, out)
 
     done_before = read_done_parts(spark, out)
     before = spark.read.parquet(f"{out}/_manifest").count()

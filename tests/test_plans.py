@@ -135,3 +135,60 @@ class TestWholeStageCodegen:
 
         assert re.search(r"\*\(\d+\)", plan)
         assert "EvalPython" not in plan
+
+
+class TestCurationPlans:
+    """100-TB shape guards for the round-2 curation operators."""
+
+    def test_decontam_benchmark_join_is_broadcast(self, spark):
+        from beats_spark.operators.decontam import ngram_overlap
+
+        docs = spark.createDataFrame(
+            [(i, f"some text body number {i} with words") for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = ngram_overlap(docs, docs.limit(5), n=3)
+        plan = _plan(out)
+        # the benchmark-gram join must broadcast (the corpus is TBs,
+        # the benchmark is MBs) — the corpus must NEVER be shuffled by
+        # n-gram. The final hits join keys on the doc id (fixed-width;
+        # AQE broadcasts small hit sets at runtime), which is fine.
+        assert "BroadcastHashJoin" in plan
+        assert "hashpartitioning(g" not in plan
+
+    def test_kmeans_assignment_broadcasts_centroids(self, spark):
+        from beats_spark.operators.similarity import kmeans_ivf
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 7)] * 4) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = _plan(kmeans_ivf(vecs, k=2, iters=1))
+        # every assignment pass must broadcast the k-row centroid side:
+        # the corpus never shuffles for assignment
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_redaction_is_single_stage(self, spark, transcripts_on_disk):
+        from beats_spark.operators.redact import pii_counts, redact_text
+
+        df = spark.read.parquet(transcripts_on_disk)
+        out = df.select(
+            redact_text(F.col("text")).alias("r"),
+            *pii_counts(F.col("text")),
+        )
+        plan = _plan(out)
+        # pure map work: no exchange, no Python eval
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_quality_filter_is_single_stage(self, spark, transcripts_on_disk):
+        from beats_spark.functions.textstats import quality_filter
+
+        df = spark.read.parquet(transcripts_on_disk)
+        rules = quality_filter(F.col("text"))
+        out = df.select(*[c.alias(n) for n, c in rules.items()])
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
