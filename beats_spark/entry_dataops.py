@@ -152,14 +152,12 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_quality_filter(spark, sf_dir):
-    """Gopher-style composite quality filter (textstats.quality_filter):
-    per-rule booleans + the AND'd keep flag, map-side only."""
-    from .functions.textstats import quality_filter
+    """Gopher-style composite quality filter
+    (textstats.quality_filter_df): per-rule booleans + the AND'd keep
+    flag, map-side only, features materialized once per row."""
+    from .functions.textstats import quality_filter_df
 
-    rules = quality_filter(F.col("text"))
-    return _docs(spark, sf_dir).select(
-        "doc_id", *[c.alias(name) for name, c in rules.items()]
-    )
+    return quality_filter_df(_docs(spark, sf_dir))
 
 
 def q_pii_redact(spark, sf_dir):
@@ -168,7 +166,7 @@ def q_pii_redact(spark, sf_dir):
     plus sequential per-kind substitution counts."""
     from .operators.redact import pii_counts, redact_text
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     line = F.format_string(
         "u%d mail u%d@ex%d.com tel +1 (%03d) %03d-%04d ip 10.%d.%d.%d"
         " card 4111-1111-1111-%04d %s",

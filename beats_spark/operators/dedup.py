@@ -465,9 +465,16 @@ def connected_components(
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the edge list ONCE — pairs is usually the tail of an
+    # expensive pipeline (LSH banding + verify), and without this every
+    # propagation round re-executes all of it
+    edges = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     comp = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
     )

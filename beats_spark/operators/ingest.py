@@ -56,9 +56,17 @@ def load_ingest_pipeline(
     divergence, not a silent drop)."""
     import json
 
-    doc = json.loads(source) if isinstance(source, str) else source
-    if "processors" not in doc:
+    if isinstance(source, str):
+        try:
+            doc = json.loads(source)
+        except json.JSONDecodeError as e:
+            raise IngestError(f"invalid pipeline JSON: {e}") from e
+    else:
+        doc = source
+    if not isinstance(doc, Mapping) or "processors" not in doc:
         raise IngestError("ingest pipeline document has no 'processors'")
+    if not isinstance(doc["processors"], list):
+        raise IngestError("'processors' must be a list of steps")
     on_failure = doc.get("on_failure", [])
     if not isinstance(on_failure, list):
         raise IngestError("'on_failure' must be a list of steps")

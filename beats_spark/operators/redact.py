@@ -33,7 +33,9 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
     "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "phone": r"(\+\d{1,3}[ -]?)?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}\b",
+    # \b before the area-code digits: without it the pattern matches
+    # MID-digit-run and half-redacts serial numbers ('ref 91234-...')
+    "phone": r"(\+\d{1,3}[ -]?)?\(?\b\d{3}\)?[ -]\d{3}[ -]\d{4}\b",
     "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
 }
 

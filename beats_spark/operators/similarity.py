@@ -436,26 +436,38 @@ def _km_scaled(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _km_assign(xq: DataFrame, cents: DataFrame) -> DataFrame:
+def _km_assign(xq: DataFrame, cent_rows: list) -> DataFrame:
     """Nearest centroid by squared euclidean (scaled space), ties to
-    the lowest cell. Centroids are k rows → broadcast; the corpus
-    never shuffles for assignment."""
-    j = xq.crossJoin(F.broadcast(cents))
-    dist = F.aggregate(
-        F.zip_with(
-            "xq",
-            "cvec",
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    the lowest cell. Centroids arrive as driver-side literals (k×dim
+    doubles — bytes, not data), so assignment is a PURE MAP: zero
+    shuffle, no join, no window sort. The r1-style crossJoin+window
+    alternative shuffled and sorted n×k rows per pass — the plan test
+    pins this shape."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "xq",
+                        F.array(*[F.lit(float(x)) for x in cvec]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in cent_rows
+        ]
     )
-    w = Window.partitionBy("vid").orderBy(F.asc("dist"), F.asc("cell"))
-    return (
-        j.withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "cell", "xq", "dist")
+    # struct comparison is lexicographic: min dist, tie → lowest cell
+    best = F.array_min(scored)
+    return xq.select(
+        "vid",
+        best["cell"].alias("cell"),
+        "xq",
+        best["dist"].alias("dist"),
     )
 
 
@@ -505,7 +517,11 @@ def kmeans_ivf(
 
     Returns (vec_id, cell, dist) with dist the squared euclidean in
     ORIGINAL units, rounded 6 dp."""
-    xq = _km_scaled(df, id_col, vec_col)
+    # materialize the scaled matrix once — every iteration (and the
+    # final assignment) scans it; without this each pass re-reads and
+    # re-scales the raw embeddings (MLlib's KMeans caches its input
+    # for the same reason)
+    xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
     w = Window.orderBy("vid")
     cents = (
         xq.orderBy("vid")
@@ -515,9 +531,15 @@ def kmeans_ivf(
             F.transform("xq", lambda v: v.cast("double")).alias("cvec"),
         )
     )
+
+    def rows(cdf: DataFrame) -> list:
+        # k×dim doubles to the driver — centroid VALUES, not data;
+        # re-lit as Python floats round-trips IEEE-exactly
+        return [(r["cell"], list(r["cvec"])) for r in cdf.collect()]
+
     for _ in range(iters):
-        cents = _km_update(_km_assign(xq, cents))
-    final = _km_assign(xq, cents)
+        cents = _km_update(_km_assign(xq, rows(cents)))
+    final = _km_assign(xq, rows(cents))
     return final.select(
         F.col("vid").alias(id_col),
         F.col("cell").cast("long").alias("cell"),
@@ -531,12 +553,13 @@ def kmeans_ivf_sql(
     table: str,
     k: int = 8,
     iters: int = 2,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
     """DuckDB twin of :func:`kmeans_ivf` — the Lloyd loop unrolled into
-    CTE pairs (aN = assignment, cN = centroid update)."""
+    CTE pairs (aN = assignment, cN = centroid update). Positions come
+    from ``len(xq)`` per row, not a dimension parameter, so any
+    embedding width stays lock-step with the Spark side."""
     def assign(cents: str) -> str:
         return f"""(
   SELECT vid, cell, xq, dist FROM (
@@ -560,7 +583,7 @@ def kmeans_ivf_sql(
   FROM (
     SELECT cell, list(s ORDER BY pos) AS sums FROM (
       SELECT cell, t.i AS pos, CAST(sum(xq[t.i]) AS BIGINT) AS s
-      FROM {assigned} CROSS JOIN generate_series(1, {dim}) AS t(i)
+      FROM {assigned}, unnest(generate_series(1, len(xq))) AS t(i)
       GROUP BY cell, t.i
     ) GROUP BY cell
   ) s JOIN (

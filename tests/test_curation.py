@@ -54,6 +54,15 @@ class TestRedact:
         assert r["n_email"] == 2 and r["n_ipv4"] == 1
         assert r["n_card"] == 0 and r["n_phone"] == 0 and r["n_ssn"] == 0
 
+    def test_phone_never_matches_mid_digit_run(self, spark):
+        # a serial number must not be half-redacted (leading digits
+        # leaking around a [PHONE] tag)
+        df = spark.createDataFrame(
+            [("ref 91234-567-8901 is an order id",)], "text string"
+        )
+        out = df.select(redact_text(F.col("text")).alias("r")).first()["r"]
+        assert out == "ref 91234-567-8901 is an order id"
+
     def test_patterns_are_re2_safe(self):
         # the DuckDB oracle runs the same strings through RE2: no
         # lookarounds or backreferences allowed
@@ -84,6 +93,39 @@ class TestQualityFilter:
         assert rows[2]["r_len"] is False and rows[2]["keep"] is False
         assert rows[3]["r_stop"] is False and rows[3]["keep"] is False
         assert rows[4]["r_punct"] is False and rows[4]["keep"] is False
+
+    def test_df_variant_matches_and_materializes_once(self, spark):
+        from beats_spark.functions.textstats import quality_filter_df
+
+        good = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, good), (2, "word word")], "doc_id long, text string"
+        )
+        rules = quality_filter(F.col("text"))
+        inline = {
+            r["doc_id"]: tuple(r[n] for n in rules)
+            for r in df.select(
+                "doc_id", *[c.alias(n) for n, c in rules.items()]
+            ).collect()
+        }
+        staged = {
+            r["doc_id"]: tuple(r[n] for n in rules)
+            for r in quality_filter_df(df).collect()
+        }
+        assert staged == inline
+        # the staged plan tokenizes once per FEATURE; the inline form
+        # re-inlines the feature subtrees into every rule AND keep
+        def tokenizations(dfx) -> int:
+            return str(dfx._jdf.queryExecution().optimizedPlan()).count(
+                "split(trim"
+            )
+
+        staged_n = tokenizations(quality_filter_df(df))
+        inline_n = tokenizations(
+            df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+        )
+        assert staged_n < inline_n
+        assert staged_n <= 5  # the feature projection's own tokenizations
 
     def test_thresholds_exported(self):
         assert set(QUALITY_RULES) == {

@@ -164,10 +164,12 @@ class TestCurationPlans:
             "vec_id long, embedding array<float>",
         )
         plan = _plan(kmeans_ivf(vecs, k=2, iters=1))
-        # every assignment pass must broadcast the k-row centroid side:
-        # the corpus never shuffles for assignment
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        # assignment embeds the k x dim centroids as literals, so the
+        # final pass is a PURE MAP over the corpus: no join of any
+        # kind, no exchange, no sort (the r1-style crossJoin+window
+        # shuffled and sorted n*k rows per pass)
+        assert "Join" not in plan
+        assert "Exchange" not in plan
         assert "CartesianProduct" not in plan
 
     def test_redaction_is_single_stage(self, spark, transcripts_on_disk):
