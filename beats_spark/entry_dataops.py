@@ -41,6 +41,7 @@ from .operators.dedup import (
     simhash_sql,
 )
 from .operators.decontam import ngram_overlap_sql
+from .operators.sampling import pack_sequences_sql, stratified_sample_sql
 from .operators.multimodal import (
     extract_features,
     multimodal_features_sql,
@@ -200,6 +201,32 @@ def q_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return ngram_overlap(corpus, bench, n=4, threshold=1)
+
+
+#: data-mixing rates for the stratified-sample query (keep all rare
+#: languages, downsample the rest)
+SAMPLE_RATES = {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """deterministic stratified sampling (operators/sampling.py): the
+    keep-decision is a pure md5 function of doc_id, reproducible
+    across engines, runs, and repartitioning."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        SAMPLE_RATES,
+        default_rate=0.5,
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """training-pack assignment (operators/sampling.py): contiguous
+    fill of 256-token packs per source in stable doc order."""
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), token_budget=256)
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -379,6 +406,8 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "dns_enrich": q_dns_enrich,
         "multiline_combine": q_multiline_combine,
         "multiline_flush": q_multiline_flush,
@@ -475,6 +504,12 @@ FROM sh GROUP BY simhash32 HAVING count(*) > 1
             n=4,
             threshold=1,
         ),
+        "stratified_sample": stratified_sample_sql(
+            "(SELECT doc_id, lang FROM documents)",
+            SAMPLE_RATES,
+            default_rate=0.5,
+        ),
+        "pack_sequences": pack_sequences_sql("documents", token_budget=256),
         "dns_enrich": """
 WITH hosts AS (
   SELECT doc_id, 'host-' || source AS host FROM documents

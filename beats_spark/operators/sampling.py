@@ -1,0 +1,132 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines (pure extensions per the brief — no reference analog).
+
+Sampling uses the repo's portable md5 word-code (functions/textstats)
+instead of Spark's ``sample()``: the decision is a pure function of
+the row KEY, so it is reproducible across engines (DuckDB oracle),
+across runs, and across repartitioning — ``df.sample`` is none of
+those. Map-side only; composes with any downstream shuffle.
+
+Sequence packing assigns documents to fixed-token-budget training
+packs: contiguous fill in stable (group, order) sequence via a
+windowed cumulative sum. A document that crosses a boundary belongs
+to the pack its FIRST token falls in (documented greedy-contiguous
+semantics; packers that split documents are a chunking concern —
+operators/chunking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count_ws, word_code
+
+SAMPLE_MOD = 1_000_000
+
+
+def sample_hash(key: Column, rate: float) -> Column:
+    """Deterministic keep-decision: md5-derived code of the key mod
+    1e6 < rate·1e6. Same row → same verdict on any engine."""
+    return F.pmod(word_code(key.cast("string")), F.lit(SAMPLE_MOD)) < int(
+        rate * SAMPLE_MOD
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the data-mixing knob of a
+    training pipeline: e.g. keep 100% of rare languages, 10% of the
+    dominant one). Unlisted strata get ``default_rate``."""
+    rate = None
+    for stratum, r in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate_col = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    keep = F.pmod(
+        word_code(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD)
+    ) < (rate_col * SAMPLE_MOD).cast("long")
+    return df.where(keep)
+
+
+def stratified_sample_sql(
+    table: str,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    from ..functions.textstats import word_code_sql
+
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {float(r)}" for s, r in rates.items()
+    )
+    code = word_code_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+SELECT * FROM {table}
+WHERE {code} % {SAMPLE_MOD} <
+      CAST((CASE {whens} ELSE {float(default_rate)} END) * {SAMPLE_MOD}
+           AS BIGINT)
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training pack: stable (group, order)
+    sequence, contiguous fill of ``token_budget`` whitespace tokens —
+    pack_id = floor(exclusive-prefix-tokens / budget). One window over
+    the (group, order) sort the fan-out writer needs anyway; at scale
+    the shuffle keys on the group column exactly like the router."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count_ws(F.col(text_col)).cast("long")
+    prefix = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    return df.select(
+        group_col,
+        order_col,
+        n_tok.alias("n_tokens"),
+        F.floor(prefix / token_budget).cast("long").alias("pack_id"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    token_budget: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from ..functions.textstats import WORDS_SQL
+
+    toks = f"CAST(len({WORDS_SQL.format(c=text_col)}) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT {group_col}, {order_col}, {toks} AS n_tokens FROM {table}
+)
+SELECT {group_col}, {order_col}, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+              PARTITION BY {group_col} ORDER BY {order_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {token_budget}) AS BIGINT) AS pack_id
+FROM t
+"""

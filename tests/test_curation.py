@@ -188,6 +188,62 @@ class TestDecontam:
         assert out[2] == (0, False)
 
 
+class TestSamplingPacking:
+    def test_stratified_rates_and_determinism(self, spark):
+        from beats_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+            "doc_id long, lang string",
+        )
+        out1 = stratified_sample(df, {"en": 0.2, "fr": 1.0})
+        got = {
+            r["lang"]: r["n"]
+            for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert got["fr"] == 1000  # rate 1.0 keeps everything
+        assert 120 <= got["en"] <= 280  # ~20% of 1000, hash-uniform
+        # deterministic: identical keep-set on a rerun AND after a
+        # repartition (df.sample guarantees neither)
+        ids1 = {r["doc_id"] for r in out1.collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in stratified_sample(
+                df.repartition(7), {"en": 0.2, "fr": 1.0}
+            ).collect()
+        }
+        assert ids1 == ids2
+
+    def test_default_rate_zero_drops_unlisted(self, spark):
+        from beats_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "xx"), (2, "en")], "doc_id long, lang string"
+        )
+        out = stratified_sample(df, {"en": 1.0}).collect()
+        assert [r["lang"] for r in out] == ["en"]
+
+    def test_pack_sequences_contiguous_fill(self, spark):
+        from beats_spark.operators.sampling import pack_sequences
+
+        rows = [
+            ("s1", 0, "a " * 100),  # 100 tokens -> pack 0 (prefix 0)
+            ("s1", 1, "b " * 100),  # prefix 100 -> pack 0
+            ("s1", 2, "c " * 100),  # prefix 200 -> pack 0 (crosses edge)
+            ("s1", 3, "d " * 100),  # prefix 300 -> pack 1
+            ("s2", 0, "e " * 10),   # fresh group -> pack 0
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id int, text string")
+        out = {
+            (r["source"], r["doc_id"]): r["pack_id"]
+            for r in pack_sequences(df, token_budget=256).collect()
+        }
+        assert out[("s1", 0)] == 0 and out[("s1", 1)] == 0
+        assert out[("s1", 2)] == 0  # first token inside budget
+        assert out[("s1", 3)] == 1
+        assert out[("s2", 0)] == 0
+
+
 class TestKmeansIvf:
     def test_deterministic_and_partitions_all(self, spark):
         from beats_spark.operators.similarity import kmeans_ivf
