@@ -42,6 +42,7 @@ from typing import Any, Mapping, Sequence
 
 from .operators import actions as A
 from .operators.enrich import DnsEnrich
+from .operators.ingest import IngestProcessor
 from .operators.selector import Rule
 from .plans.pipeline import Pipeline
 
@@ -68,6 +69,7 @@ _PROCESSORS: dict[str, type] = {
     "rename": A.Rename,
     "truncate_fields": A.TruncateFields,
     "dns": DnsEnrich,
+    "ingest_pipeline": IngestProcessor,
 }
 
 

@@ -160,6 +160,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -175,6 +176,13 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sz", F.size("sh"))
+    if materialize:
+        # the shingle table is consumed FOUR times (dfreq, ordered,
+        # and both verify sides) — tokenize once instead of four
+        # times. At very large scale where executor storage is the
+        # constraint, pass materialize=False to trade recompute for
+        # storage.
+        sh = sh.localCheckpoint()
 
     cand = _ppjoin_candidates(sh, threshold)
 

@@ -245,3 +245,33 @@ class IngestPipeline:
                 return df
             raise IngestError(f"case field missing: {field}")
         return df.withColumn(field, fn(_fcol(field)))
+
+
+class IngestProcessor:
+    """Processor-chain adapter so a module ingest program slots into a
+    YAML pipeline config (``- ingest_pipeline: {steps: [...]}`` or
+    ``{document: <pipeline JSON mapping>}``). Whole-frame transform —
+    a ``when:`` guard is rejected (ES runs ingest per index request,
+    not per-event-conditionally)."""
+
+    def __init__(
+        self,
+        steps: Sequence[Mapping[str, Any]] | None = None,
+        document: Mapping[str, Any] | str | None = None,
+    ) -> None:
+        if (steps is None) == (document is None):
+            raise IngestError(
+                "ingest_pipeline needs exactly one of steps/document"
+            )
+        self._pipeline = (
+            IngestPipeline(steps=list(steps))
+            if steps is not None
+            else load_ingest_pipeline(document)
+        )
+
+    def apply(self, df: DataFrame, guard=None) -> DataFrame:
+        if guard is not None:
+            raise NotImplementedError(
+                "ingest_pipeline under a when: guard is not supported"
+            )
+        return self._pipeline.apply(df)

@@ -116,3 +116,36 @@ output:
 def test_config_errors_at_compile_time(yaml_text, match):
     with pytest.raises(ConfigError, match=match):
         load_pipeline(yaml_text)
+
+
+def test_ingest_pipeline_processor_in_config(spark):
+    from beats_spark.config import load_pipeline
+
+    p = load_pipeline(
+        """
+processors:
+  - ingest_pipeline:
+      steps:
+        - set: {field: source, value: cfg}
+        - uppercase: {field: source}
+output:
+  default: misc
+"""
+    )
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", None)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    out = p.transform(df)
+    assert out.first()["source"] == "CFG"
+
+
+def test_ingest_pipeline_config_validation():
+    import pytest as _pytest
+
+    from beats_spark.operators.ingest import IngestError, IngestProcessor
+
+    with _pytest.raises(IngestError):
+        IngestProcessor()  # neither steps nor document
+    with _pytest.raises(IngestError):
+        IngestProcessor(steps=[], document={"processors": []})  # both
