@@ -281,6 +281,13 @@ def minhash_signature(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
+    return _signature_from_sh(sh, k)
+
+
+def _signature_from_sh(sh: DataFrame, k: int) -> DataFrame:
+    """Signature columns from an ``(id, sh)`` shingle frame (shared by
+    the standalone signature op and the LSH pipeline, which
+    materializes ``sh`` once for signature + verify)."""
     hx = sh.select("id", F.transform("sh", F.md5).alias("hx"))
     cs = hx.select(
         "id",
@@ -354,7 +361,12 @@ def minhash_lsh_pairs(
     fanout, and the verify join touches only candidate pairs. The
     band bucket join is the 100 TB-safe replacement for the
     all-pairs shingle join."""
-    sig = minhash_signature(df, k, n, text_col, id_col)
+    # one tokenization: the shingle table feeds BOTH the signature
+    # chain and the verify join
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).localCheckpoint()
+    sig = _signature_from_sh(sh, k)
     n_bands = k // rows_per_band
     bands = sig.select(
         "id",
@@ -382,9 +394,6 @@ def minhash_lsh_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     joined = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -632,8 +641,13 @@ def simhash_hamming_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sh = simhash_df(df, bits, text_col, id_col, out_col="fp").select(
-        F.col(id_col).alias("id"), "fp"
+    # fingerprint table is tiny (id + one long) and consumed three
+    # times (banding + both verify sides) — compute the 32 bit-votes
+    # once
+    sh = (
+        simhash_df(df, bits, text_col, id_col, out_col="fp")
+        .select(F.col(id_col).alias("id"), "fp")
+        .localCheckpoint()
     )
     bands = sh.select(
         "id",
