@@ -307,6 +307,13 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
 
 
+def q_ann_ivf_nprobe2(spark, sf_dir):
+    """multi-probe IVF (similarity.py ann_ivf_topk nprobe=2): each
+    query probes its TWO nearest cells — recall up at 2/n_centroids of
+    the corpus touched per query."""
+    return ann_ivf_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K, nprobe=2)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact within-label evaluation variant — the data-column block is
     quadratic within a block and is NOT the scale default."""
@@ -396,6 +403,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -477,6 +485,9 @@ SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
         "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_ivf": ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        "ann_ivf_nprobe2": ann_ivf_topk_sql(
+            "embeddings", ANN_QUERIES, ANN_K, nprobe=2
+        ),
         "embedding_neardup": embedding_neardup_sql("embeddings", NEARDUP_T),
         "embedding_neardup_lsh": embedding_neardup_lsh_sql(
             "embeddings", NEARDUP_T

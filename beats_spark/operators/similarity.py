@@ -234,6 +234,25 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return (-F.array_max(scored)["neg_idx"]).cast("int")
 
 
+def ivf_probe_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest centroid ids by descending dot product,
+    ties to the LOWEST centroid id — element 1 equals
+    :func:`ivf_assign` (same (d, -idx) ordering)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(-i).alias("neg_idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda t: (-t.neg_idx).cast("int"))
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -242,23 +261,26 @@ def ann_ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN: corpus partitioned by nearest centroid; a query probes
-    only its own cell (nprobe=1), then exact cosine ranks the cell.
-    At 100 TB: the corpus shuffles once on the cell id (or is bucketed
-    on it at write time) and each query touches ~1/n_centroids of the
-    data; recall < 1 by design and the oracle reproduces the identical
-    cells so results still match exactly."""
+    its ``nprobe`` nearest cells, then exact cosine ranks the probed
+    rows. At 100 TB: the corpus shuffles once on the cell id (or is
+    bucketed on it at write time) and each query touches
+    ~nprobe/n_centroids of the data; recall grows with nprobe and the
+    oracle reproduces the identical cells so results still match
+    exactly."""
     cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
     cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
     q = cells.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.col("cell").alias("q_cell"),
+        ivf_probe_cells(F.col(vec_col), cents, nprobe).alias("q_cells"),
     )
     pairs = cells.alias("c").join(
         F.broadcast(q),
-        (F.col("cell") == F.col("q_cell")) & (F.col(id_col) != F.col("q_id")),
+        F.array_contains(F.col("q_cells"), F.col("cell"))
+        & (F.col(id_col) != F.col("q_id")),
     )
     scored = pairs.select(
         "q_id",
@@ -277,6 +299,7 @@ def ann_ivf_topk_sql(
     table: str, query_ids: list[int], k: int = 10,
     n_centroids: int = 8, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> str:
     ids = ",".join(str(i) for i in query_ids)
     cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
@@ -293,7 +316,10 @@ WITH cells AS (
   FROM {table}
 ),
 q AS (
-  SELECT {id_col} AS q_id, {vec_col} AS q_vec, cell AS q_cell
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec,
+         list_transform(
+           list_reverse(list_sort([{pair_terms}]))[1:{nprobe}],
+           p -> CAST(-p[2] AS INTEGER)) AS q_cells
   FROM cells WHERE {id_col} IN ({ids})
 ),
 scored AS (
@@ -304,7 +330,8 @@ scored AS (
            / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
               * sqrt(list_sum(list_transform(c.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
            6) AS cos_sim
-  FROM cells c JOIN q ON c.cell = q.q_cell AND c.{id_col} <> q.q_id
+  FROM cells c JOIN q
+    ON list_contains(q.q_cells, c.cell) AND c.{id_col} <> q.q_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id

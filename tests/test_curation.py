@@ -273,3 +273,48 @@ class TestKmeansIvf:
         cells_high = {r["cell"] for r in out if r["vec_id"] >= 10}
         assert len(cells_low) == 1 and len(cells_high) == 1
         assert cells_low != cells_high
+
+
+class TestMultiProbeIvf:
+    def test_probe1_matches_assign_and_recall_grows(self, spark):
+        from beats_spark.operators.dedup import norm_text  # noqa: F401
+        from beats_spark.operators.similarity import (
+            ann_ivf_topk,
+            brute_force_topk,
+            ivf_assign,
+            ivf_centroid,
+            ivf_probe_cells,
+        )
+
+        rows = [
+            (i, [float((i * 13 + j * 5) % 17) / 17.0 for j in range(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = [ivf_centroid(8, i) for i in range(4)]
+        both = df.select(
+            ivf_assign(F.col("embedding"), cents).alias("a"),
+            ivf_probe_cells(F.col("embedding"), cents, 2).alias("p"),
+        ).collect()
+        for r in both:
+            assert r["p"][0] == r["a"]  # first probe == the assignment
+            assert len(r["p"]) == 2 and r["p"][1] != r["p"][0]
+
+        qids = [0, 7, 33]
+        exact = {
+            (r["q_id"], r["neighbor_id"])
+            for r in brute_force_topk(df, qids, k=5).collect()
+        }
+
+        def recall(nprobe: int) -> float:
+            got = {
+                (r["q_id"], r["neighbor_id"])
+                for r in ann_ivf_topk(
+                    df, qids, k=5, n_centroids=4, dim=8, nprobe=nprobe
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r1, r2 = recall(1), recall(2)
+        assert r2 >= r1  # more probes never lose recall
+        assert r2 > 0
