@@ -110,6 +110,39 @@ def _expand_library(pat: str, depth: int = 0) -> str:
     return _REF_RE.sub(sub, pat)
 
 
+def _count_capturing(segment: str) -> int:
+    """Count CAPTURING groups a passthrough regex segment opens.
+
+    Module grok programs embed raw-regex groups in the non-%{} text —
+    apache access pattern 1 wraps its optional referrer/user_agent
+    tails in plain ``( \"...\")?`` (default.json:8) — and every such
+    ``(`` shifts Java's group numbering past the numbers we assign to
+    named fields. Skips escapes, character classes, and ``(?``
+    constructs (except ``(?<name>``, which does capture)."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(segment):
+        c = segment[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if not segment.startswith("(?", i):
+                n += 1
+            elif segment.startswith("(?<", i) and not segment.startswith(
+                ("(?<=", "(?<!"), i
+            ):
+                n += 1
+        i += 1
+    return n
+
+
 def compile_grok(expr: str) -> CompiledGrok:
     """Expand a grok expression into one anchored Java/RE2 regex with
     numbered capture groups for the named fields."""
@@ -118,9 +151,12 @@ def compile_grok(expr: str) -> CompiledGrok:
     group = 0
     pos = 0
     # non-%{} text is regex, not literal (grok convention: programs
-    # embed regex like \[ directly) — pass through verbatim
+    # embed regex like \[ directly) — pass through verbatim, but any
+    # capturing group it opens claims the next group number(s)
     for m in _REF_RE.finditer(expr):
-        out.append(expr[pos : m.start()])
+        seg = expr[pos : m.start()]
+        group += _count_capturing(seg)
+        out.append(seg)
         pname, fname, ftype = m.group(1), m.group(2), m.group(3)
         if pname not in PATTERNS:
             raise GrokError(f"unknown grok pattern: %{{{pname}}}")

@@ -456,7 +456,11 @@ class Grok(Processor):
     def apply(self, df, guard=None):
         from ..functions.grok import grok_first_match
 
-        cols, ok = grok_first_match(F.col(self.field), list(self.patterns))
+        # backtick-quote: module pipelines grok dotted ECS fields
+        # (apache default.json groks `source.address` in step 3)
+        cols, ok = grok_first_match(
+            F.col("`" + self.field + "`"), list(self.patterns)
+        )
         clash = [
             f"{self.target_prefix}{k}" for k in cols
             if f"{self.target_prefix}{k}" in df.columns

@@ -13,7 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .actions import Processor
@@ -105,6 +105,148 @@ class DnsEnrich(Processor):
         if self.action == "replace":
             out = out.drop(self.field).withColumnRenamed(self.target, self.field)
         return out
+
+
+def ip_to_long(c) -> Column:
+    """Dotted-quad IPv4 → long, pure column arithmetic (same recipe on
+    the DuckDB side — see ``IP_TO_LONG_SQL``)."""
+    parts = F.split(c, r"\.")
+    return (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+
+
+IP_TO_LONG_SQL = (
+    "(split_part({c}, '.', 1)::BIGINT * 16777216"
+    " + split_part({c}, '.', 2)::BIGINT * 65536"
+    " + split_part({c}, '.', 3)::BIGINT * 256"
+    " + split_part({c}, '.', 4)::BIGINT)"
+)
+
+
+@dataclass
+class UserAgentEnrich(Processor):
+    """user_agent processor as a broadcast-dimension enrich.
+
+    The ingest node parses UA strings against a shipped regexes.yaml
+    database (module pipelines' ``user_agent`` step, e.g.
+    /root/reference/filebeat/module/apache/access/ingest/default.json:47-51);
+    the 100-TB-native restatement is the standard enrich shape: a
+    (ua → name/os/device) dimension table broadcast-joined on the
+    exact UA string. Attribute columns land as flat dotted ECS names
+    ``<target_prefix>.<attr>``; unknown UAs stay NULL (the ingest
+    processor's "Other" family can be a dim default row)."""
+
+    dim: DataFrame  # first column = UA string key, rest = attributes
+    field: str = "user_agent"
+    target_prefix: str = "user_agent"
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("user_agent under a when: guard is not supported")
+        dim = self.dim
+        key = dim.columns[0]
+        for c in dim.columns[1:]:
+            dim = dim.withColumnRenamed(c, f"{self.target_prefix}.{c}")
+        dim = dim.withColumnRenamed(key, self.field)
+        return df.join(F.broadcast(dim), on=self.field, how="left")
+
+
+@dataclass
+class GeoIPEnrich(Processor):
+    """geoip processor as a broadcast CIDR-dimension enrich with
+    LONGEST-PREFIX matching.
+
+    The ingest node looks IPs up in a bundled GeoLite2 database
+    (module pipelines' ``geoip`` step); here a (cidr → geo attrs)
+    dimension drives one broadcast equi-join PER DISTINCT PREFIX
+    LENGTH in the dim (fact key = ``ip >> (32 - plen)``), longest
+    prefix coalesced first. The fact side never shuffles and never
+    explodes: the join count is bounded by the dim's prefix-length
+    set (GeoLite2 city has ~2 dozen lengths; a curated routing dim a
+    handful) — NOT a nested-loop range join, which would scan every
+    dim row per fact row and defeat hash co-location at scale."""
+
+    dim: DataFrame  # columns: cidr ("a.b.c.d/len") + attribute columns
+    field: str = "ip"
+    target_prefix: str = "geoip"
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError("geoip under a when: guard is not supported")
+        attrs = self.dim.columns[1:]
+        cidr = self.dim.columns[0]
+        net = F.split(F.col(cidr), "/")
+        dim2 = self.dim.select(
+            net[1].cast("int").alias("_plen"),
+            ip_to_long(net[0]).alias("_net"),
+            *attrs,
+        )
+        # ≤ 32 values even adversarially — dimension metadata, not data
+        plens = sorted(
+            (r[0] for r in dim2.select("_plen").distinct().collect()),
+            reverse=True,
+        )
+        ip_long = ip_to_long(F.col("`" + self.field + "`"))
+        out = df.withColumn("_ip_long", ip_long)
+        for plen in plens:
+            shift = 32 - plen
+            d = dim2.where(F.col("_plen") == plen).select(
+                F.shiftright("_net", shift).alias(f"_k{plen}"),
+                *[F.col(a).alias(f"_{a}_{plen}") for a in attrs],
+            )
+            out = out.withColumn(
+                f"_k{plen}", F.shiftright("_ip_long", shift)
+            ).join(F.broadcast(d), on=f"_k{plen}", how="left")
+        for a in attrs:
+            out = out.withColumn(
+                f"{self.target_prefix}.{a}",
+                F.coalesce(*[F.col(f"_{a}_{plen}") for plen in plens]),
+            )
+        drop = ["_ip_long"] + [f"_k{p}" for p in plens] + [
+            f"_{a}_{p}" for a in attrs for p in plens
+        ]
+        return out.drop(*drop)
+
+
+def dim_user_agents(spark) -> DataFrame:
+    """Demo UA-family dimension (FIXTURES.md §2 shape): exact UA
+    string → browser/os/device, the worked example the user_agent
+    ingest step joins against."""
+    rows = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0",
+         "Chrome", "Windows", "desktop"),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 13_5) Safari/605.1.15",
+         "Safari", "macOS", "desktop"),
+        ("Mozilla/5.0 (Linux; Android 14) Chrome/119.0 Mobile",
+         "Chrome Mobile", "Android", "mobile"),
+        ("curl/8.4.0", "curl", "Other", "other"),
+        ("python-requests/2.31", "Python Requests", "Other", "other"),
+    ]
+    return spark.createDataFrame(
+        rows, "ua string, name string, os string, device string"
+    )
+
+
+#: demo CIDR→geo rows, shared verbatim with the oracle SQL
+GEO_DIM_ROWS = [
+    ("8.8.8.0/24", "US", "Mountain View"),
+    ("8.0.0.0/8", "US", "Level3"),
+    ("192.168.0.0/16", "ZZ", "rfc1918"),
+    ("10.0.0.0/8", "ZZ", "rfc1918"),
+    ("203.0.113.0/24", "AU", "doc-net"),
+]
+
+
+def dim_geoip(spark) -> DataFrame:
+    """Demo CIDR→geo dimension: overlapping prefixes (8.8.8.0/24
+    inside 8.0.0.0/8) so longest-prefix selection is observable."""
+    return spark.createDataFrame(
+        GEO_DIM_ROWS, "cidr string, country string, city string"
+    )
 
 
 def dim_roles(spark) -> DataFrame:

@@ -272,16 +272,28 @@ def ann_ivf_topk(
     exactly."""
     cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
     cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
-    q = cells.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        ivf_probe_cells(F.col(vec_col), cents, nprobe).alias("q_cells"),
+    # query side scores centroids ONCE (ivf_probe_cells; its element 1
+    # equals ivf_assign, so the query's own cell is never recomputed)
+    # and EXPLODES its nprobe cells to rows: the probe join is then an
+    # equi-join on `cell` — a BroadcastHashJoin the corpus side
+    # hash-probes, where the r2 `array_contains(q_cells, cell)` join
+    # condition forced a nested-loop scan of every corpus row against
+    # every query (r2 verdict item #5: +37% regression, and at real
+    # scale it blocks hash-join co-location on the cell key). A corpus
+    # row lives in exactly one cell and q_cells are distinct, so the
+    # explode cannot duplicate (q_id, neighbor) pairs.
+    q = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            ivf_probe_cells(F.col(vec_col), cents, nprobe).alias("q_cells"),
+        )
+        .select("q_id", "q_vec", F.explode("q_cells").alias("cell"))
     )
     pairs = cells.alias("c").join(
-        F.broadcast(q),
-        F.array_contains(F.col("q_cells"), F.col("cell"))
-        & (F.col(id_col) != F.col("q_id")),
-    )
+        F.broadcast(q), on="cell"
+    ).where(F.col(id_col) != F.col("q_id"))
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),

@@ -44,6 +44,24 @@ class TestCompile:
         with pytest.raises(GrokError):
             compile_grok("%{NOPE:x}")
 
+    def test_literal_capturing_groups_shift_numbering(self):
+        # apache access pattern 1 wraps optional tails in PLAIN parens
+        # (default.json:8): ( "%{DATA:referrer}")?( "%{DATA:ua}")? —
+        # each literal '(' claims a Java group number ahead of the
+        # named fields; extraction must account for them
+        g = compile_grok(
+            r'%{INT:code:int}( "%{DATA:referrer}")?( "%{DATA:ua}")?'
+        )
+        by_name = {f[0]: f[1] for f in g.fields}
+        assert by_name == {"code": 1, "referrer": 3, "ua": 5}
+        m = re.match(f"^(?s:{g.pattern})$", '200 "-" "curl/8.4.0"')
+        assert m
+        assert m.group(by_name["referrer"]) == "-"
+        assert m.group(by_name["ua"]) == "curl/8.4.0"
+        # escapes, classes, and (?: groups do NOT shift numbering
+        g2 = compile_grok(r"\((?:x|y)[()]%{WORD:w}")
+        assert g2.fields == [("w", 1, None)]
+
     def test_module_pipeline_composites(self, spark):
         # system/syslog module grok line shape
         # (filebeat/module/system/syslog/ingest/pipeline.json)

@@ -233,3 +233,225 @@ class TestSteps:
         assert translate_joda("dd/MMM/yyyy:H:m:s Z") == "dd/MMM/yyyy:H:m:s Z"
         assert translate_joda("yyyy-MM-dd HH:mm:ss ZZ") == "yyyy-MM-dd HH:mm:ss XXX"
         assert translate_joda("UNIX") == "epoch-seconds"
+
+
+REF_APACHE_JSON = "/root/reference/filebeat/module/apache/access/ingest/default.json"
+
+
+class TestNewSteps:
+    """split / kv / json / append / dot_expander / drop — the r2
+    verdict's missing ingest-node steps (counted across
+    filebeat/module/*/*/ingest/*.json: dot_expander 22, split 9,
+    json 7, drop 3, kv 2, append 1)."""
+
+    def test_split_java_semantics(self, spark):
+        # ingest-common SplitProcessor = Java String.split: trailing
+        # empties dropped, "" -> [""], leading empty kept
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a b  "), (3, " a"), (4, "x,y,,")],
+            "id long, t string",
+        )
+        out = IngestPipeline(
+            steps=[{"split": {"field": "t", "separator": "[ ,]"}}]
+        ).apply(df)
+        got = {r["id"]: r["t"] for r in out.collect()}
+        assert got == {1: [""], 2: ["a", "b"], 3: ["", "a"], 4: ["x", "y"]}
+
+    def test_split_preserve_trailing_and_target(self, spark):
+        df = spark.createDataFrame([(1, "a,b,,")], "id long, t string")
+        out = IngestPipeline(
+            steps=[{"split": {"field": "t", "separator": ",",
+                              "preserve_trailing": True,
+                              "target_field": "parts"}}]
+        ).apply(df)
+        assert out.collect()[0]["parts"] == ["a", "b", "", ""]
+
+    def test_kv_map_and_include_keys(self, spark):
+        # auditd/log/ingest/pipeline.json shape: field_split \s+,
+        # value_split =
+        df = spark.createDataFrame(
+            [(1, "op=login res=success unused=x")], "id long, kvt string"
+        )
+        out = IngestPipeline(
+            steps=[{"kv": {"field": "kvt", "field_split": "\\s+",
+                           "value_split": "=", "target_field": "auditd.log"}}]
+        ).apply(df)
+        assert out.collect()[0]["auditd.log"] == {
+            "op": "login", "res": "success", "unused": "x"
+        }
+        out2 = IngestPipeline(
+            steps=[{"kv": {"field": "kvt", "field_split": "\\s+",
+                           "value_split": "=", "target_field": "auditd.log",
+                           "include_keys": ["op", "res"]}}]
+        ).apply(df)
+        r = out2.collect()[0]
+        assert r["auditd.log.op"] == "login" and r["auditd.log.res"] == "success"
+        assert "auditd.log.unused" not in out2.columns
+
+    def test_json_schema_flattens_and_map_fallback(self, spark):
+        # elasticsearch/*/ingest shape: json message -> target object
+        df = spark.createDataFrame(
+            [(1, '{"type":"server","n":"5"}'), (2, "not json")],
+            "id long, message string",
+        )
+        out = IngestPipeline(
+            steps=[{"json": {"field": "message", "target_field": "es.log",
+                             "schema": "type string, n string"}}],
+            on_failure=[{"set": {"field": "error.message",
+                                 "value": "{{ _ingest.on_failure_message }}"}}],
+        ).apply(df)
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["es.log.type"] == "server"
+        assert rows[1]["error.message"] is None
+        assert rows[2]["es.log.type"] is None
+        assert "unable to parse JSON" in rows[2]["error.message"]
+        out2 = IngestPipeline(
+            steps=[{"json": {"field": "message", "target_field": "j"}}]
+        ).apply(df)
+        assert out2.collect()[0]["j"]["type"] == "server"
+
+    def test_dot_expander_is_identity_on_flat_columns(self, spark):
+        # flat dotted names ARE the nested spelling in this model
+        df = spark.createDataFrame([(1, "x")], "id long, `es.audit.event.action` string")
+        out = IngestPipeline(
+            steps=[{"dot_expander": {"field": "event.action", "path": "es.audit"}}]
+        ).apply(df)
+        assert out.columns == df.columns
+        assert out.collect() == df.collect()
+
+    def test_append_creates_promotes_concats(self, spark):
+        df = spark.createDataFrame([(1, "web")], "id long, svc string")
+        out = IngestPipeline(
+            steps=[
+                {"append": {"field": "tags", "value": "kibana"}},
+                {"append": {"field": "tags", "value": ["a", "b"]}},
+                {"append": {"field": "svc", "value": "extra"}},
+            ]
+        ).apply(df)
+        r = out.collect()[0]
+        assert r["tags"] == ["kibana", "a", "b"]
+        assert r["svc"] == ["web", "extra"]
+
+    def test_drop_painless_subset(self, spark):
+        # elasticsearch/server shape: ctx.x.type != 'server'; painless
+        # object equality treats null != 'server' as TRUE (dropped)
+        df = spark.createDataFrame(
+            [(1, "server"), (2, "dep"), (3, None)],
+            "id long, `es.log.type` string",
+        )
+        out = IngestPipeline(
+            steps=[{"drop": {"if": "ctx.es.log.type != 'server'"}}]
+        ).apply(df)
+        assert [r["id"] for r in out.collect()] == [1]
+        both = IngestPipeline(
+            steps=[{"drop": {
+                "if": "ctx.es.log.type != 'server' && ctx.es.log.type != 'dep'"
+            }}]
+        ).apply(df)
+        assert sorted(r["id"] for r in both.collect()) == [1, 2]
+        with pytest.raises(IngestError):
+            IngestPipeline(
+                steps=[{"drop": {"if": "ctx.x.y.contains('z')"}}]
+            ).apply(df)
+
+    def test_date_iso8601_zoneless_defaults_utc(self, spark):
+        # the ES date processor accepts zone-less ISO8601 and assumes
+        # UTC; r2's offset-only pattern silently NULLed these
+        df = spark.createDataFrame(
+            [(1, "2024-01-02T03:04:05"), (2, "2024-01-02T03:04:05+02:00"),
+             (3, "2024-01-02T03:04:05.250")],
+            "id long, ts string",
+        )
+        out = IngestPipeline(
+            steps=[{"date": {"field": "ts", "target_field": "@timestamp",
+                             "formats": ["ISO8601"]}}]
+        ).apply(df)
+        got = {
+            r["id"]: r["e"]
+            for r in out.select(
+                "id", F.unix_timestamp("`@timestamp`").alias("e")
+            ).collect()
+        }
+        assert got[1] == 1704164645
+        assert got[2] == 1704164645 - 7200
+        assert got[3] == 1704164645
+
+
+class TestOnFailureExecution:
+    def test_first_failure_wins_and_handler_routes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "GOOD 10", "5"), (2, "BAD", "5"), (3, "GOOD 11", "oops")],
+            "id long, line string, n string",
+        )
+        pipe = IngestPipeline(
+            steps=[
+                {"grok": {"field": "line",
+                          "patterns": ["%{WORD:w} %{INT:num:int}"]}},
+                {"convert": {"field": "n", "type": "long"}},
+            ],
+            on_failure=[
+                {"set": {"field": "error.message",
+                         "value": "{{ _ingest.on_failure_message }}"}},
+                {"append": {"field": "tags", "value": "_failed"}},
+            ],
+        )
+        rows = {r["id"]: r for r in pipe.apply(df).collect()}
+        assert rows[1]["error.message"] is None and rows[1]["tags"] is None
+        assert "Grok" in rows[2]["error.message"]
+        assert rows[2]["tags"] == ["_failed"]
+        assert "convert" in rows[3]["error.message"]
+        assert "_ingest_error" not in pipe.apply(df).columns
+
+    def test_ignore_failure_suppresses_record(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, n string")
+        out = IngestPipeline(
+            steps=[{"convert": {"field": "n", "type": "long",
+                                "ignore_failure": True}}],
+            on_failure=[{"set": {"field": "error.message",
+                                 "value": "{{ _ingest.on_failure_message }}"}}],
+        ).apply(df)
+        assert out.collect()[0]["error.message"] is None
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_APACHE_JSON),
+    reason="reference checkout not present",
+)
+class TestApacheModuleEndToEnd:
+    """The REAL apache access module program, zero skipped steps
+    (r2 verdict item #6): grok ×2, remove, rename, date, remove,
+    user_agent (dim-backed), geoip (dim-backed), and the on_failure
+    error.message handler."""
+
+    def test_real_module_pipeline_zero_skips(self, spark):
+        import json
+
+        from beats_spark.operators.enrich import dim_geoip, dim_user_agents
+        from beats_spark.operators.ingest import load_ingest_pipeline
+
+        pipe = load_ingest_pipeline(
+            open(REF_APACHE_JSON).read(),
+            ignore_processors=(),
+            ua_dim=dim_user_agents(spark),
+            geo_dim=dim_geoip(spark),
+        )
+        df = spark.createDataFrame(
+            [
+                (1, '8.8.8.77 - alice [10/Oct/2000:13:55:36 -0700] '
+                    '"GET /x HTTP/1.1" 200 1234 "-" "curl/8.4.0"'),
+                (2, '192.168.3.4 - bob [01/Jan/2024:00:05:09 +0000] '
+                    '"POST /y HTTP/1.1" 404 77'),
+                (3, "totally unparseable"),
+            ],
+            "event_id long, message string",
+        ).withColumn("@timestamp", F.lit("2024-06-01T00:00:00").cast("timestamp"))
+        out = pipe.apply(df)
+        rows = {r["event_id"]: r for r in out.collect()}
+        assert rows[1]["source.geo.city"] == "Mountain View"
+        assert rows[1]["user_agent.name"] == "curl"
+        assert rows[1]["error.message"] is None
+        assert rows[2]["source.geo.city"] == "rfc1918"
+        assert rows[2]["http.response.status_code"] == 404
+        assert "Grok" in rows[3]["error.message"]
+        # event.created keeps the ingestion time after the rename step
+        assert rows[1]["event.created"] is not None

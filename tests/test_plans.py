@@ -172,6 +172,23 @@ class TestCurationPlans:
         assert "Exchange" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_ivf_probe_is_hash_join_on_cell(self, spark):
+        from beats_spark.operators.similarity import ann_ivf_topk
+
+        vecs = spark.createDataFrame(
+            [(i, [float((i * 13 + j) % 11) - 5.0 for j in range(8)])
+             for i in range(60)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = _plan(ann_ivf_topk(vecs, [0, 1], k=3, dim=8, nprobe=2))
+        # the probe must be an EQUI-join on the cell id (queries explode
+        # their nprobe cells to rows): r2's array_contains(q_cells, cell)
+        # join condition degraded to BroadcastNestedLoop — every corpus
+        # row scanned against every query, and no hash co-location on
+        # `cell` at scale
+        assert "BroadcastHashJoin [cell" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_redaction_is_single_stage(self, spark, transcripts_on_disk):
         from beats_spark.operators.redact import pii_counts, redact_text
 
