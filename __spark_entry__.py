@@ -317,6 +317,129 @@ def q_grok_apache_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_steps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r3 ingest-node step set (§2.2): json (schema-flattened, with a
+    deliberately malformed slice) → kv (include_keys) → dot_expander →
+    split (Java trailing-empty semantics) → append → convert → drop
+    (painless subset), with the module-style ``on_failure`` handler
+    populating error.message on exactly the failed rows — the step
+    inventory counted across the reference's module ingest programs
+    (filebeat/module/*/*/ingest/*.json: dot_expander 22, split 9,
+    json 7, drop 3, kv 2, append 1; on_failure in e.g.
+    filebeat/module/apache/access/ingest/default.json)."""
+    _utc(spark)
+    from beats_spark.operators.ingest import IngestPipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    payload = F.when(
+        F.pmod("event_id", F.lit(7)) == 0, F.lit("not json{")
+    ).otherwise(
+        F.format_string(
+            '{"type":"%s","n":"%d"}',
+            F.col("event_type"),
+            F.pmod("event_id", F.lit(100)),
+        )
+    )
+    kvt = F.format_string(
+        "op=%s res=%s",
+        F.col("event_type"),
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit("ok")).otherwise(
+            F.lit("fail")
+        ),
+    )
+    csv = F.element_at(
+        F.array(F.lit("x"), F.lit("a,b"), F.lit("a,b,,")),
+        F.pmod("event_id", F.lit(3)).cast("int") + 1,
+    )
+    src = ev.select(
+        "event_id", payload.alias("payload"), kvt.alias("kvt"),
+        csv.alias("csv"),
+    )
+    steps = [
+        {"json": {"field": "payload", "target_field": "es.log",
+                  "schema": "type string, n string"}},
+        {"kv": {"field": "kvt", "field_split": "\\s+", "value_split": "=",
+                "target_field": "audit", "include_keys": ["op", "res"]}},
+        {"dot_expander": {"field": "op", "path": "audit"}},
+        {"split": {"field": "csv", "separator": ","}},
+        {"append": {"field": "tags", "value": "ingested"}},
+        {"convert": {"field": "es.log.n", "type": "long"}},
+        {"drop": {"if": "ctx.audit.op == 'purchase'"}},
+    ]
+    pipe = IngestPipeline(
+        steps,
+        on_failure=[{"set": {"field": "error.message",
+                             "value": "{{ _ingest.on_failure_message }}"}}],
+    )
+    out = pipe.apply(src)
+    return out.select(
+        "event_id",
+        F.col("`audit.op`").alias("op"),
+        F.col("`audit.res`").alias("res"),
+        F.size("csv").cast("long").alias("n_parts"),
+        F.col("`es.log.type`").alias("jtype"),
+        F.col("`es.log.n`").alias("jn"),
+        F.element_at("tags", 1).alias("tag1"),
+        F.col("`error.message`").alias("err"),
+    )
+
+
+def q_ua_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_agent + geoip as broadcast-dimension enriches (§2.5, r2
+    verdict item #6): exact-UA join plus longest-prefix CIDR match
+    (one equi-join per distinct prefix length — never a range join),
+    standing in for the ingest node's regexes.yaml / GeoLite2 lookups
+    (filebeat/module/apache/access/ingest/default.json user_agent +
+    geoip steps)."""
+    from beats_spark.operators.enrich import (
+        UA_DIM_ROWS,
+        GeoIPEnrich,
+        UserAgentEnrich,
+        dim_geoip,
+        dim_user_agents,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uas = F.array(
+        *[F.lit(r[0]) for r in UA_DIM_ROWS], F.lit("UnknownBot/0.1")
+    )
+    ua = F.element_at(uas, F.pmod("event_id", F.lit(6)).cast("int") + 1)
+    ip = F.element_at(
+        F.array(
+            F.format_string("8.8.8.%d", F.pmod("event_id", F.lit(256))),
+            F.format_string(
+                "8.9.%d.%d",
+                F.pmod("event_id", F.lit(256)),
+                F.pmod(F.col("event_id") * 3, F.lit(256)),
+            ),
+            F.format_string(
+                "192.168.%d.%d",
+                F.pmod("event_id", F.lit(256)),
+                F.pmod(F.col("event_id") * 7, F.lit(256)),
+            ),
+            F.format_string("203.0.113.%d", F.pmod("event_id", F.lit(256))),
+            F.lit("1.2.3.4"),
+        ),
+        F.pmod("event_id", F.lit(5)).cast("int") + 1,
+    )
+    src = ev.select("event_id", "user_id", ua.alias("ua"), ip.alias("ip"))
+    out = UserAgentEnrich(
+        dim=dim_user_agents(spark), field="ua", target_prefix="user_agent"
+    ).apply(src)
+    out = GeoIPEnrich(
+        dim=dim_geoip(spark), field="ip", target_prefix="source.geo"
+    ).apply(out)
+    return out.groupBy(
+        F.col("`user_agent.name`").alias("ua_name"),
+        F.col("`user_agent.device`").alias("ua_device"),
+        F.col("`source.geo.country`").alias("geo_country"),
+        F.col("`source.geo.city`").alias("geo_city"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_include_fields_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """include_fields nested-struct projection (§2.4,
     actions/include_fields.go:68-89): whitelist `http.response.status`,
@@ -666,6 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pass
     q.update(
         {
+            # new in r3 — register ahead of the long-green tail
+            "ingest_steps_full": q_ingest_steps_full,
+            "ua_geo_enrich": q_ua_geo_enrich,
             "dissect_parse": q_dissect_parse,
             "route_counts": q_route_counts,
             "conditions_drop": q_conditions_drop,
@@ -750,8 +876,91 @@ FROM lines
 """
 
 
+def _ua_geo_oracle() -> str:
+    from beats_spark.operators.enrich import (
+        GEO_DIM_ROWS,
+        IP_TO_LONG_SQL,
+        UA_DIM_ROWS,
+    )
+
+    ua_values = ",\n    ".join(
+        "('{}', '{}', '{}', '{}')".format(*r) for r in UA_DIM_ROWS
+    )
+    geo_values = ",\n    ".join(
+        "('{}', '{}', '{}')".format(*r) for r in GEO_DIM_ROWS
+    )
+    ua_list = ", ".join(f"'{r[0]}'" for r in UA_DIM_ROWS)
+    ip_long = IP_TO_LONG_SQL.format(c="s.ip")
+    return f"""
+WITH ua_dim(ua, name, os, device) AS (VALUES
+    {ua_values}),
+geo_dim(cidr, country, city) AS (VALUES
+    {geo_values}),
+geo2 AS (
+  SELECT CAST(split_part(cidr, '/', 2) AS BIGINT) AS plen,
+         {IP_TO_LONG_SQL.format(c="split_part(cidr, '/', 1)")} AS net,
+         country, city
+  FROM geo_dim
+),
+src AS (
+  SELECT event_id, user_id,
+         ([{ua_list}, 'UnknownBot/0.1'])[event_id % 6 + 1] AS ua,
+         (CASE event_id % 5
+            WHEN 0 THEN printf('8.8.8.%d', event_id % 256)
+            WHEN 1 THEN printf('8.9.%d.%d', event_id % 256,
+                               (event_id * 3) % 256)
+            WHEN 2 THEN printf('192.168.%d.%d', event_id % 256,
+                               (event_id * 7) % 256)
+            WHEN 3 THEN printf('203.0.113.%d', event_id % 256)
+            ELSE '1.2.3.4' END) AS ip
+  FROM events
+),
+matched AS (
+  SELECT s.event_id, g.country, g.city,
+         row_number() OVER (PARTITION BY s.event_id
+                            ORDER BY g.plen DESC) AS rn
+  FROM src s JOIN geo2 g
+    ON ({ip_long} >> (32 - g.plen)) = (g.net >> (32 - g.plen))
+),
+best AS (SELECT event_id, country, city FROM matched WHERE rn = 1)
+SELECT u.name AS ua_name, u.device AS ua_device,
+       b.country AS geo_country, b.city AS geo_city,
+       count(*) AS n_rows, count(DISTINCT s.user_id) AS n_users
+FROM src s
+LEFT JOIN ua_dim u ON s.ua = u.ua
+LEFT JOIN best b ON s.event_id = b.event_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
+        "ingest_steps_full": """
+WITH src AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN 'not json{'
+              ELSE printf('{"type":"%s","n":"%d"}', event_type,
+                          event_id % 100)
+         END AS payload
+  FROM events
+)
+SELECT event_id,
+       event_type AS op,
+       CASE WHEN event_id % 2 = 0 THEN 'ok' ELSE 'fail' END AS res,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_parts,
+       CASE WHEN json_valid(payload)
+            THEN json_extract_string(payload, '$.type') END AS jtype,
+       CAST(CASE WHEN json_valid(payload)
+                 THEN json_extract_string(payload, '$.n') END AS BIGINT)
+         AS jn,
+       'ingested' AS tag1,
+       CASE WHEN NOT json_valid(payload)
+            THEN 'unable to parse JSON [payload]' END AS err
+FROM src
+WHERE event_type <> 'purchase'
+""",
+        "ua_geo_enrich": _ua_geo_oracle(),
         "dissect_parse": f"""
 {_TRANSCRIPTS_CTE}
 SELECT conv_id, turn_idx, {PARSE_SQL}

@@ -212,22 +212,25 @@ class GeoIPEnrich(Processor):
         return out.drop(*drop)
 
 
+#: demo UA→family rows, shared verbatim with the oracle SQL
+UA_DIM_ROWS = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0",
+     "Chrome", "Windows", "desktop"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 13_5) Safari/605.1.15",
+     "Safari", "macOS", "desktop"),
+    ("Mozilla/5.0 (Linux; Android 14) Chrome/119.0 Mobile",
+     "Chrome Mobile", "Android", "mobile"),
+    ("curl/8.4.0", "curl", "Other", "other"),
+    ("python-requests/2.31", "Python Requests", "Other", "other"),
+]
+
+
 def dim_user_agents(spark) -> DataFrame:
     """Demo UA-family dimension (FIXTURES.md §2 shape): exact UA
     string → browser/os/device, the worked example the user_agent
     ingest step joins against."""
-    rows = [
-        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0",
-         "Chrome", "Windows", "desktop"),
-        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 13_5) Safari/605.1.15",
-         "Safari", "macOS", "desktop"),
-        ("Mozilla/5.0 (Linux; Android 14) Chrome/119.0 Mobile",
-         "Chrome Mobile", "Android", "mobile"),
-        ("curl/8.4.0", "curl", "Other", "other"),
-        ("python-requests/2.31", "Python Requests", "Other", "other"),
-    ]
     return spark.createDataFrame(
-        rows, "ua string, name string, os string, device string"
+        UA_DIM_ROWS, "ua string, name string, os string, device string"
     )
 
 
