@@ -466,15 +466,21 @@ def connected_components(
     (id_a, id_b) edges, labeling every vertex with the minimum id
     reachable from it (the canonical document a dedup pipeline keeps).
 
-    Min-label propagation: each round every vertex takes the min of
-    its own label and its neighbors' labels; converges in O(diameter)
-    rounds (near-dup clusters are shallow — a handful of rounds in
-    practice; ``max_iter`` is a guard, and non-convergence raises
-    rather than returning wrong labels). Each round is one join + one
-    groupBy on the vertex id — the standard scalable shape (Kiveris et
-    al. "Connected Components in MapReduce", SoCC'14 small-star is an
-    optimization of exactly this loop). The convergence check is a
-    driver-side count on a boolean aggregate, not a collect of data.
+    Min-label propagation WITH POINTER DOUBLING: each round every
+    vertex takes the min of (its own label, its neighbors' labels,
+    its label's label). The shortcut term halves remaining path
+    lengths each round, so convergence is O(log diameter) instead of
+    O(diameter) — a duplicate CHAIN of any realistic length (ADVICE
+    r2: near-dup graphs grow long chains) converges in a handful of
+    rounds where plain one-hop propagation would exhaust ``max_iter``
+    (25 rounds now covers diameter ≈ 2^25). Each round is two joins +
+    one groupBy on the vertex id — the standard scalable shape
+    (Kiveris et al. "Connected Components in MapReduce", SoCC'14:
+    large-star/small-star are exactly this min-label + shortcut loop).
+    The shortcut preserves the invariant label(v) ∼ v because the
+    symmetrized edge set makes reachability transitive. The
+    convergence check is a driver-side count on a boolean aggregate,
+    not a collect of data.
 
     Returns (id, component_id, component_size) for EVERY vertex;
     singletons are their own component.
@@ -504,8 +510,17 @@ def connected_components(
             edges.join(comp, edges.src == comp.v)
             .select(F.col("dst").alias("v"), "comp")
         )
+        # pointer doubling: v also adopts label(label(v)) — every
+        # label IS a vertex id, so the lookup is a self-join on the
+        # same key the groupBy shuffles anyway
+        shortcut = (
+            comp.alias("a")
+            .join(comp.alias("b"), F.col("a.comp") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.comp").alias("comp"))
+        )
         new = (
             comp.union(nbr_min)
+            .union(shortcut)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
         ).localCheckpoint()

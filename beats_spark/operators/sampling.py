@@ -24,11 +24,22 @@ from ..functions.textstats import token_count_ws, word_code
 SAMPLE_MOD = 1_000_000
 
 
+def _threshold(rate: float) -> int:
+    """floor(rate·1e6) — floor EXPLICITLY on every engine. Python
+    ``int()`` truncates, DuckDB ``CAST(... AS BIGINT)`` rounds
+    half-to-even, Spark long-cast truncates: a rate whose rate·1e6 is
+    not exactly representable (0.29 → 289999.99…) would otherwise give
+    an off-by-one keep boundary between engines."""
+    import math
+
+    return math.floor(rate * SAMPLE_MOD)
+
+
 def sample_hash(key: Column, rate: float) -> Column:
     """Deterministic keep-decision: md5-derived code of the key mod
-    1e6 < rate·1e6. Same row → same verdict on any engine."""
-    return F.pmod(word_code(key.cast("string")), F.lit(SAMPLE_MOD)) < int(
-        rate * SAMPLE_MOD
+    1e6 < floor(rate·1e6). Same row → same verdict on any engine."""
+    return F.pmod(word_code(key.cast("string")), F.lit(SAMPLE_MOD)) < _threshold(
+        rate
     )
 
 
@@ -55,9 +66,11 @@ def stratified_sample(
         if rate is not None
         else F.lit(float(default_rate))
     )
+    # floor() before the long-cast: plain cast truncates in Spark but
+    # DuckDB's BIGINT cast rounds — see _threshold
     keep = F.pmod(
         word_code(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD)
-    ) < (rate_col * SAMPLE_MOD).cast("long")
+    ) < F.floor(rate_col * SAMPLE_MOD).cast("long")
     return df.where(keep)
 
 
@@ -77,8 +90,8 @@ def stratified_sample_sql(
     return f"""
 SELECT * FROM {table}
 WHERE {code} % {SAMPLE_MOD} <
-      CAST((CASE {whens} ELSE {float(default_rate)} END) * {SAMPLE_MOD}
-           AS BIGINT)
+      CAST(floor((CASE {whens} ELSE {float(default_rate)} END)
+                 * {SAMPLE_MOD}) AS BIGINT)
 """
 
 

@@ -677,7 +677,14 @@ def embedding_neardup_pairs(
     hyperplane, the standard sign-LSH recall trade. Passing a data
     column (e.g. ``label``) keeps exact within-block comparison for
     evaluation fixtures — but a large real block there is quadratic,
-    so it is never the default."""
+    so it is never the default.
+
+    .. versionchanged:: r2
+       The default ``block_col`` changed from ``'label'`` (exact
+       within-block, recall 1 inside blocks) to ``None`` (LSH
+       buckets, recall < 1). Callers that relied on the old default
+       must now pass ``block_col='label'`` explicitly to get the
+       identical — and at scale quadratic — pair set."""
     if block_col is None:
         planes = [hyperplane(dim, i) for i in range(n_planes)]
         df = df.withColumn("_nd_blk", lsh_bucket(F.col(vec_col), planes))

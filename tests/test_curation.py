@@ -160,6 +160,20 @@ class TestConnectedComponents:
         assert {r["component_id"] for r in out} == {0}
         assert all(r["component_size"] == n + 1 for r in out)
 
+    def test_chain_longer_than_round_budget_converges(self, spark):
+        # ADVICE r2: a 60-hop duplicate chain needs 60 one-hop rounds —
+        # pointer doubling must close it in ceil(log2(60))+O(1) ≈ 7
+        n = 60
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame(
+            [(i,) for i in range(n + 1)], "doc_id long"
+        )
+        out = connected_components(pairs, verts, max_iter=10).collect()
+        assert {r["component_id"] for r in out} == {0}
+        assert all(r["component_size"] == n + 1 for r in out)
+
     def test_nonconvergence_raises(self, spark):
         pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
         verts = spark.createDataFrame([(1,), (2,)], "doc_id long")
@@ -213,6 +227,37 @@ class TestSamplingPacking:
             ).collect()
         }
         assert ids1 == ids2
+
+    def test_nonrepresentable_rate_matches_oracle(self, spark):
+        # ADVICE r2: 0.29 * 1e6 = 289999.99…; Spark's long-cast
+        # truncates while DuckDB's BIGINT cast rounds half-to-even —
+        # both sides must floor() explicitly for the same keep boundary
+        import duckdb
+
+        from beats_spark.operators.sampling import (
+            stratified_sample,
+            stratified_sample_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(5000)], "doc_id long, lang string"
+        )
+        spark_ids = sorted(
+            r["doc_id"] for r in stratified_sample(df, {"en": 0.29}).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs AS SELECT range AS doc_id, 'en' AS lang"
+            " FROM range(5000)"
+        )
+        sql = stratified_sample_sql("docs", {"en": 0.29})
+        oracle_ids = sorted(
+            r[0] for r in con.execute(
+                f"SELECT doc_id FROM ({sql})"
+            ).fetchall()
+        )
+        assert spark_ids == oracle_ids
+        assert 1200 <= len(spark_ids) <= 1700
 
     def test_default_rate_zero_drops_unlisted(self, spark):
         from beats_spark.operators.sampling import stratified_sample
