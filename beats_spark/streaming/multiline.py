@@ -266,3 +266,104 @@ def multiline_stream(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+EVENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_turn_idx", T.IntegerType()),
+        T.StructField("lines", T.ArrayType(T.StringType())),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def multiline_stream_eventtime(
+    stream: DataFrame,
+    pattern: str,
+    match: str = "after",
+    negate: bool = False,
+    max_lines: int = 500,
+    timeout_s: float = 5.0,
+    flush_pattern: str | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming combine whose idle flush keys on EVENT time: a tail
+    flushes once the watermark passes last-seen-ts + ``timeout_s`` —
+    the batch path's gap semantics (multiline.go:107-117's 5 s idle
+    flush, measured on the recorded clock instead of the wall clock).
+
+    Unlike the processing-time variant, a query built on this DOES
+    terminate under ``trigger(availableNow=True)``: due timeouts fire
+    in the trailing no-data micro-batch (``noDataMicroBatches`` is on
+    by default) and nothing reschedules afterwards — the r2 verdict's
+    prescription for testable timeout flush (CLAUDE.md gotcha). The
+    same ``timeout_s`` also gap-flushes WITHIN a batch via the state
+    machine's ts-gap replay, so a gap recorded inside one micro-batch
+    and a gap spanning micro-batches flush identically."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    machine = _mk_machine(
+        pattern, match, negate, max_lines, flush_pattern, timeout_s, "_ts_sec"
+    )
+    timeout_ms = int(timeout_s * 1000)
+
+    def fn(key, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+
+        (conv,) = key
+        if state.hasTimedOut:
+            first, lines, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(conv, first, "\n".join(lines), len(lines))],
+                columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
+            )
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values("turn_idx")
+        pdf = pdf.assign(_ts_sec=pdf[ts_col].astype("int64") / 1e9)[
+            ["turn_idx", "text", "_ts_sec"]
+        ]
+        if state.exists:
+            first, lines, last_ms = state.get
+            # buffered lines re-enter ahead of new rows, all carrying
+            # the tail's last-seen ts so the stored-tail → first-new
+            # gap is what the machine evaluates
+            prefix = pd.DataFrame(
+                {
+                    "turn_idx": [first] * len(lines),
+                    "text": lines,
+                    "_ts_sec": [last_ms / 1000.0] * len(lines),
+                }
+            )
+            pdf = pd.concat([prefix, pdf])
+        events, tail = machine(conv, pdf)
+        if tail is not None:
+            last_ms = int(pdf["_ts_sec"].max() * 1000)
+            state.update((int(tail[0]), [str(x) for x in tail[1]], last_ms))
+            # must stay ahead of the current watermark or Spark rejects
+            # the timestamp; a tail already older than the watermark
+            # flushes at the next batch boundary
+            state.setTimeoutTimestamp(
+                max(last_ms + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            [(conv, f, d, n) for f, d, n in events],
+            columns=["conv_id", "first_turn_idx", "doc", "n_lines"],
+        )
+
+    return (
+        stream.select("conv_id", "turn_idx", "text", ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            OUT_SCHEMA,
+            EVENT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

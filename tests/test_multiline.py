@@ -254,3 +254,110 @@ class TestStreamCombine:
         docs = {r["doc"] for r in spark.read.parquet(out_dir).collect()}
         assert "head two" in docs  # timeout-flushed tail
         assert "head one\n  cont" in docs
+
+
+class TestStreamEventTimeTimeout:
+    def test_gap_flushes_and_query_terminates(self, spark, tmp_path):
+        """r2 verdict item #7: an event-time gap > timeout flushes the
+        open tail WITHOUT a flush_pattern line, and — unlike the
+        processing-time variant — the availableNow run terminates on
+        its own (due timeouts fire in the trailing no-data batch)."""
+        from beats_spark.streaming.multiline import multiline_stream_eventtime
+
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            in_dir = str(tmp_path / "in")
+            schema = (
+                "conv_id string, turn_idx int, text string, ts timestamp"
+            )
+            t0 = "2024-01-01 00:00:{:02d}"
+            f1 = spark.createDataFrame(
+                [
+                    ("c1", 0, "head one", t0.format(0)),
+                    ("c1", 1, "  cont", t0.format(2)),
+                ],
+                "conv_id string, turn_idx int, text string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            f1.write.parquet(in_dir)
+            # second file 100 s later on another conversation: advances
+            # the watermark well past c1's last-seen + 5 s timeout
+            spark.createDataFrame(
+                [("c2", 0, "other head", "2024-01-01 00:01:40")],
+                "conv_id string, turn_idx int, text string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+            out_dir = str(tmp_path / "out")
+            q = (
+                multiline_stream_eventtime(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(in_dir),
+                    r"^\s",
+                    match="after",
+                    timeout_s=5.0,
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # self-termination is the point — no poll-and-stop
+            assert q.awaitTermination(120)
+            docs = {r["doc"] for r in spark.read.parquet(out_dir).collect()}
+            # c1's tail: flushed by the event-time timeout alone
+            assert "head one\n  cont" in docs
+            # c2's open tail is younger than the final watermark —
+            # still in state, correctly NOT emitted
+            assert "other head" not in docs
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def test_intra_batch_gap_flush(self, spark, tmp_path):
+        """A gap recorded INSIDE one micro-batch flushes via the state
+        machine's ts-gap replay — same semantics as the batch path."""
+        from beats_spark.streaming.multiline import multiline_stream_eventtime
+
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            in_dir = str(tmp_path / "in")
+            schema = (
+                "conv_id string, turn_idx int, text string, ts timestamp"
+            )
+            spark.createDataFrame(
+                [
+                    ("c1", 0, "head one", "2024-01-01 00:00:00"),
+                    ("c1", 1, "  cont", "2024-01-01 00:00:02"),
+                    # 60 s gap > 5 s timeout: previous event flushes,
+                    # this CONTINUATION line starts a fresh event
+                    ("c1", 2, "  late cont", "2024-01-01 00:01:02"),
+                    ("c1", 3, "head two", "2024-01-01 00:01:03"),
+                ],
+                "conv_id string, turn_idx int, text string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+                in_dir
+            )
+            out_dir = str(tmp_path / "out")
+            q = (
+                multiline_stream_eventtime(
+                    spark.readStream.schema(schema).parquet(in_dir),
+                    r"^\s",
+                    match="after",
+                    timeout_s=5.0,
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            docs = {r["doc"] for r in spark.read.parquet(out_dir).collect()}
+            assert "head one\n  cont" in docs
+            assert "  late cont" in docs  # gap-started fresh event
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
