@@ -352,7 +352,7 @@ def q_ingest_steps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("event_id", F.lit(3)).cast("int") + 1,
     )
     src = ev.select(
-        "event_id", payload.alias("payload"), kvt.alias("kvt"),
+        "event_id", "value", payload.alias("payload"), kvt.alias("kvt"),
         csv.alias("csv"),
     )
     steps = [
@@ -364,6 +364,11 @@ def q_ingest_steps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"split": {"field": "csv", "separator": ","}},
         {"append": {"field": "tags", "value": "ingested"}},
         {"convert": {"field": "es.log.n", "type": "long"}},
+        # the iis/traefik/haproxy duration-scale painless shape
+        {"script": {"lang": "painless",
+                    "source": "ctx.event.duration = "
+                              "Math.round(ctx.value * params.scale)",
+                    "params": {"scale": 1000}}},
         {"drop": {"if": "ctx.audit.op == 'purchase'"}},
     ]
     pipe = IngestPipeline(
@@ -379,6 +384,7 @@ def q_ingest_steps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("csv").cast("long").alias("n_parts"),
         F.col("`es.log.type`").alias("jtype"),
         F.col("`es.log.n`").alias("jn"),
+        F.col("`event.duration`").alias("dur_ms"),
         F.element_at("tags", 1).alias("tag1"),
         F.col("`error.message`").alias("err"),
     )
@@ -937,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
     o = {
         "ingest_steps_full": """
 WITH src AS (
-  SELECT event_id, event_type,
+  SELECT event_id, event_type, value,
          CASE WHEN event_id % 7 = 0 THEN 'not json{'
               ELSE printf('{"type":"%s","n":"%d"}', event_type,
                           event_id % 100)
@@ -954,6 +960,7 @@ SELECT event_id,
        CAST(CASE WHEN json_valid(payload)
                  THEN json_extract_string(payload, '$.n') END AS BIGINT)
          AS jn,
+       CAST(round(value * 1000) AS BIGINT) AS dur_ms,
        'ingested' AS tag1,
        CASE WHEN NOT json_valid(payload)
             THEN 'unable to parse JSON [payload]' END AS err

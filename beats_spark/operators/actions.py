@@ -484,10 +484,45 @@ class Grok(Processor):
 
 @dataclass
 class Script(Processor):
-    """script (libbeat/processors/script/): the reference embeds
-    ECMAScript; our sanctioned escape hatch is an arbitrary
+    """script (libbeat/processors/script/processor.go:34-52): the
+    reference embeds ECMAScript with a per-event ``process(event)``
+    hook; our sanctioned escape hatch is an arbitrary
     DataFrame→DataFrame callable (expected to use pandas UDFs /
-    mapInPandas internally, never row-at-a-time Python)."""
+    mapInPandas internally, never row-at-a-time Python).
+
+    Migrating a ``process(event)`` script: the event's fields are the
+    row's columns, and the whole-DataFrame callable replaces the
+    per-event mutation with a VECTORIZED one. A JS processor like::
+
+        function process(event) {
+            var msg = event.Get("message");
+            event.Put("msg_len", msg.length);
+            if (msg.indexOf("beta") !== -1) event.Tag("beta");
+        }
+
+    becomes either pure Column work (always preferred — JVM-side)::
+
+        Script(fn=lambda df: df
+            .withColumn("msg_len", F.length("message"))
+            .withColumn("tags", F.when(
+                F.col("message").contains("beta"),
+                F.array_union(F.coalesce("tags", F.array()),
+                              F.array(F.lit("beta"))),
+            ).otherwise(F.col("tags"))))
+
+    or — only when Column expressions genuinely can't express it — an
+    Arrow-batched pandas transform over the same columns::
+
+        def fn(df):
+            def batches(it):
+                for pdf in it:                 # pandas DataFrame
+                    pdf["msg_len"] = pdf["message"].str.len()
+                    yield pdf
+            return df.mapInPandas(batches, df.schema.simpleString()
+                                  + ", msg_len int")
+
+        Script(fn=fn)
+    """
 
     fn: Callable[[DataFrame], DataFrame]
 

@@ -211,6 +211,96 @@ def painless_condition(expr: str, df: DataFrame) -> Column:
     return out
 
 
+#: shape A — duration scaling:
+#:   ctx.T = Math.round(ctx.S * params.scale)        (iis, traefik,
+#:   haproxy, kibana, icinga: default.json script steps)
+#:   ctx.T = Math.round(ctx.S * 1000000) * 1000      (mysql/slowlog)
+_SCRIPT_ROUND = _re.compile(
+    r"^ctx\.([\w.]+)\s*=\s*Math\.round\(\s*ctx\.([\w.]+)\s*\*\s*"
+    r"(params\.(\w+)|[0-9.eE+]+)\s*\)(?:\s*\*\s*([0-9]+))?;?$"
+)
+
+#: shape B — one branch of a same-field value-remap chain:
+#:   if (ctx.F == params.a) { ctx.F = params.b; } else if ...
+#:   (redis/log, nats/log: level and msg-type normalization)
+_SCRIPT_REMAP_BRANCH = _re.compile(
+    r"(?:else\s+)?if\s*\(\s*ctx\.([\w.]+)\s*==\s*params\.(\w+)\s*\)\s*"
+    r"\{\s*ctx\.\1\s*=\s*params\.(\w+)\s*;?\s*\}"
+)
+
+
+def compile_painless_script(
+    source: str, params: Mapping[str, Any], df: DataFrame
+) -> tuple[str, Column]:
+    """Compile the two painless ``script`` shapes that account for
+    12 of the 14 script steps across the reference's module ingest
+    programs (counted over filebeat/module/*/*/ingest/*.json) into a
+    single Column assignment:
+
+    - **round-scale**: ``ctx.t = Math.round(ctx.s * scale)[ * m]`` →
+      ``round(s * scale) * m`` as a long (painless Math.round is
+      half-up on the positive durations these steps scale; so are
+      Spark's and DuckDB's round).
+    - **value remap**: an if/else-if chain testing and reassigning the
+      SAME field against params → one CASE expression; unmatched
+      values keep the original (the chain has no else).
+
+    Anything else — the auditd hex decoder, the mysql map-loop —
+    raises :class:`IngestError` rather than mis-executing; route those
+    through the pandas escape hatch (operators/actions.py
+    ``PandasMap``) or list ``script`` in ``ignore_processors``.
+
+    Returns (target_column_name, value_column).
+    """
+    src = " ".join(source.split())
+
+    m = _SCRIPT_ROUND.match(src)
+    if m:
+        target, field, scale_expr, scale_param, mult = m.groups()
+        if scale_param:
+            if scale_param not in params:
+                raise IngestError(f"script: missing param {scale_param!r}")
+            scale = float(params[scale_param])
+        else:
+            scale = float(scale_expr)
+        if field not in df.columns:
+            raise IngestError(f"script: field missing: {field}")
+        v = F.round(_fcol(field) * F.lit(scale), 0).cast("long")
+        if mult:
+            v = v * int(mult)
+        return target, v
+
+    branches = list(_SCRIPT_REMAP_BRANCH.finditer(src))
+    if branches:
+        covered = "".join(b.group(0) for b in branches)
+        if "".join(covered.split()) != "".join(src.split()):
+            raise IngestError(
+                f"unsupported painless script (partial remap-chain match): "
+                f"{source[:120]!r}"
+            )
+        field = branches[0].group(1)
+        if any(b.group(1) != field for b in branches):
+            raise IngestError("script: remap chain must test one field")
+        col = (
+            _fcol(field)
+            if field in df.columns
+            else F.lit(None).cast("string")
+        )
+        v: Column | None = None
+        for b in branches:
+            _, cond_key, val_key = b.groups()
+            for k in (cond_key, val_key):
+                if k not in params:
+                    raise IngestError(f"script: missing param {k!r}")
+            w = F.when(col == F.lit(params[cond_key]), F.lit(params[val_key]))
+            v = w if v is None else v.when(
+                col == F.lit(params[cond_key]), F.lit(params[val_key])
+            )
+        return field, v.otherwise(col)
+
+    raise IngestError(f"unsupported painless script: {source[:120]!r}")
+
+
 @dataclass
 class IngestPipeline:
     """Compile an ES ingest processor list (parsed pipeline JSON) to a
@@ -545,6 +635,21 @@ class IngestPipeline:
         else:
             combined = F.concat(F.array(existing), add)
         return df.withColumn(field, combined)
+
+    def _step_script(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        """``script`` (painless) compiled to a Column assignment for
+        the recognized module shapes — see
+        :func:`compile_painless_script`. Unsupported scripts raise."""
+        lang = conf.get("lang", "painless")
+        if lang != "painless":
+            raise IngestError(f"script: unsupported lang {lang!r}")
+        source = conf.get("source") or conf.get("inline")
+        if not source:
+            raise IngestError("script: missing source")
+        target, value = compile_painless_script(
+            source, conf.get("params", {}), df
+        )
+        return df.withColumn(target, value)
 
     def _step_user_agent(
         self, df: DataFrame, conf: Mapping[str, Any]

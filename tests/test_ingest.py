@@ -377,6 +377,79 @@ class TestNewSteps:
         assert got[3] == 1704164645
 
 
+class TestScriptStep:
+    """painless ``script`` compiled to Column work — the two shapes
+    covering 12/14 script steps across the reference module ingest
+    programs (duration round-scale; same-field value-remap chain)."""
+
+    def test_duration_scale_iis_shape(self, spark):
+        # iis/access/ingest/default.json: ctx.event.duration =
+        # Math.round(ctx.temp.duration * params.scale)
+        df = spark.createDataFrame(
+            [(1, 12.34), (2, 0.4)], "id long, `temp.duration` double"
+        )
+        out = IngestPipeline(
+            steps=[{"script": {
+                "lang": "painless",
+                "source": "ctx.event.duration = "
+                          "Math.round(ctx.temp.duration * params.scale)",
+                "params": {"scale": 1000},
+            }}]
+        ).apply(df)
+        got = {r["id"]: r["event.duration"] for r in out.collect()}
+        assert got == {1: 12340, 2: 400}
+
+    def test_duration_scale_mysql_shape(self, spark):
+        # mysql/slowlog: Math.round(x * 1000000) * 1000
+        df = spark.createDataFrame(
+            [(1, 0.5)], "id long, `temp.duration` double"
+        )
+        out = IngestPipeline(
+            steps=[{"script": {
+                "lang": "painless",
+                "source": "ctx.event.duration = "
+                          "Math.round(ctx.temp.duration * 1000000) * 1000",
+            }}]
+        ).apply(df)
+        assert out.collect()[0]["event.duration"] == 500_000_000
+
+    def test_remap_chain_real_redis_conf(self, spark):
+        import json
+
+        import os
+
+        path = "/root/reference/filebeat/module/redis/log/ingest/pipeline.json"
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not present")
+        doc = json.load(open(path))
+        script_confs = [
+            s["script"] for s in doc["processors"] if "script" in s
+        ]
+        level_conf = next(
+            c for c in script_confs if "ctx.log.level" in
+            (c.get("source") or c.get("inline") or "")
+        )
+        df = spark.createDataFrame(
+            [(1, "."), (2, "-"), (3, "*"), (4, "#"), (5, "zzz")],
+            "id long, `log.level` string",
+        )
+        out = IngestPipeline(steps=[{"script": level_conf}]).apply(df)
+        got = {r["id"]: r["log.level"] for r in out.collect()}
+        assert got == {
+            1: "debug", 2: "verbose", 3: "notice", 4: "warning", 5: "zzz"
+        }
+
+    def test_unsupported_script_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        with pytest.raises(IngestError, match="unsupported painless script"):
+            IngestPipeline(
+                steps=[{"script": {
+                    "source": "for (f in params.fields) { ctx.put(f, 1) }",
+                    "params": {"fields": []},
+                }}]
+            ).apply(df)
+
+
 class TestOnFailureExecution:
     def test_first_failure_wins_and_handler_routes(self, spark):
         df = spark.createDataFrame(
