@@ -278,7 +278,10 @@ class TestStreamEventTimeTimeout:
                 ],
                 "conv_id string, turn_idx int, text string, ts string",
             ).withColumn("ts", F.col("ts").cast("timestamp"))
-            f1.write.parquet(in_dir)
+            # ONE file: both c1 rows must share a micro-batch — the
+            # file source's tie-break on same-mtime files is path order
+            # (random part names), so two files could arrive reversed
+            f1.coalesce(1).write.parquet(in_dir)
             # second file 100 s later on another conversation: advances
             # the watermark well past c1's last-seen + 5 s timeout
             spark.createDataFrame(
