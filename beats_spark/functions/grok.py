@@ -57,7 +57,17 @@ PATTERNS: dict[str, str] = {
         r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})\.){3}"
         r"(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})"
     ),
-    "IP": r"%{IPV4}",
+    # full, compressed (::), and v4-suffixed forms; module fixtures
+    # carry ::1 and 2a03:… client addresses
+    "IPV6": (
+        r"(?:"
+        r"(?:[0-9A-Fa-f]{1,4}:){6}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}|%{IPV4})"
+        r"|::(?:[0-9A-Fa-f]{1,4}:){0,5}(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})?|%{IPV4})?"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:(?:[0-9A-Fa-f]{1,4}:){0,4}(?:[0-9A-Fa-f]{1,4}|%{IPV4}))?"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r")"
+    ),
+    "IP": r"(?:%{IPV6}|%{IPV4})",
     "HOSTNAME": r"(?:[A-Za-z0-9][A-Za-z0-9\-]*(?:\.[A-Za-z0-9][A-Za-z0-9\-]*)*)",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
     "USERNAME": r"[A-Za-z0-9._-]+",
@@ -78,6 +88,20 @@ PATTERNS: dict[str, str] = {
     "HTTPVERSION": r"(?:HTTP/\d+\.\d+)",
     "PATH": r"(?:/[^\s?#]*)",
     "URIPARAM": r"(?:\?[^\s#]*)",
+    # names the module ingest corpus references beyond the r2 set
+    # (apache/error, icinga, kafka, iis, postgresql, system/* module
+    # ingest JSONs); regexes written fresh, non-capturing
+    "DAY": (
+        r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
+        r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+    ),
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)",
+    "BASE16FLOAT": r"(?:[+-]?0x[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)",
+    "JAVACLASS": r"(?:[A-Za-z$_][A-Za-z$_0-9]*(?:\.[A-Za-z$_][A-Za-z$_0-9]*)*)",
+    "JAVALOGMESSAGE": r".*",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPATHPARAM": r"(?:%{URIPATH}(?:%{URIPARAM})?)",
 }
 
 _REF_RE = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
@@ -96,18 +120,61 @@ class CompiledGrok:
     fields: list[tuple[str, int, str | None]]
 
 
-def _expand_library(pat: str, depth: int = 0) -> str:
-    """Resolve %{NAME} refs inside library patterns (non-capturing)."""
-    if depth > 10:
+def _expand(
+    pat: str,
+    defs: dict[str, str],
+    group: int,
+    depth: int,
+) -> tuple[str, list[tuple[str, int, str | None]], int]:
+    """Recursively expand a grok expression, assigning Java group
+    numbers left-to-right across the WHOLE expansion.
+
+    Custom ``pattern_definitions`` (ES ingest grok) force this to be a
+    single group-counting walk rather than a pre-expansion: the module
+    corpus's definitions capture fields themselves
+    (``AUDIT_PREFIX = '%{AUDIT_TYPE} msg=audit\\(%{NUMBER:auditd.log.epoch}...'``,
+    auditd/log/ingest/pipeline.json), embed RAW capturing parens
+    (``GREEDYMULTILINE = '(.|\\n)*'``), redefine library names
+    (elasticsearch/gc redefines ``GREEDYDATA``), and reference one
+    another (``NATSCONNECTION``) — every one of those shifts the
+    numbering of later captures."""
+    if depth > 20:
         raise GrokError("grok pattern recursion too deep")
+    out: list[str] = []
+    fields: list[tuple[str, int, str | None]] = []
+    pos = 0
+    for m in _REF_RE.finditer(pat):
+        seg = pat[pos : m.start()]
+        group += _count_capturing(seg)
+        out.append(_esc_bare_ref(seg))
+        pname, fname, ftype = m.group(1), m.group(2), m.group(3)
+        body = defs.get(pname, PATTERNS.get(pname))
+        if body is None:
+            raise GrokError(f"unknown grok pattern: %{{{pname}}}")
+        if fname:
+            group += 1
+            fields.append((fname, group, _TYPES.get(ftype) if ftype else None))
+            inner, inner_fields, group = _expand(body, defs, group, depth + 1)
+            out.append(f"({inner})")
+        else:
+            inner, inner_fields, group = _expand(body, defs, group, depth + 1)
+            out.append(f"(?:{inner})")
+        fields.extend(inner_fields)
+        pos = m.end()
+    seg = pat[pos:]
+    group += _count_capturing(seg)
+    out.append(_esc_bare_ref(seg))
+    return "".join(out), fields, group
 
-    def sub(m: re.Match) -> str:
-        name = m.group(1)
-        if name not in PATTERNS:
-            raise GrokError(f"unknown grok pattern: %{{{name}}}")
-        return _expand_library(PATTERNS[name], depth + 1)
 
-    return _REF_RE.sub(sub, pat)
+def _esc_bare_ref(seg: str) -> str:
+    """A ``%{`` that never closed (the nats module ships
+    ``%{GREEDYDATA:nats.log.msg.error\\]`` — missing ``}``,
+    filebeat/module/nats/log/ingest/pipeline.json) stays LITERAL text
+    in ES's ruby-style regex and simply never matches; Java regex
+    instead rejects the bare ``{`` — escape it to keep the ES
+    behavior."""
+    return seg.replace("%{", "%\\{")
 
 
 def _count_capturing(segment: str) -> int:
@@ -143,56 +210,80 @@ def _count_capturing(segment: str) -> int:
     return n
 
 
-def compile_grok(expr: str) -> CompiledGrok:
-    """Expand a grok expression into one anchored Java/RE2 regex with
-    numbered capture groups for the named fields."""
-    out: list[str] = []
-    fields: list[tuple[str, int, str | None]] = []
-    group = 0
-    pos = 0
-    # non-%{} text is regex, not literal (grok convention: programs
-    # embed regex like \[ directly) — pass through verbatim, but any
-    # capturing group it opens claims the next group number(s)
-    for m in _REF_RE.finditer(expr):
-        seg = expr[pos : m.start()]
-        group += _count_capturing(seg)
-        out.append(seg)
-        pname, fname, ftype = m.group(1), m.group(2), m.group(3)
-        if pname not in PATTERNS:
-            raise GrokError(f"unknown grok pattern: %{{{pname}}}")
-        body = _expand_library(PATTERNS[pname])
-        if fname:
-            group += 1
-            fields.append((fname, group, _TYPES.get(ftype) if ftype else None))
-            out.append(f"({body})")
-        else:
-            out.append(f"(?:{body})")
-        pos = m.end()
-    out.append(expr[pos:])
-    return CompiledGrok(pattern="".join(out), fields=fields)
+def compile_grok(
+    expr: str, definitions: dict[str, str] | None = None
+) -> CompiledGrok:
+    """Expand a grok expression into one Java regex with numbered
+    capture groups for the named fields. ``definitions`` are ES ingest
+    grok ``pattern_definitions`` — custom names merged OVER the
+    library (they may redefine library names), expanded recursively.
+    Non-%{} text is regex, not literal (grok convention: programs
+    embed regex like ``\\[`` directly) — passed through verbatim, but
+    any capturing group it opens claims the next group number(s)."""
+    pattern, fields, _ = _expand(expr, dict(definitions or {}), 0, 0)
+    return CompiledGrok(pattern=pattern, fields=fields)
 
 
-def grok_columns(col: Column, expr: str) -> tuple[dict[str, Column], Column]:
+def grok_columns(
+    col: Column, expr: str, definitions: dict[str, str] | None = None
+) -> tuple[dict[str, Column], Column]:
     """One pattern → dict of field Columns + an ``_ok`` match Column.
     Non-matching rows yield NULL fields (ingest node sets nothing and
-    fails the document; callers tag via the ok column)."""
-    g = compile_grok(expr)
+    fails the document; callers tag via the ok column). A field
+    captured by MORE THAN ONE group (alternation branches) reads as
+    the first branch that captured non-empty text."""
+    g = compile_grok(expr, definitions)
     anchored = f"^(?s:{g.pattern})$"
     ok = col.rlike(anchored)
     cols: dict[str, Column] = {}
+    dup = {name for name, _, _ in g.fields
+           if sum(1 for n, _, _ in g.fields if n == name) > 1}
     for name, idx, cast in g.fields:
         c = F.when(ok, F.regexp_extract(col, anchored, idx))
         if cast:
-            c = c.cast(cast)
-        cols[name] = c
+            # try_cast: a typed capture that fails to convert fails
+            # only that document (ingest grok), never the job (ANSI
+            # cast of a non-participating optional group's '' would)
+            c = c.try_cast(cast)
+        if name in dup:
+            # non-participating groups extract as '' — first
+            # non-empty branch wins
+            if not cast:
+                c = F.nullif(c, F.lit(""))
+            cols[name] = (
+                F.coalesce(cols[name], c) if name in cols else c
+            )
+        else:
+            cols[name] = c
     return cols, ok
 
 
-def grok_first_match(col: Column, exprs: list[str]) -> tuple[dict[str, Column], Column]:
+def grok_first_match(
+    col: Column,
+    exprs: list[str],
+    definitions: dict[str, str] | None = None,
+) -> tuple[dict[str, Column], Column]:
     """Multi-pattern program: first matching pattern wins per row
     (ES ingest grok semantics) — per-field coalesce over alternatives
     guarded by each pattern's match flag."""
-    compiled = [grok_columns(col, e) for e in exprs]
+    cols, _, any_ok = grok_first_match_masked(col, exprs, definitions)
+    return cols, any_ok
+
+
+def grok_first_match_masked(
+    col: Column,
+    exprs: list[str],
+    definitions: dict[str, str] | None = None,
+) -> tuple[dict[str, Column], dict[str, Column], Column]:
+    """Like :func:`grok_first_match`, also returning each field's SET
+    mask: true exactly where the winning pattern defines that field.
+    The ingest node sets only the matching pattern's fields and
+    touches nothing on a non-match or null input — a later grok over
+    another source must not null-overwrite fields an earlier step set
+    (the nats module re-groks ``nats.log.msg.info``, whose fallback
+    rows are null, after ``nats.log.msg.data`` is already captured —
+    filebeat/module/nats/log/ingest/pipeline.json)."""
+    compiled = [grok_columns(col, e, definitions) for e in exprs]
     any_ok = compiled[0][1]
     for _, ok in compiled[1:]:
         any_ok = any_ok | ok
@@ -202,6 +293,7 @@ def grok_first_match(col: Column, exprs: list[str]) -> tuple[dict[str, Column], 
             if k not in all_fields:
                 all_fields.append(k)
     out: dict[str, Column] = {}
+    masks: dict[str, Column] = {}
     prev_not: Column | None = None
     for cols, ok in compiled:
         gate = ok if prev_not is None else prev_not & ok
@@ -209,5 +301,7 @@ def grok_first_match(col: Column, exprs: list[str]) -> tuple[dict[str, Column], 
             if k in cols:
                 c = F.when(gate, cols[k])
                 out[k] = c if k not in out else F.coalesce(out[k], c)
+                g = F.coalesce(gate, F.lit(False))
+                masks[k] = g if k not in masks else (masks[k] | g)
         prev_not = ~ok if prev_not is None else prev_not & ~ok
-    return out, any_ok
+    return out, masks, any_ok

@@ -452,24 +452,59 @@ class Grok(Processor):
     patterns: Sequence[str]
     field: str = "text"
     target_prefix: str = ""
+    #: ES ingest grok ``pattern_definitions`` — custom names merged
+    #: over the library, may redefine library names and capture fields
+    pattern_definitions: Mapping[str, str] | None = None
+    #: ingest-node grok OVERWRITES existing fields (31/42 module
+    #: pipelines re-grok into fields earlier steps created); the
+    #: beats-side default stays strict and raises on a clash
+    overwrite: bool = False
 
     def apply(self, df, guard=None):
-        from ..functions.grok import grok_first_match
+        from ..functions.grok import grok_first_match_masked
 
         # backtick-quote: module pipelines grok dotted ECS fields
         # (apache default.json groks `source.address` in step 3)
-        cols, ok = grok_first_match(
-            F.col("`" + self.field + "`"), list(self.patterns)
+        cols, masks, ok = grok_first_match_masked(
+            F.col("`" + self.field + "`"),
+            list(self.patterns),
+            dict(self.pattern_definitions or {}),
         )
         clash = [
             f"{self.target_prefix}{k}" for k in cols
             if f"{self.target_prefix}{k}" in df.columns
         ]
-        if clash:
+        if clash and not self.overwrite:
             raise ValueError(f"grok would overwrite existing columns: {clash}")
+        # ingest-node set semantics: only the matching pattern's
+        # fields are written; non-matching / null-source rows keep
+        # their existing values (mask otherwise existing)
+        assigns: dict[str, Column] = {}
         for k, c in cols.items():
             out = f"{self.target_prefix}{k}"
-            df = df.withColumn(out, self._guarded(df, guard, out, c))
+            if out in df.columns:
+                prev = F.col("`" + out + "`")
+                new_t = df.select(c.alias("_t")).schema[0].dataType
+                old_t = df.schema[out].dataType
+                from pyspark.sql.types import NullType
+
+                if new_t != old_t and not isinstance(
+                    old_t, NullType
+                ) and not isinstance(new_t, NullType):
+                    # a typed capture (:long/:float) overwriting a
+                    # string column: the column takes the capture's
+                    # type; unmatched rows carry their old value
+                    # converted (per-doc heterogeneous types don't
+                    # exist in a Spark column)
+                    prev = prev.try_cast(new_t)
+                c = F.when(masks[k], c).otherwise(prev)
+            assigns[out] = self._guarded(df, guard, out, c)
+        # ONE atomic projection: every extract reads the PRE-step
+        # frame, so a capture landing in the source field itself
+        # (elasticsearch/gc GC_YOUNG re-captures `message` FROM
+        # `message`) can't poison the later extracts (CLAUDE.md
+        # lazy-column-resolution gotcha)
+        df = df.withColumns(assigns)
         err = F.when(
             ~F.coalesce(ok, F.lit(True)), F.array(F.lit("grok_parsing_error"))
         ).otherwise(F.array().cast("array<string>"))

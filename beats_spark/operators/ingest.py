@@ -94,6 +94,70 @@ def _fcol(name: str) -> Column:
     return F.col("`" + name + "`")
 
 
+def _map_parent(df: DataFrame, field: str) -> tuple[str, str, str] | None:
+    """Longest map-typed column prefix of a dotted field name →
+    ``(map_column, key, residual_path)``. ``kv`` and schemaless
+    ``json`` steps produce ``map<string,string>`` columns whose KEYS
+    later steps address by dotted name (auditd renames
+    ``auditd.log.src`` out of the ``auditd.log`` kv map; logstash
+    renames ``logstash.log.logEvent.message`` out of the json map —
+    module ingest JSONs). The residual path (segments past the first
+    key) addresses INTO a nested-object value, which a
+    ``map<string,string>`` parse keeps as its JSON text."""
+    from pyspark.sql.types import MapType
+
+    parts = field.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        prefix = ".".join(parts[:i])
+        if prefix in df.columns and isinstance(
+            df.schema[prefix].dataType, MapType
+        ):
+            return prefix, parts[i], ".".join(parts[i + 1 :])
+    return None
+
+
+def _has_field(df: DataFrame, field: str) -> bool:
+    return field in df.columns or _map_parent(df, field) is not None
+
+
+def _read_field(df: DataFrame, field: str) -> Column | None:
+    """Field read with map fallback: a flat column wins; else the
+    longest map-column prefix supplies the value. The remaining path
+    may be (a) ONE literally-dotted key — ES audit events carry keys
+    like ``"event.action"`` verbatim, which the module's
+    ``dot_expander`` steps expand — or (b) a first-segment key whose
+    nested-object value a ``map<string,string>`` parse kept as JSON
+    text; both are tried (coalesce). None = statically absent."""
+    if field in df.columns:
+        return _fcol(field)
+    mp = _map_parent(df, field)
+    if mp is None:
+        return None
+    parent, key, residual = mp
+    if not residual:
+        return _fcol(parent)[key]
+    whole = _fcol(parent)[key + "." + residual]
+    nested = F.get_json_object(_fcol(parent)[key], "$." + residual)
+    return F.coalesce(whole, nested)
+
+
+def _delete_field(df: DataFrame, field: str) -> DataFrame:
+    """Remove a field: drop the flat column, or filter the key out of
+    its backing map (rename/remove semantics over kv/json targets).
+    For a dotted remaining path only the literally-dotted key is
+    removable (a value nested inside another key's JSON text stays)."""
+    if field in df.columns:
+        return df.drop(_fcol(field))
+    mp = _map_parent(df, field)
+    if mp is None:
+        return df
+    parent, key, residual = mp
+    full = key + "." + residual if residual else key
+    return df.withColumn(
+        parent, F.map_filter(_fcol(parent), lambda k, _: k != full)
+    )
+
+
 #: joda-time pattern fragments whose java.time spelling differs.
 #: Module pipelines use a narrow dialect (dd/MMM/yyyy:H:m:s Z,
 #: ISO8601, UNIX, TAI64N); the overlap with java.time is exact except
@@ -164,141 +228,50 @@ _CONVERT_TYPES = {
 #: ``on_failure`` block is in effect (dropped before returning)
 _ERR_COL = "_ingest_error"
 
-#: painless subset accepted by the ``drop``/conditional steps: the
-#: comparison shapes module pipelines actually use
-#: (``ctx.a.b != 'x'``, ``== null``, chained with && / ||) — counted
-#: across /root/reference/filebeat/module/*/*/ingest/*.json `if`
-#: fields. Anything else raises rather than mis-evaluating.
-_PAINLESS_CMP = _re.compile(
-    r"^ctx\.([A-Za-z_][\w.]*)\s*(==|!=)\s*('(?:[^'\\]|\\.)*'|null|-?\d+)$"
-)
-
-
 def painless_condition(expr: str, df: DataFrame) -> Column:
-    """Compile the module-pipeline painless subset to a Column.
+    """Compile a painless step-level ``if`` guard to a Column via the
+    painless-subset compiler (functions/painless.py — recursive-descent
+    parse + symbolic execution; equality is Objects.equals-null-safe,
+    ``containsKey`` is a non-null presence test, ``?.`` paths
+    normalize). Anything outside the subset raises rather than
+    mis-evaluating."""
+    from ..functions.painless import PainlessError, compile_expression
 
-    Null handling follows painless object equality (Objects.equals —
-    ``null != 'x'`` is TRUE), which is ``eqNullSafe`` here, NOT Spark's
-    three-valued ``=``. A ``ctx.`` path with no matching column
-    compiles to NULL (the document simply lacks the field)."""
-
-    def compile_cmp(s: str) -> Column:
-        m = _PAINLESS_CMP.match(s.strip())
-        if not m:
-            raise IngestError(f"unsupported painless condition: {s!r}")
-        path, op, lit = m.groups()
-        col = _fcol(path) if path in df.columns else F.lit(None).cast("string")
-        if lit == "null":
-            rhs = F.lit(None).cast("string")
-        elif lit.startswith("'"):
-            rhs = F.lit(lit[1:-1].replace("\\'", "'"))
-        else:
-            rhs = F.lit(int(lit))
-        eq = col.eqNullSafe(rhs)
-        return eq if op == "==" else ~eq
-
-    def compile_and(s: str) -> Column:
-        out = None
-        for part in s.split("&&"):
-            c = compile_cmp(part)
-            out = c if out is None else out & c
-        return out
-
-    out = None
-    for part in expr.split("||"):
-        c = compile_and(part)
-        out = c if out is None else out | c
-    return out
-
-
-#: shape A — duration scaling:
-#:   ctx.T = Math.round(ctx.S * params.scale)        (iis, traefik,
-#:   haproxy, kibana, icinga: default.json script steps)
-#:   ctx.T = Math.round(ctx.S * 1000000) * 1000      (mysql/slowlog)
-_SCRIPT_ROUND = _re.compile(
-    r"^ctx\.([\w.]+)\s*=\s*Math\.round\(\s*ctx\.([\w.]+)\s*\*\s*"
-    r"(params\.(\w+)|[0-9.eE+]+)\s*\)(?:\s*\*\s*([0-9]+))?;?$"
-)
-
-#: shape B — one branch of a same-field value-remap chain:
-#:   if (ctx.F == params.a) { ctx.F = params.b; } else if ...
-#:   (redis/log, nats/log: level and msg-type normalization)
-_SCRIPT_REMAP_BRANCH = _re.compile(
-    r"(?:else\s+)?if\s*\(\s*ctx\.([\w.]+)\s*==\s*params\.(\w+)\s*\)\s*"
-    r"\{\s*ctx\.\1\s*=\s*params\.(\w+)\s*;?\s*\}"
-)
+    try:
+        return compile_expression(expr, df.columns)
+    except PainlessError as e:
+        raise IngestError(
+            f"unsupported painless condition: {expr!r} ({e})"
+        ) from e
 
 
 def compile_painless_script(
     source: str, params: Mapping[str, Any], df: DataFrame
-) -> tuple[str, Column]:
-    """Compile the two painless ``script`` shapes that account for
-    12 of the 14 script steps across the reference's module ingest
-    programs (counted over filebeat/module/*/*/ingest/*.json) into a
-    single Column assignment:
+) -> "dict[str, Column]":
+    """Compile a module ``script`` step body to its net effect — a
+    mapping of assigned field → Column. Tries the three recognized
+    loop/function translations first (mysql field-remap loop, nginx
+    first-public-IP, auditd kv-normalize), then the generic painless
+    statement subset (functions/painless.py). Raises
+    :class:`IngestError` for anything neither path covers — a script
+    must never silently mis-execute; route those through the pandas
+    escape hatch (operators/actions.py ``PandasMap``) or list
+    ``script`` in ``ignore_processors``."""
+    from ..functions.painless import (
+        PainlessError,
+        compile_recognized_script,
+        compile_statements,
+    )
 
-    - **round-scale**: ``ctx.t = Math.round(ctx.s * scale)[ * m]`` →
-      ``round(s * scale) * m`` as a long (painless Math.round is
-      half-up on the positive durations these steps scale; so are
-      Spark's and DuckDB's round).
-    - **value remap**: an if/else-if chain testing and reassigning the
-      SAME field against params → one CASE expression; unmatched
-      values keep the original (the chain has no else).
-
-    Anything else — the auditd hex decoder, the mysql map-loop —
-    raises :class:`IngestError` rather than mis-executing; route those
-    through the pandas escape hatch (operators/actions.py
-    ``PandasMap``) or list ``script`` in ``ignore_processors``.
-
-    Returns (target_column_name, value_column).
-    """
-    src = " ".join(source.split())
-
-    m = _SCRIPT_ROUND.match(src)
-    if m:
-        target, field, scale_expr, scale_param, mult = m.groups()
-        if scale_param:
-            if scale_param not in params:
-                raise IngestError(f"script: missing param {scale_param!r}")
-            scale = float(params[scale_param])
-        else:
-            scale = float(scale_expr)
-        if field not in df.columns:
-            raise IngestError(f"script: field missing: {field}")
-        v = F.round(_fcol(field) * F.lit(scale), 0).cast("long")
-        if mult:
-            v = v * int(mult)
-        return target, v
-
-    branches = list(_SCRIPT_REMAP_BRANCH.finditer(src))
-    if branches:
-        covered = "".join(b.group(0) for b in branches)
-        if "".join(covered.split()) != "".join(src.split()):
-            raise IngestError(
-                f"unsupported painless script (partial remap-chain match): "
-                f"{source[:120]!r}"
-            )
-        field = branches[0].group(1)
-        if any(b.group(1) != field for b in branches):
-            raise IngestError("script: remap chain must test one field")
-        col = (
-            _fcol(field)
-            if field in df.columns
-            else F.lit(None).cast("string")
-        )
-        v: Column | None = None
-        for b in branches:
-            _, cond_key, val_key = b.groups()
-            for k in (cond_key, val_key):
-                if k not in params:
-                    raise IngestError(f"script: missing param {k!r}")
-            w = F.when(col == F.lit(params[cond_key]), F.lit(params[val_key]))
-            v = w if v is None else v.when(
-                col == F.lit(params[cond_key]), F.lit(params[val_key])
-            )
-        return field, v.otherwise(col)
-
-    raise IngestError(f"unsupported painless script: {source[:120]!r}")
+    try:
+        recognized = compile_recognized_script(source, params, df.columns)
+        if recognized is not None:
+            return recognized
+        return compile_statements(source, df.columns, params)
+    except PainlessError as e:
+        raise IngestError(
+            f"unsupported painless script: {source[:120]!r} ({e})"
+        ) from e
 
 
 @dataclass
@@ -327,8 +300,25 @@ class IngestPipeline:
     on_failure: Sequence[Mapping[str, Mapping[str, Any]]] = ()
     ua_dim: Any = None
     geo_dim: Any = None
+    #: sub-pipelines addressable by ``pipeline`` steps (the
+    #: elasticsearch module routes each document to a plaintext or
+    #: json parser this way — see _step_pipeline)
+    sub_pipelines: Mapping[str, "IngestPipeline"] | None = None
+
+    #: steps that accept a per-document ``if`` guard: these compile to
+    #: column assignments, so the guard folds into one
+    #: when(cond, new).otherwise(old) projection — no branch, no union
+    _GUARDABLE = frozenset(
+        {"set", "convert", "script", "split", "remove", "date",
+         "urldecode", "lowercase", "uppercase", "append"}
+    )
 
     def apply(self, df: DataFrame) -> DataFrame:
+        # shield an outer pipeline's error column: a sub-pipeline run
+        # through _step_pipeline must not reset or drop the parent's
+        shadowed = self.on_failure and _ERR_COL in df.columns
+        if shadowed:
+            df = df.withColumnRenamed(_ERR_COL, _ERR_COL + "_outer")
         if self.on_failure:
             df = df.withColumn(_ERR_COL, F.lit(None).cast("string"))
         for step in self.steps:
@@ -343,10 +333,59 @@ class IngestPipeline:
             handler = getattr(self, f"_step_{name}", None)
             if handler is None:
                 raise IngestError(f"unsupported ingest processor: {name}")
-            df = handler(df, conf)
+            cond_src = conf.get("if")
+            if cond_src is None or name in ("drop", "pipeline"):
+                # drop/pipeline consume their own `if` (row-set steps)
+                df = handler(df, conf)
+            elif name in self._GUARDABLE:
+                df = handler(df, conf, painless_condition(cond_src, df))
+            else:
+                raise IngestError(f"'if' guard not supported on {name}")
         if self.on_failure:
             df = self._apply_on_failure(df)
+        if shadowed:
+            df = df.withColumnRenamed(_ERR_COL + "_outer", _ERR_COL)
         return df
+
+    def _put(
+        self, df: DataFrame, field: str, val: Column, cond: Column | None
+    ) -> DataFrame:
+        """Assign ``field`` = ``val``, under an optional per-document
+        guard (unguarded rows keep their previous value, NULL when the
+        column is new). Writes always land as FLAT columns; a
+        map-backed field (kv/json target key) is migrated out of its
+        map so the value has one home. A guarded TYPE-CHANGING write
+        (slowlog's guarded ``split`` turns a string into an array)
+        nulls the unguarded rows — documented divergence, since one
+        Spark column can't hold both types per row (the module guards
+        are presence checks, so those rows were empty anyway)."""
+        mp = None if field in df.columns else _map_parent(df, field)
+        if cond is None:
+            out = df.withColumn(field, val)
+        else:
+            if field in df.columns:
+                prev: Column = _fcol(field)
+                from pyspark.sql.types import NullType
+
+                new_t = df.select(val.alias("_t")).schema[0].dataType
+                old_t = df.schema[field].dataType
+                if (
+                    new_t != old_t
+                    and not isinstance(new_t, NullType)
+                    and not isinstance(old_t, NullType)
+                ):
+                    prev = F.lit(None).cast(new_t)
+            elif mp is not None:
+                prev = _read_field(df, field)  # type: ignore[assignment]
+            else:
+                prev = F.lit(None)
+            out = df.withColumn(field, F.when(cond, val).otherwise(prev))
+        if mp is not None and not mp[2]:
+            parent, key, _ = mp
+            out = out.withColumn(
+                parent, F.map_filter(_fcol(parent), lambda k, _: k != key)
+            )
+        return out
 
     # -- failure routing ------------------------------------------------
 
@@ -397,75 +436,173 @@ class IngestPipeline:
         from .actions import Grok
 
         field = conf["field"]
+        tmp = None
         if field not in df.columns:
-            if conf.get("ignore_missing"):
-                return df
-            raise IngestError(f"grok field missing: {field}")
-        out = Grok(patterns=list(conf["patterns"]), field=field).apply(df)
+            src = _read_field(df, field)
+            if src is None:
+                if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                    return df
+                raise IngestError(f"grok field missing: {field}")
+            # map-backed source (json/kv key, e.g. the elasticsearch
+            # module groks elasticsearch.server.message out of the
+            # json map): materialize once, grok, drop
+            tmp = "_grok_src"
+            df = df.withColumn(tmp, src)
+            field = tmp
+        defs = dict(conf.get("pattern_definitions") or {})
+        out = Grok(
+            patterns=list(conf["patterns"]),
+            field=field,
+            pattern_definitions=defs,
+            # ingest-node grok overwrites existing fields (31/42
+            # module pipelines re-grok fields earlier steps created)
+            overwrite=True,
+        ).apply(df)
         if self.on_failure:
             from ..functions.grok import grok_first_match
 
-            _, ok = grok_first_match(_fcol(field), list(conf["patterns"]))
+            _, ok = grok_first_match(_fcol(field), list(conf["patterns"]), defs)
             fail = _fcol(field).isNotNull() & ~F.coalesce(ok, F.lit(False))
             out = self._record_failure(
                 out, conf,
                 fail, f"Provided Grok expressions do not match field [{field}]",
             )
-        return out
+        return out.drop(tmp) if tmp else out
 
-    def _step_remove(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_remove(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         fields = conf["field"]
         if isinstance(fields, str):
             fields = [fields]
-        missing = [f for f in fields if f not in df.columns]
+        missing = [f for f in fields if not _has_field(df, f)]
         if missing and not (
-            conf.get("ignore_missing") or conf.get("ignore_failure")
+            conf.get("ignore_missing") or conf.get("ignore_failure") or cond is not None
         ):
             raise IngestError(f"remove field missing: {missing}")
-        present = [f for f in fields if f in df.columns]
-        return df.drop(*[_fcol(f) for f in present]) if present else df
+        present = [f for f in fields if _has_field(df, f)]
+        if not present:
+            return df
+        if cond is None:
+            for f in present:
+                df = _delete_field(df, f)
+            return df
+        # guarded remove: NULL is our per-row "absent"
+        return df.withColumns(
+            {
+                f: F.when(cond, F.lit(None)).otherwise(_fcol(f))
+                for f in present
+                if f in df.columns
+            }
+        )
 
     def _step_rename(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
         src, dst = conf["field"], conf["target_field"]
-        if src not in df.columns:
+        val = _read_field(df, src)
+        if val is None:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
             raise IngestError(f"rename field missing: {src}")
-        if dst in df.columns:
-            # ES rename fails when the target exists; with
-            # ignore_failure the document passes through unchanged
-            if conf.get("ignore_failure"):
-                return df
-            raise IngestError(f"rename target exists: {dst}")
-        return df.withColumnRenamed(src, dst)
+        if dst not in df.columns:
+            if src in df.columns:
+                return df.withColumnRenamed(src, dst)
+            # map-backed source: materialize the value as a flat
+            # column, then delete the key from the map
+            return _delete_field(df.withColumn(dst, val), src)
+        # target column already in the schema. ES rename is per-DOC:
+        # it fails only for docs where the target field is non-null
+        # (multiple branch-guarded renames share one target in the
+        # elasticsearch/logstash module subs — per doc at most one
+        # fires). Merge: null targets take the source value and the
+        # source clears; non-null targets are per-row failures.
+        existing = _fcol(dst)
+        fail = val.isNotNull() & existing.isNotNull()
+        df = self._record_failure(
+            df, conf, fail, f"field [{dst}] already exists"
+        )
+        merged = F.coalesce(existing, val)
+        if src in df.columns:
+            return df.withColumns(
+                {dst: merged, src: F.when(fail, _fcol(src))}
+            )
+        mp = _map_parent(df, src)
+        assert mp is not None
+        parent, key, residual = mp
+        full = key + "." + residual if residual else key
+        cleared = F.map_filter(_fcol(parent), lambda k, _: k != full)
+        return df.withColumns(
+            {dst: merged,
+             parent: F.when(fail, _fcol(parent)).otherwise(cleared)}
+        )
 
-    def _step_set(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
-        return df.withColumn(conf["field"], F.lit(conf["value"]))
+    def _step_set(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
+        val = self._template_value(df, conf["value"])
+        if conf.get("override") is False and conf["field"] in df.columns:
+            # override:false only fills absent (NULL) values
+            val = F.coalesce(_fcol(conf["field"]), val)
+        return self._put(df, conf["field"], val, cond)
 
-    def _step_date(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    @staticmethod
+    def _template_value(df: DataFrame, val: Any) -> Column:
+        """``set``/``append`` values may be mustache templates reading
+        other fields (``{{system.auth.ssh.dropped_ip}}``,
+        ``{{elasticsearch.audit.url.path}}?{{...query}}`` — module
+        JSONs). Compile to the column (or a concat for mixed text);
+        a referenced field with no column reads as NULL."""
+        if not isinstance(val, str) or "{{" not in val:
+            return F.lit(val)
+        parts: list[Column] = []
+        pos = 0
+        for m in _re.finditer(r"\{\{\s*([\w.@]+)\s*\}\}", val):
+            if m.start() > pos:
+                parts.append(F.lit(val[pos:m.start()]))
+            ref = m.group(1)
+            val_col = _read_field(df, ref)
+            parts.append(
+                val_col if val_col is not None
+                else F.lit(None).cast("string")
+            )
+            pos = m.end()
+        if pos < len(val):
+            parts.append(F.lit(val[pos:]))
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    def _step_date(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         field = conf["field"]
-        if field not in df.columns:
+        src = _read_field(df, field)
+        if src is None:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
             raise IngestError(f"date field missing: {field}")
         target = conf.get("target_field", "@timestamp")
-        ts = _date_parse(_fcol(field), conf["formats"])
+        formats = conf["formats"]
+        if isinstance(formats, str):
+            formats = [formats]
+        ts = _date_parse(src, formats)
         # ingest `timezone` shifts zone-less formats; our supported
         # formats carry their own offset or are epoch-based, so a
         # requested timezone on a zoned format is a config error.
         if conf.get("timezone") not in (None, "UTC"):
             raise IngestError("date: only UTC/offset-carrying formats supported")
+        fail = src.isNotNull() & ts.isNull()
         df = self._record_failure(
             df, conf,
-            _fcol(field).isNotNull() & ts.isNull(),
+            fail if cond is None else (cond & fail),
             f"unable to parse date [{field}]",
         )
-        return df.withColumn(target, ts)
+        return self._put(df, target, ts, cond)
 
-    def _step_convert(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_convert(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         field = conf["field"]
-        if field not in df.columns:
-            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+        src = _read_field(df, field)
+        if src is None:
+            if conf.get("ignore_missing") or conf.get("ignore_failure") or cond is not None:
                 return df
             raise IngestError(f"convert field missing: {field}")
         typ = conf["type"]
@@ -474,27 +611,86 @@ class IngestPipeline:
         target = conf.get("target_field", field)
         # try_cast: ANSI cast aborts the whole job on one malformed
         # value; ES convert fails only the single document (NULL here)
-        cast = _fcol(field).try_cast(_CONVERT_TYPES[typ])
+        cast = src.try_cast(_CONVERT_TYPES[typ])
+        fail = src.isNotNull() & cast.isNull()
         df = self._record_failure(
             df, conf,
-            _fcol(field).isNotNull() & cast.isNull(),
+            fail if cond is None else (cond & fail),
             f"unable to convert [{field}] to {typ}",
         )
-        return df.withColumn(target, cast)
+        return self._put(df, target, cast, cond)
 
-    def _step_lowercase(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
-        return self._case(df, conf, F.lower)
+    def _step_lowercase(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
+        return self._case(df, conf, F.lower, cond)
 
-    def _step_uppercase(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
-        return self._case(df, conf, F.upper)
+    def _step_uppercase(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
+        return self._case(df, conf, F.upper, cond)
 
-    def _case(self, df, conf, fn) -> DataFrame:
+    def _case(self, df, conf, fn, cond=None) -> DataFrame:
+        field = conf["field"]
+        src = _read_field(df, field)
+        if src is None:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"case field missing: {field}")
+        return self._put(df, field, fn(src), cond)
+
+    def _step_urldecode(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
+        """``urldecode`` (ingest-common URLDecodeProcessor — java
+        URLDecoder semantics, ``+`` → space; used by
+        /root/reference/filebeat/module/iis/error/ingest/pipeline.json).
+        ``try_url_decode``: a malformed escape fails only that
+        document (NULL + failure record), not the job."""
+        field = conf["field"]
+        col = _read_field(df, field)
+        if col is None:
+            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                return df
+            raise IngestError(f"urldecode field missing: {field}")
+        target = conf.get("target_field", field)
+        dec = F.try_url_decode(col)
+        fail = col.isNotNull() & dec.isNull()
+        df = self._record_failure(
+            df, conf,
+            fail if cond is None else (cond & fail),
+            f"unable to URL-decode [{field}]",
+        )
+        return self._put(df, target, dec, cond)
+
+    def _step_dissect(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        """``dissect`` ingest step — the same tokenizer engine as the
+        beats processor (functions/dissect.py), extracted keys landing
+        as root-level flat columns (the ingest node's behavior; the
+        beats processor defaults to a ``dissect.`` prefix instead).
+        Used by /root/reference/filebeat/module/traefik/access/ingest/pipeline.json."""
+        from .actions import Dissect
+
         field = conf["field"]
         if field not in df.columns:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
-            raise IngestError(f"case field missing: {field}")
-        return df.withColumn(field, fn(_fcol(field)))
+            raise IngestError(f"dissect field missing: {field}")
+        from .actions import FLAG_PARSING_ERROR, FLAGS_FIELD
+
+        out = Dissect(
+            tokenizer=conf["pattern"], field=field, target_prefix=""
+        ).apply(df)
+        if self.on_failure:
+            # the Dissect operator tags parse failures in log_flags
+            fail = F.array_contains(
+                F.col(FLAGS_FIELD), FLAG_PARSING_ERROR
+            )
+            out = self._record_failure(
+                out, conf, fail,
+                f"Unable to find match for dissect pattern on [{field}]",
+            )
+        return out
 
     def _step_dot_expander(
         self, df: DataFrame, conf: Mapping[str, Any]
@@ -518,18 +714,20 @@ class IngestPipeline:
             return df
         return df
 
-    def _step_split(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_split(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         """``split`` divides a string field into an array on a regex
         separator (ingest-common SplitProcessor — Java ``String.split``
         semantics: trailing empty strings dropped unless
         ``preserve_trailing``; an empty input yields ``[""]``)."""
         field = conf["field"]
-        if field not in df.columns:
-            if conf.get("ignore_missing") or conf.get("ignore_failure"):
+        col = _read_field(df, field)
+        if col is None:
+            if conf.get("ignore_missing") or conf.get("ignore_failure") or cond is not None:
                 return df
             raise IngestError(f"split field missing: {field}")
         target = conf.get("target_field", field)
-        col = _fcol(field)
         arr = F.split(col, conf["separator"], -1)
         if not conf.get("preserve_trailing"):
             # index of the last non-empty element; slice keeps [1..n]
@@ -543,7 +741,7 @@ class IngestPipeline:
             arr = F.when(col == "", F.array(F.lit(""))).otherwise(
                 F.slice(arr, 1, F.greatest(n, F.lit(0)))
             )
-        return df.withColumn(target, arr)
+        return self._put(df, target, arr, cond)
 
     def _step_json(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
         """``json`` parses a JSON-string field. With a ``schema``
@@ -555,7 +753,8 @@ class IngestPipeline:
         A non-parseable non-null document records a failure for
         ``on_failure``."""
         field = conf["field"]
-        if field not in df.columns:
+        col = _read_field(df, field)
+        if col is None:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
             raise IngestError(f"json field missing: {field}")
@@ -563,7 +762,6 @@ class IngestPipeline:
             raise IngestError("json: add_to_root needs a schema'd target; "
                               "use target_field + schema")
         target = conf.get("target_field", field)
-        col = _fcol(field)
         schema = conf.get("schema")
         parsed = F.from_json(
             col, schema if schema else "map<string,string>"
@@ -593,16 +791,36 @@ class IngestPipeline:
         (plan-time schema); without it the target holds the full
         ``map<string,string>``."""
         field = conf["field"]
-        if field not in df.columns:
+        src = _read_field(df, field)
+        if src is None:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
             raise IngestError(f"kv field missing: {field}")
         target = conf.get("target_field", field)
         m = F.str_to_map(
-            _fcol(field), F.lit(conf["field_split"]), F.lit(conf["value_split"])
+            src, F.lit(conf["field_split"]), F.lit(conf["value_split"])
         )
         include = conf.get("include_keys")
         if not include:
+            from pyspark.sql.types import MapType
+
+            if target in df.columns and isinstance(
+                df.schema[target].dataType, MapType
+            ):
+                # ES kv MERGES into an existing object (auditd's
+                # second kv re-targets auditd.log): new keys win; old
+                # keys filtered first because map_concat's default
+                # dedup policy is EXCEPTION
+                old = F.map_filter(
+                    _fcol(target),
+                    lambda k, _: ~F.coalesce(
+                        F.map_contains_key(m, k), F.lit(False)
+                    ),
+                )
+                m = F.map_concat(
+                    old,
+                    F.coalesce(m, F.create_map().cast("map<string,string>")),
+                )
             return df.withColumn(target, m)
         df = df.withColumn("_kv_tmp", m)
         for key in include:
@@ -616,17 +834,18 @@ class IngestPipeline:
         cond = painless_condition(conf["if"], df)
         return df.where(~cond)
 
-    def _step_append(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_append(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         """``append`` adds value(s) to a field, promoting a scalar to
-        an array and creating the field when absent (ES semantics)."""
+        an array and creating the field when absent (ES semantics);
+        mustache values compile to column reads (_template_value)."""
         field = conf["field"]
         val = conf["value"]
         vals = val if isinstance(val, list) else [val]
-        if any(isinstance(v, str) and "{{" in v for v in vals):
-            raise IngestError("append: template values not supported")
-        add = F.array(*[F.lit(v) for v in vals])
+        add = F.array(*[self._template_value(df, v) for v in vals])
         if field not in df.columns:
-            return df.withColumn(field, add)
+            return self._put(df, field, add, cond)
         existing = _fcol(field)
         from pyspark.sql.types import ArrayType
 
@@ -634,22 +853,92 @@ class IngestPipeline:
             combined = F.concat(existing, add)
         else:
             combined = F.concat(F.array(existing), add)
-        return df.withColumn(field, combined)
+        return self._put(df, field, combined, cond)
 
-    def _step_script(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
-        """``script`` (painless) compiled to a Column assignment for
-        the recognized module shapes — see
-        :func:`compile_painless_script`. Unsupported scripts raise."""
+    def _step_script(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
+        """``script`` (painless) compiled to Column assignments by the
+        painless-subset compiler — see :func:`compile_painless_script`.
+        All assignments apply in ONE projection against the pre-step
+        frame (``withColumns``), preserving the script's read-before-
+        write ordering which the compiler already folded in.
+        Unsupported scripts raise."""
         lang = conf.get("lang", "painless")
         if lang != "painless":
             raise IngestError(f"script: unsupported lang {lang!r}")
         source = conf.get("source") or conf.get("inline")
         if not source:
             raise IngestError("script: missing source")
-        target, value = compile_painless_script(
-            source, conf.get("params", {}), df
-        )
-        return df.withColumn(target, value)
+        assigns = compile_painless_script(source, conf.get("params", {}), df)
+        if cond is not None:
+            assigns = {
+                c: F.when(cond, v).otherwise(
+                    _fcol(c) if c in df.columns else F.lit(None)
+                )
+                for c, v in assigns.items()
+            }
+        return df.withColumns(dict(assigns))
+
+    def _step_pipeline(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+        """``pipeline`` routes each document through a named
+        sub-pipeline, usually behind an ``if`` guard — the
+        elasticsearch module sends JSON-looking lines to a json parser
+        and everything else to a plaintext parser
+        (/root/reference/filebeat/module/elasticsearch/server/ingest/pipeline.json).
+        Spark shape: filter → apply sub-pipeline → unionByName with the
+        untouched complement (missing columns NULL-filled); guarded
+        sub-pipeline outputs and pass-through rows reconverge in one
+        union, and an unguarded pipeline step is a plain composition."""
+        pname = conf["name"]
+        sub = (self.sub_pipelines or {}).get(pname)
+        if sub is None:
+            raise IngestError(
+                f"pipeline step: unknown sub-pipeline {pname!r} "
+                "(pass sub_pipelines= to IngestPipeline)"
+            )
+        cond_src = conf.get("if")
+        if cond_src is None:
+            return sub.apply(df)
+        cond = F.coalesce(painless_condition(cond_src, df), F.lit(False))
+        routed = sub.apply(df.where(cond))
+        passed = df.where(~cond)
+        routed, passed = self._reconcile_types(routed, passed)
+        return routed.unionByName(passed, allowMissingColumns=True)
+
+    @staticmethod
+    def _reconcile_types(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Branches of a routed ``pipeline`` step can give one field
+        different types (the slowlog plaintext sub SPLITS
+        ``elasticsearch.slowlog.stats`` to an array; the json sub
+        leaves it a string). ES fields hold scalar-or-array
+        transparently; the Spark-honest union type is the array —
+        lift the scalar branch to a one-element array (NULL stays
+        NULL). Any other type divergence raises loudly."""
+        from pyspark.sql.types import ArrayType
+
+        ta = {f.name: f.dataType for f in a.schema.fields}
+        tb = {f.name: f.dataType for f in b.schema.fields}
+        for name in set(ta) & set(tb):
+            da, db = ta[name], tb[name]
+            if da == db:
+                continue
+            if isinstance(da, ArrayType) and da.elementType == db:
+                b = b.withColumn(
+                    name,
+                    F.when(_fcol(name).isNotNull(), F.array(_fcol(name))),
+                )
+            elif isinstance(db, ArrayType) and db.elementType == da:
+                a = a.withColumn(
+                    name,
+                    F.when(_fcol(name).isNotNull(), F.array(_fcol(name))),
+                )
+            else:
+                raise IngestError(
+                    f"pipeline branches disagree on type of {name!r}: "
+                    f"{da.simpleString()} vs {db.simpleString()}"
+                )
+        return a, b
 
     def _step_user_agent(
         self, df: DataFrame, conf: Mapping[str, Any]

@@ -149,17 +149,26 @@ class TestSteps:
         ).apply(df)
         assert {r["n"] for r in out.collect()} == {None, 42}
 
-    def test_rename_target_exists_ignore_failure(self, spark):
-        df = spark.createDataFrame([(1, 2)], "a long, b long")
+    def test_rename_target_exists_per_row_merge(self, spark):
+        """ES rename is per-DOCUMENT: it fails only docs whose target
+        field is non-null; docs with a null target rename normally
+        (the elasticsearch/logstash module subs aim several
+        branch-guarded renames at one target). With on_failure, the
+        failed doc carries the handler message and keeps BOTH fields."""
+        df = spark.createDataFrame(
+            [(1, 2), (3, None), (None, 4)], "a long, b long"
+        )
         out = IngestPipeline(
-            [{"rename": {"field": "a", "target_field": "b",
-                         "ignore_failure": True}}]
+            [{"rename": {"field": "a", "target_field": "b"}}],
+            on_failure=({"set": {"field": "err", "value":
+                                 "{{ _ingest.on_failure_message }}"}},),
         ).apply(df)
-        assert out.columns == ["a", "b"]  # document passes unchanged
-        with pytest.raises(IngestError):
-            IngestPipeline(
-                [{"rename": {"field": "a", "target_field": "b"}}]
-            ).apply(df)
+        rows = {(r["a"], r["b"], r["err"]) for r in out.collect()}
+        assert rows == {
+            (1, 2, "field [b] already exists"),  # per-row failure
+            (None, 3, None),                     # renamed
+            (None, 4, None),                     # null source: no-op
+        }
 
     def test_ignore_processors_skips_supported_steps_too(self, spark):
         df = spark.createDataFrame([(1,)], "a long")

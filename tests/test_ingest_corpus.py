@@ -1,0 +1,201 @@
+"""Whole-corpus conformance: every reference module ingest pipeline
+loads, compiles, and applies; golden-file value parity for single-line
+modules.
+
+The reference ships 42 ingest JSONs under
+``filebeat/module/*/*/ingest/*.json`` (34 entry pipelines + 8
+sub-pipelines referenced via ``{< IngestPipeline >}``), and per-module
+golden fixtures under ``filebeat/module/*/*/test/`` — a sample log
+plus the event the FULL pipeline should produce
+(``*-expected.json``, flat dotted keys, matching our flat-column
+model). Tests read the corpus directly from ``/root/reference``
+(read-only) and skip when it's absent."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.fileset import (
+    load_fileset_pipeline,
+    render_fileset_template,
+)
+from beats_spark.operators.ingest import IngestError
+
+MODULES = "/root/reference/filebeat/module"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MODULES), reason="reference module corpus not present"
+)
+
+
+def _entry_pipelines() -> list[str]:
+    all_files = sorted(glob.glob(f"{MODULES}/*/*/ingest/*.json"))
+    referenced: set[str] = set()
+    for p in all_files:
+        for m in re.finditer(
+            r'\{<\s*IngestPipeline "([-\w]+)"\s*>\}', open(p).read()
+        ):
+            referenced.add(os.path.join(os.path.dirname(p), m.group(1) + ".json"))
+    return [p for p in all_files if p not in referenced]
+
+
+def _load(path: str):
+    return load_fileset_pipeline(
+        path,
+        variables={"convert_timezone": False},
+        ignore_processors=("user_agent", "geoip"),
+    )
+
+
+@pytest.fixture(scope="module")
+def probe_frame(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "dummy log line",
+                "2024-01-01T00:00:00.000Z",
+                "fbtest",
+                "host1",
+                {"type": "log"},
+            )
+        ],
+        "message string, `@timestamp` string, `fileset.name` string, "
+        "`host.name` string, json map<string,string>",
+    )
+
+
+def test_template_renderer_rejects_unknown_directive():
+    with pytest.raises(IngestError, match="template directive"):
+        render_fileset_template('{"a": {< range .x >}1{< end >}}')
+
+
+def test_every_entry_pipeline_loads_and_applies(spark, probe_frame):
+    """All 34 entry pipelines (42 files with subs) compile to a plan
+    and execute over a one-row frame — no unsupported step, grok
+    pattern, painless script, or template directive anywhere in the
+    corpus."""
+    entries = _entry_pipelines()
+    assert len(entries) >= 34
+    failures = []
+    for path in entries:
+        short = path.split("module/")[1]
+        try:
+            out = _load(path).apply(probe_frame)
+            out.count()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures.append(f"{short}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+# -- golden-file value parity ------------------------------------------
+
+#: fields the pipeline can't reproduce here: filebeat-side metadata
+#: (offset/input/service/dataset...), the UA/geo enriches we run only
+#: with dimension tables, host-locale-dependent, and read-time values
+_SKIP = re.compile(
+    r"^(user_agent\.|.*\.geo\.|input\.|log\.offset|log\.file\.|service\.|"
+    r"event\.(module|dataset|created|timezone)|fileset\.|ecs\.|agent\.|"
+    r"host\.|error\.)"
+)
+
+
+def _golden_case(
+    spark, module, fileset, logname, pipename="pipeline.json",
+    multiline=None,
+):
+    logpath = f"{MODULES}/{module}/{fileset}/test/{logname}"
+    expath = logpath + "-expected.json"
+    if not (os.path.exists(logpath) and os.path.exists(expath)):
+        pytest.skip(f"fixture missing: {logpath}")
+    lines = [
+        ln for ln in open(logpath, encoding="utf-8").read().splitlines()
+    ]
+    expected = json.load(open(expath, encoding="utf-8"))
+    if multiline:
+        # the fileset's filebeat-side multiline reader runs BEFORE the
+        # ingest pipeline (module config/*.yml `multiline:` block)
+        from beats_spark.streaming.multiline import multiline_batch
+
+        raw = spark.createDataFrame(
+            [("f0", i, ln) for i, ln in enumerate(lines)],
+            "conv_id string, turn_idx int, text string",
+        )
+        events = multiline_batch(raw, **multiline)
+        df = events.select(
+            F.col("first_turn_idx").alias("rowid"),
+            F.col("doc").alias("message"),
+            F.lit("2024-01-01T00:00:00.000Z").alias("@timestamp"),
+            # filebeat tags joined events (harvester log.flags)
+            F.when(
+                F.col("n_lines") > 1, F.array(F.lit("multiline"))
+            ).alias("log.flags"),
+        )
+    else:
+        df = spark.createDataFrame(
+            [(i, ln, "2024-01-01T00:00:00.000Z") for i, ln in enumerate(lines)],
+            "rowid long, message string, `@timestamp` string",
+        )
+    pipe = _load(f"{MODULES}/{module}/{fileset}/ingest/{pipename}")
+    out = pipe.apply(df).orderBy("rowid")
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == len(expected)
+    mismatches = []
+    for i, (got, want) in enumerate(zip(rows, expected)):
+        for key, wval in want.items():
+            if _SKIP.match(key):
+                continue
+            if key not in out.columns:
+                mismatches.append(f"row {i}: column missing: {key}")
+                continue
+            gval = got[key]
+            if key == "@timestamp":
+                gval = (
+                    gval.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+                    if gval
+                    else None
+                )
+            if isinstance(gval, float) and isinstance(wval, (int, float)):
+                ok = abs(gval - float(wval)) < 1e-9
+            else:
+                ok = gval == wval
+            if not ok:
+                mismatches.append(f"row {i} {key}: got {gval!r} want {wval!r}")
+    assert not mismatches, "\n".join(mismatches[:25])
+
+
+def test_golden_nginx_access(spark):
+    """nginx access: grok + the first-public-IP painless script +
+    split remote_ip_list (module/nginx/access/ingest/default.json)."""
+    _golden_case(spark, "nginx", "access", "test.log", "default.json")
+
+
+def test_golden_apache_access(spark):
+    _golden_case(spark, "apache", "access", "test.log", "default.json")
+
+
+def test_golden_traefik_access(spark):
+    _golden_case(spark, "traefik", "access", "test.log")
+
+
+def test_golden_redis_log(spark):
+    _golden_case(spark, "redis", "log", "redis-5.0.3.log")
+
+
+def test_golden_icinga_main(spark):
+    """icinga joins continuation lines with the fileset's multiline
+    reader (module/icinga/main/config/main.yml: pattern ^\\[, negate,
+    match after) before the ingest grok."""
+    _golden_case(
+        spark, "icinga", "main", "test.log",
+        multiline={"pattern": r"^\[", "negate": True, "match": "after"},
+    )
+
+
+def test_golden_nats_log(spark):
+    _golden_case(spark, "nats", "log", "test.log")
