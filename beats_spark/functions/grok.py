@@ -258,6 +258,96 @@ def grok_columns(
     return cols, ok
 
 
+#: 2-char field separator for single-pass extraction (RS + ETB —
+#: vanishingly unlikely in log text; a colliding row falls back to
+#: per-field extraction, see grok_single_pass)
+_SEP = "\x1e\x17"
+
+
+def grok_single_pass(
+    df,
+    source: str,
+    exprs: list[str],
+    definitions: dict[str, str] | None = None,
+) -> tuple:
+    """Single-regex-run-per-pattern extraction for the HOT PATH.
+
+    ``grok_columns`` runs the compiled regex once per field per row
+    (one ``regexp_extract`` each) — k+1 executions of a heavyweight
+    pattern per row for a k-field program (the apache access pattern
+    has 10+ fields). Here each pattern runs ~twice per row total:
+    one ``rlike`` for the match flag and one ``regexp_replace`` that
+    rewrites the line to ``$g1\\x1e\\x17$g2…``, split into an array.
+    The arrays are MATERIALIZED as temp columns in one projection
+    (a Column reused k× is recomputed k× — CLAUDE.md gotcha), and
+    field columns are cheap ``F.get`` reads. A row whose text
+    contains the separator (array size mismatch) falls back, per row
+    and lazily via ``coalesce``, to classic ``regexp_extract``.
+
+    Returns ``(df2, cols, masks, any_ok, tmp_cols)`` — apply the
+    returned frame, assign ``cols`` (gated per-field by ``masks`` as
+    in :func:`grok_first_match_masked`), then drop ``tmp_cols``.
+    """
+    col = F.col("`" + source + "`")
+    compiled = [compile_grok(e, definitions) for e in exprs]
+    tmp: dict[str, Column] = {}
+    oks: list[Column] = []
+    for i, g in enumerate(compiled):
+        anchored = f"^(?s:{g.pattern})$"
+        ok = col.rlike(anchored)
+        oks.append(F.col(f"_g_ok_{i}"))
+        tmp[f"_g_ok_{i}"] = ok
+        if g.fields:
+            repl = _SEP.join(f"${idx}" for _, idx, _ in g.fields)
+            tmp[f"_g_arr_{i}"] = F.when(
+                ok, F.split(F.regexp_replace(col, anchored, repl), _SEP, -1)
+            )
+    df = df.withColumns(tmp)
+
+    any_ok = oks[0]
+    for ok in oks[1:]:
+        any_ok = any_ok | ok
+    all_fields: list[str] = []
+    for g in compiled:
+        for name, _, _ in g.fields:
+            if name not in all_fields:
+                all_fields.append(name)
+    out: dict[str, Column] = {}
+    masks: dict[str, Column] = {}
+    prev_not: Column | None = None
+    for i, g in enumerate(compiled):
+        ok = oks[i]
+        gate = ok if prev_not is None else prev_not & ok
+        arr = F.col(f"_g_arr_{i}") if g.fields else None
+        k = len(g.fields)
+        anchored = f"^(?s:{g.pattern})$"
+        dup = {n for n, _, _ in g.fields
+               if sum(1 for m, _, _ in g.fields if m == n) > 1}
+        pat_cols: dict[str, Column] = {}
+        for j, (name, idx, cast) in enumerate(g.fields):
+            fast = F.when(F.size(arr) == k, F.get(arr, j))
+            slow = F.when(ok, F.regexp_extract(col, anchored, idx))
+            c = F.coalesce(fast, slow)
+            if cast:
+                c = c.try_cast(cast)
+            if name in dup:
+                if not cast:
+                    c = F.nullif(c, F.lit(""))
+                pat_cols[name] = (
+                    F.coalesce(pat_cols[name], c) if name in pat_cols else c
+                )
+            else:
+                pat_cols[name] = c
+        for name in all_fields:
+            if name in pat_cols:
+                c = F.when(gate, pat_cols[name])
+                out[name] = c if name not in out else F.coalesce(out[name], c)
+                gg = F.coalesce(gate, F.lit(False))
+                masks[name] = gg if name not in masks else (masks[name] | gg)
+        prev_not = ~ok if prev_not is None else prev_not & ~ok
+    return df, out, masks, any_ok, list(tmp)
+
+
 def grok_first_match(
     col: Column,
     exprs: list[str],

@@ -461,12 +461,15 @@ class Grok(Processor):
     overwrite: bool = False
 
     def apply(self, df, guard=None):
-        from ..functions.grok import grok_first_match_masked
+        from ..functions.grok import grok_single_pass
 
         # backtick-quote: module pipelines grok dotted ECS fields
-        # (apache default.json groks `source.address` in step 3)
-        cols, masks, ok = grok_first_match_masked(
-            F.col("`" + self.field + "`"),
+        # (apache default.json groks `source.address` in step 3);
+        # single-pass: ~2 regex runs per pattern per row instead of
+        # one per FIELD — the 100-TB parse path
+        df, cols, masks, ok, tmp_cols = grok_single_pass(
+            df,
+            self.field,
             list(self.patterns),
             dict(self.pattern_definitions or {}),
         )
@@ -514,7 +517,10 @@ class Grok(Processor):
             else F.array().cast("array<string>")
         )
         flags = F.array_union(base, err)
-        return df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
+        df = df.withColumn(
+            FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags)
+        )
+        return df.drop(*tmp_cols)
 
 
 @dataclass
