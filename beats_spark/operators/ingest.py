@@ -185,7 +185,9 @@ def translate_joda(fmt: str) -> str:
     return out
 
 
-def _date_parse(col: Column, formats: Sequence[str]) -> Column:
+def _date_parse(
+    col: Column, formats: Sequence[str], tz_col: Column | None = None
+) -> Column:
     """First-parseable-format-wins (ingest date processor semantics):
     per-format try-parse, coalesced in declaration order. Epoch forms
     use try_cast (ANSI cast would abort the JOB on one dirty value,
@@ -195,8 +197,22 @@ def _date_parse(col: Column, formats: Sequence[str]) -> Column:
     first, then the zone-less one interpreted in the session timezone
     (pinned UTC) — the ES date processor accepts both and defaults
     zone-less input to UTC; r2's offset-only pattern silently parsed
-    legal zone-less strings to NULL."""
+    legal zone-less strings to NULL.
+
+    ``tz_col`` is the ingest ``timezone`` option (possibly per-row —
+    modules template it as ``{{ event.timezone }}`` behind the
+    ``convert_timezone`` fileset var): ES applies it only to formats
+    carrying NO zone of their own, so zone-less alternatives reparse
+    the wall-clock in that zone (``to_utc_timestamp``; a NULL/absent
+    per-row zone falls back to the UTC read) while offset-carrying and
+    epoch forms ignore it."""
     alts = []
+
+    def zoneless(parsed: Column) -> Column:
+        if tz_col is None:
+            return parsed
+        return F.coalesce(F.to_utc_timestamp(parsed, tz_col), parsed)
+
     for f in formats:
         j = translate_joda(f)
         if j == "epoch-seconds":
@@ -208,10 +224,16 @@ def _date_parse(col: Column, formats: Sequence[str]) -> Column:
                 F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX"))
             )
             alts.append(
-                F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]"))
+                zoneless(F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]")))
             )
         else:
-            alts.append(F.try_to_timestamp(col, F.lit(j)))
+            parsed = F.try_to_timestamp(col, F.lit(j))
+            # joda zone tokens: Z/ZZ (offset) or z (zone name); the
+            # translated java pattern keeps X/x/z/Z spellings. Only
+            # zone-LESS patterns take the configured timezone.
+            if not _re.search(r"(?<!')[XxzZ]", j.replace("''", "")):
+                parsed = zoneless(parsed)
+            alts.append(parsed)
     return F.coalesce(*alts) if len(alts) > 1 else alts[0]
 
 
@@ -582,12 +604,13 @@ class IngestPipeline:
         formats = conf["formats"]
         if isinstance(formats, str):
             formats = [formats]
-        ts = _date_parse(src, formats)
-        # ingest `timezone` shifts zone-less formats; our supported
-        # formats carry their own offset or are epoch-based, so a
-        # requested timezone on a zoned format is a config error.
-        if conf.get("timezone") not in (None, "UTC"):
-            raise IngestError("date: only UTC/offset-carrying formats supported")
+        tz = conf.get("timezone")
+        tz_col = (
+            None
+            if tz in (None, "UTC")
+            else self._template_value(df, tz)
+        )
+        ts = _date_parse(src, formats, tz_col)
         fail = src.isNotNull() & ts.isNull()
         df = self._record_failure(
             df, conf,

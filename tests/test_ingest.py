@@ -537,3 +537,84 @@ class TestApacheModuleEndToEnd:
         assert "Grok" in rows[3]["error.message"]
         # event.created keeps the ingestion time after the rename step
         assert rows[1]["event.created"] is not None
+
+
+class TestDateTimezone:
+    """ingest `date` with `timezone` (the modules template it as
+    `{{ event.timezone }}` behind the convert_timezone fileset var):
+    a zone-less format reparses wall-clock in that zone; offset-
+    carrying formats ignore it; a NULL per-row zone falls back UTC."""
+
+    def test_constant_zone_shifts_zoneless_format(self, spark):
+        df = spark.createDataFrame([("2020-06-01 12:00:00",)], "t string")
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["yyyy-MM-dd HH:mm:ss"],
+                       "timezone": "America/New_York"}}]
+        ).apply(df)
+        ts = out.collect()[0]["@timestamp"]
+        assert ts.strftime("%H:%M") == "16:00"  # EDT is UTC-4 in June
+
+    def test_per_row_mustache_zone(self, spark):
+        df = spark.createDataFrame(
+            [("2020-01-15 00:00:00", "Asia/Tokyo"),
+             ("2020-01-15 00:00:00", None)],
+            "t string, `event.timezone` string",
+        )
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["yyyy-MM-dd HH:mm:ss"],
+                       "timezone": "{{ event.timezone }}"}}]
+        ).apply(df)
+        got = [r["@timestamp"].strftime("%dT%H") for r in out.collect()]
+        assert got == ["14T15", "15T00"]  # JST -9h; NULL zone → UTC
+
+    def test_offset_carrying_format_ignores_zone(self, spark):
+        df = spark.createDataFrame(
+            [("10/Oct/2020:13:55:36 -0700",)], "t string"
+        )
+        out = IngestPipeline(
+            [{"date": {"field": "t", "formats": ["dd/MMM/yyyy:H:m:s Z"],
+                       "timezone": "Asia/Tokyo"}}]
+        ).apply(df)
+        ts = out.collect()[0]["@timestamp"]
+        assert ts.strftime("%H:%M") == "20:55"  # -0700 applied, not JST
+
+
+class TestScriptEscapeHatch:
+    """The worked process(event)-migration examples from the Script
+    docstring (operators/actions.py), executed: Column-first form and
+    the mapInPandas form produce the same result."""
+
+    def test_column_form(self, spark):
+        from beats_spark.operators.actions import Script
+
+        df = spark.createDataFrame(
+            [("hello beta", ["x"]), ("prod", None)],
+            "message string, tags array<string>",
+        )
+        p = Script(fn=lambda d: d
+            .withColumn("msg_len", F.length("message"))
+            .withColumn("tags", F.when(
+                F.col("message").contains("beta"),
+                F.array_union(
+                    F.coalesce("tags", F.array().cast("array<string>")),
+                    F.array(F.lit("beta")),
+                ),
+            ).otherwise(F.col("tags"))))
+        rows = p.apply(df).collect()
+        assert rows[0]["msg_len"] == 10 and rows[0]["tags"] == ["x", "beta"]
+        assert rows[1]["msg_len"] == 4 and rows[1]["tags"] is None
+
+    def test_map_in_pandas_form(self, spark):
+        from beats_spark.operators.actions import Script
+
+        def fn(d):
+            def batches(it):
+                for pdf in it:
+                    pdf["msg_len"] = pdf["message"].str.len()
+                    yield pdf
+            return d.mapInPandas(
+                batches, d.schema.simpleString()[7:-1] + ", msg_len int"
+            )
+
+        df = spark.createDataFrame([("abc",)], "message string")
+        assert Script(fn=fn).apply(df).collect()[0]["msg_len"] == 3
