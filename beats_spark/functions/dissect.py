@@ -313,6 +313,57 @@ def dissect_columns(col, tokenizer: str):
     return out, ok
 
 
+#: 2-char field separator for single-pass extraction (RS + ETB; a
+#: colliding row falls back per-row to regexp_extract)
+_SEP = "\x1e\x17"
+
+
+def dissect_single_pass(df, source: str, tokenizer: str):
+    """Hot-path native tier: ~2 regex runs per row TOTAL instead of
+    one per key (``dissect_columns`` costs k+1 ``regexp_extract``
+    executions for a k-key tokenizer — the headline logfmt tokenizer
+    has 7). One ``rlike`` for the match flag; one ``regexp_replace``
+    rewriting the line to a separator-joined group list, split once
+    into a MATERIALIZED array (a Column reused k× is recomputed k× —
+    CLAUDE.md gotcha) that key columns read with ``F.get``. Rows whose
+    field text contains the separator (size mismatch) fall back lazily
+    to per-key extraction.
+
+    Returns ``(df2, cols, ok, tmp_cols)`` — assign ``cols`` on the
+    returned frame, then drop ``tmp_cols``.
+    """
+    from pyspark.sql import functions as F
+
+    d = compile_tokenizer(tokenizer)
+    pattern, names = d.to_regex()
+    col = F.col("`" + source + "`")
+    ok = col.rlike(pattern) & (col != F.lit(""))
+    named = [(gi, nm) for gi, nm in enumerate(names, start=1) if nm]
+    if not named:
+        return df.withColumn("_d_ok", ok), {}, F.col("_d_ok"), ["_d_ok"]
+    # the dissect regex deliberately carries no trailing $ (content
+    # after the last delimiter is ignored) — consume the tail so the
+    # replacement covers the WHOLE string
+    full = pattern + "(?s:.*)$"
+    repl = _SEP.join(f"${gi}" for gi, _ in named)
+    df = df.withColumns(
+        {
+            "_d_ok": ok,
+            "_d_arr": F.when(
+                ok, F.split(F.regexp_replace(col, full, repl), _SEP, -1)
+            ),
+        }
+    )
+    okc, arr = F.col("_d_ok"), F.col("_d_arr")
+    k = len(named)
+    out: dict[str, object] = {}
+    for j, (gi, name) in enumerate(named):
+        fast = F.when(F.size(arr) == k, F.get(arr, j))
+        slow = F.when(okc, F.regexp_extract(col, pattern, gi))
+        out[name] = F.coalesce(fast, slow)
+    return df, out, okc, ["_d_ok", "_d_arr"]
+
+
 def dissect_struct(col, tokenizer: str, flags_col=None):
     """Native tier packaged as (struct_column, flags_column).
 

@@ -581,6 +581,13 @@ _FIRST_PUBLIC_IP = re.compile(
     re.S,
 )
 
+_NAMESPACE_MOVE = re.compile(
+    r"^def (\w+) = \['(\w+)': new HashMap\(\)\]; "
+    r"for \(entry in ctx\['(\w+)'\]\.entrySet\(\)\) "
+    r"\{ \1\['\2'\]\[entry\.getKey\(\)\] = entry\.getValue\(\); \} "
+    r"ctx\['(\w+)'\] = \1; ctx\.remove\('\3'\);$"
+)
+
 _KV_NORMALIZE = re.compile(
     r"String trimQuotes\(.*def audit = ctx\.([\w.]+)\.get\(\"([\w.]+)\"\);"
     r".*entries\.remove\(\).*convertHexToString.*trimQuotes\("
@@ -651,6 +658,20 @@ def compile_recognized_script(
             lst, lambda x: ~F.coalesce(is_private(x), F.lit(False))
         )
         return {target: F.coalesce(F.get(public, 0), F.get(lst, 0))}
+
+    m = _NAMESPACE_MOVE.match(src)
+    if m:
+        # osquery/result pipeline.json (behind use_namespace): move the
+        # whole json-decoded map under `<ns>.<sub>` and drop the source
+        # column. A mapping value of None signals column DROP to the
+        # script step.
+        _var, sub, src_field, ns = m.groups()
+        moved = (
+            _fcol(src_field)
+            if src_field in columns
+            else F.lit(None).cast("map<string,string>")
+        )
+        return {f"{ns}.{sub}": moved, src_field: None}
 
     m = _KV_NORMALIZE.search(src)
     if m:

@@ -417,10 +417,21 @@ class Dissect(Processor):
             raise ValueError(f"dissect would overwrite existing columns: {clash}")
         src = F.col(self.field)
         tmp = None
+        tmp_cols: list[str] = []
         if d.lowerable():
-            cols, ok = dissect_columns(src, self.tokenizer)
-            for k, c in cols.items():
-                df = df.withColumn(self._out(k), self._guarded(df, guard, self._out(k), c))
+            from ..functions.dissect import dissect_single_pass
+
+            # single-pass: ~2 regex runs per row instead of one per
+            # key — this is the headline parse path
+            df, cols, ok, tmp_cols = dissect_single_pass(
+                df, self.field, self.tokenizer
+            )
+            df = df.withColumns(
+                {
+                    self._out(k): self._guarded(df, guard, self._out(k), c)
+                    for k, c in cols.items()
+                }
+            )
         else:
             udf = dissect_pandas_udf(self.tokenizer)
             tmp = "_dissect_m"
@@ -439,7 +450,9 @@ class Dissect(Processor):
         )
         flags = F.array_union(base, err)
         df = df.withColumn(FLAGS_FIELD, self._guarded(df, guard, FLAGS_FIELD, flags))
-        return df.drop(tmp) if tmp else df
+        if tmp:
+            df = df.drop(tmp)
+        return df.drop(*tmp_cols) if tmp_cols else df
 
 
 @dataclass

@@ -220,11 +220,13 @@ def _date_parse(
         elif j == "epoch-millis":
             alts.append(F.timestamp_millis(col.try_cast("long")))
         elif j == "iso8601":
+            # [.SSSSSS] is lenient: 1-6 fraction digits all parse
+            # (mysql logs carry micros, most modules millis)
             alts.append(
-                F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX"))
+                F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
             )
             alts.append(
-                zoneless(F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]")))
+                zoneless(F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")))
             )
         else:
             parsed = F.try_to_timestamp(col, F.lit(j))
@@ -234,6 +236,11 @@ def _date_parse(
             if not _re.search(r"(?<!')[XxzZ]", j.replace("''", "")):
                 parsed = zoneless(parsed)
             alts.append(parsed)
+            if "XXX" in j:
+                # joda ZZ parses BOTH +01:00 and +0100 (lenient colon);
+                # java.time XXX takes only the colon form — try the
+                # colon-less spelling too (mongodb logs use +0100)
+                alts.append(F.try_to_timestamp(col, F.lit(j.replace("XXX", "xx"))))
     return F.coalesce(*alts) if len(alts) > 1 else alts[0]
 
 
@@ -617,6 +624,14 @@ class IngestPipeline:
             fail if cond is None else (cond & fail),
             f"unable to parse date [{field}]",
         )
+        prior = _read_field(df, target)
+        if prior is not None:
+            # a failed (or missing-source) row leaves the document
+            # unchanged in ES — whether swallowed by ignore_failure or
+            # routed through on_failure, the processor wrote nothing
+            # (santa: 2nd date over the disk-pattern-only `timestamp`
+            # must not null-overwrite @timestamp set from process.start)
+            ts = F.coalesce(ts, prior.try_cast("timestamp"))
         return self._put(df, target, ts, cond)
 
     def _step_convert(
@@ -894,14 +909,21 @@ class IngestPipeline:
         if not source:
             raise IngestError("script: missing source")
         assigns = compile_painless_script(source, conf.get("params", {}), df)
+        drops = [c for c, v in assigns.items() if v is None]
+        assigns = {c: v for c, v in assigns.items() if v is not None}
         if cond is not None:
+            if drops:
+                raise IngestError(
+                    "script: cannot guard a column-dropping script with if"
+                )
             assigns = {
                 c: F.when(cond, v).otherwise(
                     _fcol(c) if c in df.columns else F.lit(None)
                 )
                 for c, v in assigns.items()
             }
-        return df.withColumns(dict(assigns))
+        df = df.withColumns(dict(assigns))
+        return df.drop(*drops) if drops else df
 
     def _step_pipeline(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
         """``pipeline`` routes each document through a named

@@ -106,3 +106,45 @@ def test_invalid_tokenizer():
         Dissector("no references at all")
     with pytest.raises(DissectError):
         Dissector("%{+&bad}")
+
+
+class TestSinglePass:
+    """dissect_single_pass: one regexp_replace+split per row instead
+    of one regexp_extract per key, with per-row fallback when field
+    text contains the \\x1e\\x17 separator."""
+
+    def test_matches_per_key_extraction(self, spark):
+        from pyspark.sql import functions as F
+        from beats_spark.functions.dissect import (
+            dissect_columns,
+            dissect_single_pass,
+        )
+
+        tok = "%{a} %{b}=%{c}"
+        df = spark.createDataFrame(
+            [("x y=z",), ("p q=r extra",), ("nodissect",), ("",), (None,)],
+            "text string",
+        )
+        cols, ok = dissect_columns(F.col("text"), tok)
+        want = df.select(
+            *[c.alias(k) for k, c in cols.items()], ok.alias("ok")
+        ).collect()
+        df2, cols2, ok2, tmps = dissect_single_pass(df, "text", tok)
+        got = df2.select(
+            *[c.alias(k) for k, c in cols2.items()], ok2.alias("ok")
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_separator_collision_falls_back(self, spark):
+        from beats_spark.functions.dissect import dissect_single_pass
+
+        evil = "a\x1e\x17b"
+        df = spark.createDataFrame(
+            [(f"{evil} k=v",), ("plain k=v",)], "text string"
+        )
+        df2, cols, ok, tmps = dissect_single_pass(df, "text", "%{a} %{b}=%{c}")
+        rows = df2.select(
+            cols["a"].alias("a"), cols["c"].alias("c")
+        ).collect()
+        assert (rows[0]["a"], rows[0]["c"]) == (evil, "v")
+        assert (rows[1]["a"], rows[1]["c"]) == ("plain", "v")

@@ -45,10 +45,10 @@ def _entry_pipelines() -> list[str]:
     return [p for p in all_files if p not in referenced]
 
 
-def _load(path: str):
+def _load(path: str, variables: dict | None = None):
     return load_fileset_pipeline(
         path,
-        variables={"convert_timezone": False},
+        variables={"convert_timezone": False, **(variables or {})},
         ignore_processors=("user_agent", "geoip"),
     )
 
@@ -105,9 +105,45 @@ _SKIP = re.compile(
 )
 
 
+def _dig(got: dict, key: str):
+    """Resolve a flat dotted golden key against a row dict whose value
+    may live inside a map column (dict) or nested-JSON text (the
+    map<string,string> model keeps sub-objects as JSON strings).
+    Returns (found, value)."""
+    if key in got:
+        return True, got[key]
+    parts = key.split(".")
+    # longest existing column prefix first (e.g. `osquery.result`)
+    for i in range(len(parts) - 1, 0, -1):
+        head = ".".join(parts[:i])
+        if head not in got or got[head] is None:
+            continue
+        val = got[head]
+        rest = parts[i:]
+        j = 0
+        while j < len(rest):
+            if isinstance(val, str):
+                try:
+                    val = json.loads(val)
+                except ValueError:
+                    return False, None
+            if not isinstance(val, dict):
+                return False, None
+            hit = False
+            for k in range(len(rest), j, -1):  # dotted map keys allowed
+                kk = ".".join(rest[j:k])
+                if kk in val:
+                    val, j, hit = val[kk], k, True
+                    break
+            if not hit:
+                return False, None
+        return True, val
+    return False, None
+
+
 def _golden_case(
     spark, module, fileset, logname, pipename="pipeline.json",
-    multiline=None,
+    multiline=None, json_decode=False, variables=None,
 ):
     logpath = f"{MODULES}/{module}/{fileset}/test/{logname}"
     expath = logpath + "-expected.json"
@@ -141,7 +177,13 @@ def _golden_case(
             [(i, ln, "2024-01-01T00:00:00.000Z") for i, ln in enumerate(lines)],
             "rowid long, message string, `@timestamp` string",
         )
-    pipe = _load(f"{MODULES}/{module}/{fileset}/ingest/{pipename}")
+    if json_decode:
+        # filebeat-side json reader (fileset config `json.*` options):
+        # the event carries the parsed object under `json`
+        df = df.withColumn(
+            "json", F.from_json("message", "map<string,string>")
+        )
+    pipe = _load(f"{MODULES}/{module}/{fileset}/ingest/{pipename}", variables)
     out = pipe.apply(df).orderBy("rowid")
     rows = [r.asDict() for r in out.collect()]
     assert len(rows) == len(expected)
@@ -150,18 +192,25 @@ def _golden_case(
         for key, wval in want.items():
             if _SKIP.match(key):
                 continue
-            if key not in out.columns:
+            found, gval = _dig(got, key)
+            if not found:
                 mismatches.append(f"row {i}: column missing: {key}")
                 continue
-            gval = got[key]
-            if key == "@timestamp":
-                gval = (
-                    gval.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
-                    if gval
-                    else None
-                )
+            import datetime
+
+            if isinstance(gval, datetime.datetime):
+                gval = gval.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+            if isinstance(gval, str) and isinstance(wval, dict):
+                # a map<string,string> keeps nested objects as their
+                # JSON text; the golden file has the parsed object
+                try:
+                    gval = json.loads(gval)
+                except ValueError:
+                    pass
             if isinstance(gval, float) and isinstance(wval, (int, float)):
                 ok = abs(gval - float(wval)) < 1e-9
+            elif gval is None and key == "@timestamp" and wval is None:
+                ok = True
             else:
                 ok = gval == wval
             if not ok:
@@ -199,3 +248,35 @@ def test_golden_icinga_main(spark):
 
 def test_golden_nats_log(spark):
     _golden_case(spark, "nats", "log", "test.log")
+
+
+def test_golden_mongodb_log(spark):
+    _golden_case(spark, "mongodb", "log", "mongodb-debian-3.2.11.log")
+
+
+def test_golden_haproxy_log(spark):
+    _golden_case(spark, "haproxy", "log", "default.log")
+
+
+def test_golden_santa_log(spark):
+    _golden_case(spark, "santa", "log", "santa.log")
+
+
+def test_golden_osquery_result(spark):
+    """osquery: json-decode of message into a map target, the
+    namespace-move painless script (use_namespace=true, the manifest
+    default), renames out of the map
+    (module/osquery/result/ingest/pipeline.json)."""
+    _golden_case(
+        spark, "osquery", "result", "test.log", json_decode=True,
+        variables={"use_namespace": True},
+    )
+
+
+def test_golden_mysql_error(spark):
+    _golden_case(spark, "mysql", "error", "error.log")
+
+
+def test_golden_suse_syslog(spark):
+    """system/syslog: year-less SYSLOGTIMESTAMP date parse."""
+    _golden_case(spark, "system", "syslog", "suse-syslog.log")
