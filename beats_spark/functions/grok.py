@@ -41,7 +41,9 @@ PATTERNS: dict[str, str] = {
     "MONTHDAY": r"(?:0?[1-9]|[12]\d|3[01])",
     "HOUR": r"(?:[01]?\d|2[0-3])",
     "MINUTE": r"[0-5]\d",
-    "SECOND": r"(?:[0-5]\d(?:\.\d+)?|60)",
+    # upstream grok allows :, . or , before the fraction (logstash
+    # emits 09:57:58,243)
+    "SECOND": r"(?:[0-5]\d(?:[:.,]\d+)?|60)",
     "TIME": r"(?:%{HOUR}:%{MINUTE}:%{SECOND})",
     "TIMESTAMP_ISO8601": (
         r"(?:%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}"
@@ -221,7 +223,38 @@ def compile_grok(
     embed regex like ``\\[`` directly) — passed through verbatim, but
     any capturing group it opens claims the next group number(s)."""
     pattern, fields, _ = _expand(expr, dict(definitions or {}), 0, 0)
-    return CompiledGrok(pattern=pattern, fields=fields)
+    return CompiledGrok(pattern=_escape_bare_braces(pattern), fields=fields)
+
+
+_BRACE_QUANT = re.compile(r"\{\d+(,\d*)?\}")
+
+
+def _escape_bare_braces(pattern: str) -> str:
+    """Joni (the ES grok engine) treats a ``{`` that doesn't open a
+    quantifier as a literal; java.util.regex raises
+    PatternSyntaxException (logstash slowlog embeds
+    ``{:plugin_params=>``). Escape every unescaped ``{`` that doesn't
+    start a valid ``{n[,m]}`` quantifier."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if ch == "{":
+            m = _BRACE_QUANT.match(pattern, i)
+            if m:
+                out.append(m.group(0))
+                i = m.end()
+                continue
+            out.append("\\{")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def grok_columns(
@@ -233,13 +266,16 @@ def grok_columns(
     captured by MORE THAN ONE group (alternation branches) reads as
     the first branch that captured non-empty text."""
     g = compile_grok(expr, definitions)
-    anchored = f"^(?s:{g.pattern})$"
-    ok = col.rlike(anchored)
+    # ES/logstash grok is a FIND (substring search), not a full-line
+    # match — es/audit greps `^%{CHAR:first_char}` against whole JSON
+    # lines. rlike/regexp_extract are find()-based already.
+    search = f"(?s:{g.pattern})"
+    ok = col.rlike(search)
     cols: dict[str, Column] = {}
     dup = {name for name, _, _ in g.fields
            if sum(1 for n, _, _ in g.fields if n == name) > 1}
     for name, idx, cast in g.fields:
-        c = F.when(ok, F.regexp_extract(col, anchored, idx))
+        c = F.when(ok, F.regexp_extract(col, search, idx))
         if cast:
             # try_cast: a typed capture that fails to convert fails
             # only that document (ingest grok), never the job (ANSI
@@ -293,14 +329,19 @@ def grok_single_pass(
     tmp: dict[str, Column] = {}
     oks: list[Column] = []
     for i, g in enumerate(compiled):
-        anchored = f"^(?s:{g.pattern})$"
-        ok = col.rlike(anchored)
+        # find() semantics (see grok_columns); the REPLACEMENT regex
+        # must still consume the whole string so the rewritten line is
+        # exactly the joined groups — lazy prefix picks the same
+        # leftmost match find() would
+        search = f"(?s:{g.pattern})"
+        full = f"^(?s:.*?){search}(?s:.*)$"
+        ok = col.rlike(search)
         oks.append(F.col(f"_g_ok_{i}"))
         tmp[f"_g_ok_{i}"] = ok
         if g.fields:
             repl = _SEP.join(f"${idx}" for _, idx, _ in g.fields)
             tmp[f"_g_arr_{i}"] = F.when(
-                ok, F.split(F.regexp_replace(col, anchored, repl), _SEP, -1)
+                ok, F.split(F.regexp_replace(col, full, repl), _SEP, -1)
             )
     df = df.withColumns(tmp)
 
@@ -320,13 +361,13 @@ def grok_single_pass(
         gate = ok if prev_not is None else prev_not & ok
         arr = F.col(f"_g_arr_{i}") if g.fields else None
         k = len(g.fields)
-        anchored = f"^(?s:{g.pattern})$"
+        search = f"(?s:{g.pattern})"
         dup = {n for n, _, _ in g.fields
                if sum(1 for m, _, _ in g.fields if m == n) > 1}
         pat_cols: dict[str, Column] = {}
         for j, (name, idx, cast) in enumerate(g.fields):
             fast = F.when(F.size(arr) == k, F.get(arr, j))
-            slow = F.when(ok, F.regexp_extract(col, anchored, idx))
+            slow = F.when(ok, F.regexp_extract(col, search, idx))
             c = F.coalesce(fast, slow)
             if cast:
                 c = c.try_cast(cast)

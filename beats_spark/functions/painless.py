@@ -401,9 +401,14 @@ class _Compiler:
         self,
         columns: Sequence[str],
         params: Mapping[str, Any],
+        resolver: Any = None,
     ):
         self.columns = list(columns)
         self.params = params
+        #: optional field→Column resolver (ingest passes _read_field so
+        #: ctx paths reach INTO kv/json map columns — es/audit guards
+        #: read `elasticsearch.audit.url.path` out of a json map)
+        self.resolver = resolver
         # symbolic state: target name → Column expression reflecting
         # every (possibly guarded) assignment so far
         self.store: dict[str, Column] = {}
@@ -414,6 +419,10 @@ class _Compiler:
             return self.store[name]
         if name in self.columns:
             return _fcol(name)
+        if self.resolver is not None:
+            c = self.resolver(name)
+            if c is not None:
+                return c
         return F.lit(None).cast("string")
 
     def _present(self, key: str) -> Column:
@@ -427,6 +436,10 @@ class _Compiler:
         for c in subs:
             n = _fcol(c).isNotNull()
             out = n if out is None else (out | n)
+        if out is None and self.resolver is not None:
+            c = self.resolver(key)
+            if c is not None:
+                out = c.isNotNull()
         return out if out is not None else F.lit(False)
 
     # -- expressions -------------------------------------------------------
@@ -536,23 +549,30 @@ class _Compiler:
 
 
 def compile_expression(
-    src: str, columns: Sequence[str], params: Mapping[str, Any] | None = None
+    src: str,
+    columns: Sequence[str],
+    params: Mapping[str, Any] | None = None,
+    resolver: Any = None,
 ) -> Column:
     """Compile a painless boolean expression (a step-level ``if``
     guard) to a Column. Null handling follows painless object
     equality; a ``ctx`` path with no matching column reads as NULL
-    (the document lacks the field)."""
+    (the document lacks the field). ``resolver`` (field → Column or
+    None) lets callers route reads through map columns."""
     p = _Parser(_tokenize(src), params or {})
     node = p.parse_expr()
     if p.peek()[0] != "eof":
         raise PainlessError(
             f"painless: trailing tokens after expression: {p.peek()[1]!r}"
         )
-    return _Compiler(columns, params or {}).expr(node)
+    return _Compiler(columns, params or {}, resolver).expr(node)
 
 
 def compile_statements(
-    src: str, columns: Sequence[str], params: Mapping[str, Any] | None = None
+    src: str,
+    columns: Sequence[str],
+    params: Mapping[str, Any] | None = None,
+    resolver: Any = None,
 ) -> dict[str, Column]:
     """Compile a painless script body to its net effect: a mapping of
     assigned ctx-field → Column expression (reads of unassigned fields
@@ -560,7 +580,7 @@ def compile_statements(
     anything outside the subset."""
     params = params or {}
     stmts = _Parser(_tokenize(src), params).parse_program()
-    c = _Compiler(columns, params)
+    c = _Compiler(columns, params, resolver)
     c.exec(stmts)
     return c.store
 
@@ -597,7 +617,10 @@ _KV_NORMALIZE = re.compile(
 
 
 def compile_recognized_script(
-    source: str, params: Mapping[str, Any], columns: Sequence[str]
+    source: str,
+    params: Mapping[str, Any],
+    columns: Sequence[str],
+    string_columns: Sequence[str] | None = None,
 ) -> dict[str, Column] | None:
     """Structural translations for the three module scripts that use
     loops / helper functions (outside the statement subset). Returns
@@ -703,6 +726,20 @@ def compile_recognized_script(
         cleaned = F.map_filter(
             _fcol(name), lambda k, v: ~v.isin("?", "(null)", "")
         )
-        return {name: F.transform_values(cleaned, norm)}
+        out = {name: F.transform_values(cleaned, norm)}
+        # the ES script iterates the whole auditd.log OBJECT — which in
+        # our model is the kv map PLUS the grok-extracted flat columns
+        # under the same prefix (auditd.log.msg et al). Apply the same
+        # normalization to each flat STRING column (`v instanceof
+        # String` guards the trim in the script; sequence is an int by
+        # now and must not be touched).
+        for c in string_columns or ():
+            if not c.startswith(name + ".") or c == name:
+                continue
+            k = c[len(name) + 1:]
+            col = _fcol(c)
+            kept = F.when(~col.isin("?", "(null)", ""), col)
+            out[c] = F.when(kept.isNotNull(), norm(F.lit(k), kept))
+        return out
 
     return None

@@ -128,17 +128,23 @@ def _read_field(df: DataFrame, field: str) -> Column | None:
     ``dot_expander`` steps expand — or (b) a first-segment key whose
     nested-object value a ``map<string,string>`` parse kept as JSON
     text; both are tried (coalesce). None = statically absent."""
-    if field in df.columns:
-        return _fcol(field)
+    flat = _fcol(field) if field in df.columns else None
     mp = _map_parent(df, field)
     if mp is None:
-        return None
+        return flat
     parent, key, residual = mp
     if not residual:
-        return _fcol(parent)[key]
-    whole = _fcol(parent)[key + "." + residual]
-    nested = F.get_json_object(_fcol(parent)[key], "$." + residual)
-    return F.coalesce(whole, nested)
+        mapped = _fcol(parent)[key]
+    else:
+        whole = _fcol(parent)[key + "." + residual]
+        nested = F.get_json_object(_fcol(parent)[key], "$." + residual)
+        mapped = F.coalesce(whole, nested)
+    # a field can have TWO homes after a routed `pipeline` union: the
+    # plaintext branch groks `elasticsearch.audit.@timestamp` as a flat
+    # column (NULL on json rows) while the json branch keeps it a map
+    # entry — ES has one document field, so read per-row whichever is
+    # set (es/audit)
+    return mapped if flat is None else F.coalesce(flat, mapped)
 
 
 def _delete_field(df: DataFrame, field: str) -> DataFrame:
@@ -147,7 +153,7 @@ def _delete_field(df: DataFrame, field: str) -> DataFrame:
     For a dotted remaining path only the literally-dotted key is
     removable (a value nested inside another key's JSON text stays)."""
     if field in df.columns:
-        return df.drop(_fcol(field))
+        df = df.drop(_fcol(field))
     mp = _map_parent(df, field)
     if mp is None:
         return df
@@ -216,20 +222,43 @@ def _date_parse(
     for f in formats:
         j = translate_joda(f)
         if j == "epoch-seconds":
-            alts.append(F.timestamp_seconds(col.try_cast("long")))
+            # ES UNIX accepts fractional seconds (auditd epochs:
+            # "1489519256.192"); decimal keeps sub-second digits exact
+            alts.append(F.timestamp_seconds(col.try_cast("decimal(20,6)")))
         elif j == "epoch-millis":
             alts.append(F.timestamp_millis(col.try_cast("long")))
         elif j == "iso8601":
             # [.SSSSSS] is lenient: 1-6 fraction digits all parse
-            # (mysql logs carry micros, most modules millis)
-            alts.append(
-                F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))
-            )
-            alts.append(
-                zoneless(F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")))
-            )
+            # (mysql logs carry micros, most modules millis). ISO 8601
+            # also allows a COMMA fraction separator — elasticsearch
+            # audit/server logs emit `2018-10-31T09:34:25,109`.
+            for sep in (".", ","):
+                alts.append(
+                    F.try_to_timestamp(
+                        col, F.lit(f"yyyy-MM-dd'T'HH:mm:ss[{sep}SSSSSS]XXX")
+                    )
+                )
+                alts.append(
+                    zoneless(
+                        F.try_to_timestamp(
+                            col, F.lit(f"yyyy-MM-dd'T'HH:mm:ss[{sep}SSSSSS]")
+                        )
+                    )
+                )
         else:
-            parsed = F.try_to_timestamp(col, F.lit(j))
+            src = col
+            if j.startswith("EEE "):
+                # Spark's parser rejects day-of-week in patterns
+                # (DATETIME_PATTERN_RECOGNITION); the weekday carries
+                # no information — strip it from pattern AND value
+                # (apache/error: "EEE MMM dd H:m:s yyyy")
+                src = F.regexp_replace(col, r"^[A-Za-z]{3} ", "")
+                j = j[4:]
+            if "EEE" in j:
+                raise IngestError(
+                    f"date format with embedded day-of-week unsupported: {j!r}"
+                )
+            parsed = F.try_to_timestamp(src, F.lit(j))
             # joda zone tokens: Z/ZZ (offset) or z (zone name); the
             # translated java pattern keeps X/x/z/Z spellings. Only
             # zone-LESS patterns take the configured timezone.
@@ -267,7 +296,9 @@ def painless_condition(expr: str, df: DataFrame) -> Column:
     from ..functions.painless import PainlessError, compile_expression
 
     try:
-        return compile_expression(expr, df.columns)
+        return compile_expression(
+            expr, df.columns, resolver=lambda f: _read_field(df, f)
+        )
     except PainlessError as e:
         raise IngestError(
             f"unsupported painless condition: {expr!r} ({e})"
@@ -292,11 +323,21 @@ def compile_painless_script(
         compile_statements,
     )
 
+    from pyspark.sql.types import StringType
+
+    strings = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
     try:
-        recognized = compile_recognized_script(source, params, df.columns)
+        recognized = compile_recognized_script(
+            source, params, df.columns, string_columns=strings
+        )
         if recognized is not None:
             return recognized
-        return compile_statements(source, df.columns, params)
+        return compile_statements(
+            source, df.columns, params,
+            resolver=lambda f: _read_field(df, f),
+        )
     except PainlessError as e:
         raise IngestError(
             f"unsupported painless script: {source[:120]!r} ({e})"
@@ -388,7 +429,10 @@ class IngestPipeline:
         nulls the unguarded rows — documented divergence, since one
         Spark column can't hold both types per row (the module guards
         are presence checks, so those rows were empty anyway)."""
-        mp = None if field in df.columns else _map_parent(df, field)
+        # consult the map even when a flat column exists: after a
+        # routed-pipeline union a field can have two homes (see
+        # _read_field) and a write must leave exactly one
+        mp = _map_parent(df, field)
         if cond is None:
             out = df.withColumn(field, val)
         else:
@@ -535,6 +579,29 @@ class IngestPipeline:
         if dst not in df.columns:
             if src in df.columns:
                 return df.withColumnRenamed(src, dst)
+            mp = _map_parent(df, src)
+            if mp is not None and not mp[2]:
+                parent, key, _ = mp
+                children = self._declared_children(parent, key)
+                if children:
+                    # ES renames the whole OBJECT (es/audit moves
+                    # `elasticsearch.audit.node` carrying node.id +
+                    # node.name). Our map model keeps the object's
+                    # leaves as the literally-dotted keys the module
+                    # dot_expanded earlier — move each declared leaf
+                    # to a flat dst.<suffix> column, prune the subtree
+                    # from the map.
+                    m = _fcol(parent)
+                    moved = {
+                        f"{dst}.{child[len(key) + 1:]}": m[child]
+                        for child in children
+                    }
+                    moved[parent] = F.map_filter(
+                        m,
+                        lambda k, _: (k != key)
+                        & ~k.startswith(key + "."),
+                    )
+                    return df.withColumns(moved)
             # map-backed source: materialize the value as a flat
             # column, then delete the key from the map
             return _delete_field(df.withColumn(dst, val), src)
@@ -563,6 +630,23 @@ class IngestPipeline:
             {dst: merged,
              parent: F.when(fail, _fcol(parent)).otherwise(cleared)}
         )
+
+    def _declared_children(self, parent: str, key: str) -> list[str]:
+        """Dotted leaf keys under ``key`` in map column ``parent``, as
+        declared by this pipeline's own ``dot_expander`` steps. Static:
+        the schema of an object rename is derived from the pipeline
+        JSON, never from row data."""
+        out = set()
+        for step in self.steps:
+            (name, conf), = step.items()
+            if name != "dot_expander":
+                continue
+            if conf.get("path") != parent:
+                continue
+            f = conf.get("field", "")
+            if f.startswith(key + "."):
+                out.add(f)
+        return sorted(out)
 
     def _step_set(
         self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None

@@ -110,7 +110,7 @@ def _dig(got: dict, key: str):
     may live inside a map column (dict) or nested-JSON text (the
     map<string,string> model keeps sub-objects as JSON strings).
     Returns (found, value)."""
-    if key in got:
+    if got.get(key) is not None:
         return True, got[key]
     parts = key.split(".")
     # longest existing column prefix first (e.g. `osquery.result`)
@@ -121,14 +121,17 @@ def _dig(got: dict, key: str):
         val = got[head]
         rest = parts[i:]
         j = 0
+        dead = False
         while j < len(rest):
             if isinstance(val, str):
                 try:
                     val = json.loads(val)
                 except ValueError:
-                    return False, None
+                    dead = True
+                    break
             if not isinstance(val, dict):
-                return False, None
+                dead = True
+                break
             hit = False
             for k in range(len(rest), j, -1):  # dotted map keys allowed
                 kk = ".".join(rest[j:k])
@@ -136,14 +139,19 @@ def _dig(got: dict, key: str):
                     val, j, hit = val[kk], k, True
                     break
             if not hit:
-                return False, None
-        return True, val
+                dead = True
+                break
+        if not dead:
+            return True, val
+    # a flat column that exists but is NULL (and no map fallback)
+    if key in got:
+        return True, got[key]
     return False, None
 
 
 def _golden_case(
     spark, module, fileset, logname, pipename="pipeline.json",
-    multiline=None, json_decode=False, variables=None,
+    multiline=None, json_decode=False, variables=None, exclude_lines=None,
 ):
     logpath = f"{MODULES}/{module}/{fileset}/test/{logname}"
     expath = logpath + "-expected.json"
@@ -152,6 +160,10 @@ def _golden_case(
     lines = [
         ln for ln in open(logpath, encoding="utf-8").read().splitlines()
     ]
+    if exclude_lines:
+        # fileset config `exclude_lines` (iis drops W3C '#' headers)
+        rx = re.compile(exclude_lines)
+        lines = [ln for ln in lines if not rx.search(ln)]
     expected = json.load(open(expath, encoding="utf-8"))
     if multiline:
         # the fileset's filebeat-side multiline reader runs BEFORE the
@@ -200,7 +212,7 @@ def _golden_case(
 
             if isinstance(gval, datetime.datetime):
                 gval = gval.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
-            if isinstance(gval, str) and isinstance(wval, dict):
+            if isinstance(gval, str) and isinstance(wval, (dict, list)):
                 # a map<string,string> keeps nested objects as their
                 # JSON text; the golden file has the parsed object
                 try:
@@ -280,3 +292,36 @@ def test_golden_mysql_error(spark):
 def test_golden_suse_syslog(spark):
     """system/syslog: year-less SYSLOGTIMESTAMP date parse."""
     _golden_case(spark, "system", "syslog", "suse-syslog.log")
+
+
+def test_golden_auditd_log(spark):
+    """auditd: kv-parse + the kv-normalize painless script (hex→ASCII
+    exe/cmd, quote trim, arch remap)."""
+    _golden_case(spark, "auditd", "log", "audit-rhel6.log")
+
+
+def test_golden_nginx_error(spark):
+    _golden_case(spark, "nginx", "error", "error.log")
+
+
+def test_golden_apache_error(spark):
+    _golden_case(spark, "apache", "error", "test.log")
+
+
+def test_golden_iis_access(spark):
+    _golden_case(spark, "iis", "access", "test-iis-7.5.log", "default.json",
+                 exclude_lines=r"^#")
+
+
+def test_golden_iis_error(spark):
+    _golden_case(spark, "iis", "error", "test.log", "default.json",
+                 exclude_lines=r"^#")
+
+
+def test_golden_elasticsearch_audit(spark):
+    _golden_case(spark, "elasticsearch", "audit", "test-audit.log")
+
+
+def test_golden_logstash_slowlog_plain(spark):
+    _golden_case(spark, "logstash", "slowlog", "slowlog-plain.log",
+                 "pipeline-plain.json")
