@@ -146,9 +146,11 @@ def _expand(
     fields: list[tuple[str, int, str | None]] = []
     pos = 0
     for m in _REF_RE.finditer(pat):
-        seg = pat[pos : m.start()]
-        group += _count_capturing(seg)
-        out.append(_esc_bare_ref(seg))
+        seg, seg_fields, group = _scan_segment(
+            _esc_bare_ref(pat[pos : m.start()]), group
+        )
+        fields.extend(seg_fields)
+        out.append(seg)
         pname, fname, ftype = m.group(1), m.group(2), m.group(3)
         body = defs.get(pname, PATTERNS.get(pname))
         if body is None:
@@ -163,9 +165,9 @@ def _expand(
             out.append(f"(?:{inner})")
         fields.extend(inner_fields)
         pos = m.end()
-    seg = pat[pos:]
-    group += _count_capturing(seg)
-    out.append(_esc_bare_ref(seg))
+    seg, seg_fields, group = _scan_segment(_esc_bare_ref(pat[pos:]), group)
+    fields.extend(seg_fields)
+    out.append(seg)
     return "".join(out), fields, group
 
 
@@ -179,37 +181,84 @@ def _esc_bare_ref(seg: str) -> str:
     return seg.replace("%{", "%\\{")
 
 
-def _count_capturing(segment: str) -> int:
-    """Count CAPTURING groups a passthrough regex segment opens.
+#: Oniguruma inline named capture: ``(?<name>`` (not lookbehind) or
+#: ``(?'name'`` — both are FIELD captures in ES grok
+_NAMED_OPEN = re.compile(r"\(\?(?:<([^<>=!][^<>]*)>|'([^']*)')")
+
+
+def _scan_segment(
+    segment: str, group: int
+) -> tuple[str, list[tuple[str, int, str | None]], int]:
+    """Walk a passthrough (non-%{}) regex segment: count the CAPTURING
+    groups it opens, and rewrite Oniguruma inline named captures into
+    plain numbered groups registered as grok fields.
 
     Module grok programs embed raw-regex groups in the non-%{} text —
     apache access pattern 1 wraps its optional referrer/user_agent
     tails in plain ``( \"...\")?`` (default.json:8) — and every such
     ``(`` shifts Java's group numbering past the numbers we assign to
-    named fields. Skips escapes, character classes, and ``(?``
-    constructs (except ``(?<name>``, which does capture)."""
-    n = 0
-    i = 0
+    named fields. They also capture fields inline: kafka/log grabs the
+    stack trace with ``(?'kafka.log.trace.full'.*)``
+    (filebeat/module/kafka/log/ingest/pipeline.json:10). Java regex
+    rejects both the quoted-name syntax and dots in group names, so
+    named captures are rewritten to ``(`` and surfaced as (name,
+    group_no, None) fields — the ES grok semantics, where a named
+    capture is exactly a field. Skips escapes, character classes, and
+    non-capturing ``(?`` constructs (lookbehind stays untouched)."""
+    out: list[str] = []
+    fields: list[tuple[str, int, str | None]] = []
+    i, n = 0, len(segment)
     in_class = False
-    while i < len(segment):
+    while i < n:
         c = segment[i]
-        if c == "\\":
+        if c == "\\" and i + 1 < n:
+            out.append(segment[i : i + 2])
             i += 2
             continue
         if in_class:
             if c == "]":
                 in_class = False
-        elif c == "[":
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
             in_class = True
-        elif c == "(":
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            m = _NAMED_OPEN.match(segment, i)
+            if m:
+                group += 1
+                fields.append((m.group(1) or m.group(2), group, None))
+                out.append("(")
+                i = m.end()
+                continue
             if not segment.startswith("(?", i):
-                n += 1
-            elif segment.startswith("(?<", i) and not segment.startswith(
-                ("(?<=", "(?<!"), i
-            ):
-                n += 1
+                group += 1
+        out.append(c)
         i += 1
-    return n
+    return "".join(out), fields, group
+
+
+#: ``(.|\n)*``-style single-char alternation loops: joni runs these
+#: fine, but java.util.regex recurses one stack frame per character
+#: through the Branch node — a multiline-joined stack trace of a few
+#: thousand chars throws StackOverflowError and kills the executor.
+#: 13 module pipelines define ``GREEDYMULTILINE = (.|\n)*``.
+#: the alternative may be the two-char escape ``\n`` OR a real
+#: newline (JSON ``"(.|\n)*"`` decodes to an actual 0x0A)
+_CHAR_ALT_LOOP = re.compile(r"\(\.(?:\|(?:\\[rn]|[\n\r]))+\)([*+])")
+
+
+def _linearize(pat: str) -> str:
+    """Rewrite ``(.|\\n)*`` → ``((?s:.*))``: same language, same
+    capturing-group count (the raw paren still claims a number), but
+    the quantifier runs in java.util.regex's iterative Curly loop
+    instead of per-char Branch recursion. The group's captured TEXT
+    changes (whole run vs last char) — safe, because raw unnamed
+    groups are only ever counted for numbering, never extracted."""
+    return _CHAR_ALT_LOOP.sub(lambda m: f"((?s:.{m.group(1)}))", pat)
 
 
 def compile_grok(
@@ -222,7 +271,8 @@ def compile_grok(
     Non-%{} text is regex, not literal (grok convention: programs
     embed regex like ``\\[`` directly) — passed through verbatim, but
     any capturing group it opens claims the next group number(s)."""
-    pattern, fields, _ = _expand(expr, dict(definitions or {}), 0, 0)
+    defs = {k: _linearize(v) for k, v in (definitions or {}).items()}
+    pattern, fields, _ = _expand(_linearize(expr), defs, 0, 0)
     return CompiledGrok(pattern=_escape_bare_braces(pattern), fields=fields)
 
 

@@ -523,6 +523,21 @@ class IngestPipeline:
             df = df.withColumn(tmp, src)
             field = tmp
         defs = dict(conf.get("pattern_definitions") or {})
+        handlers = conf.get("on_failure")
+        flag = None
+        if self.on_failure or handlers:
+            # the failure flag must be MATERIALIZED before the grok
+            # runs: grok overwrites its own source field (kafka grok 2
+            # re-captures `message` out of `message`), and a lazy
+            # Column re-resolved post-apply would re-test the REWRITTEN
+            # value and wrongly fail every row that matched
+            from ..functions.grok import grok_first_match
+
+            _, ok = grok_first_match(_fcol(field), list(conf["patterns"]), defs)
+            flag = "_grok_fail"
+            df = df.withColumn(
+                flag, _fcol(field).isNotNull() & ~F.coalesce(ok, F.lit(False))
+            )
         out = Grok(
             patterns=list(conf["patterns"]),
             field=field,
@@ -531,16 +546,47 @@ class IngestPipeline:
             # module pipelines re-grok fields earlier steps created)
             overwrite=True,
         ).apply(df)
-        if self.on_failure:
-            from ..functions.grok import grok_first_match
-
-            _, ok = grok_first_match(_fcol(field), list(conf["patterns"]), defs)
-            fail = _fcol(field).isNotNull() & ~F.coalesce(ok, F.lit(False))
-            out = self._record_failure(
-                out, conf,
-                fail, f"Provided Grok expressions do not match field [{field}]",
-            )
+        if flag is not None:
+            fail = F.col(flag)
+            msg = f"Provided Grok expressions do not match field [{field}]"
+            if handlers:
+                # a per-processor handler CATCHES the failure: the
+                # handler steps run against just the failing documents
+                # and the pipeline continues — the pipeline-level
+                # on_failure never sees it (ES ingest semantics)
+                out = self._run_handlers(out, handlers, fail, msg)
+            else:
+                out = self._record_failure(out, conf, fail, msg)
+            out = out.drop(flag)
         return out.drop(tmp) if tmp else out
+
+    def _run_handlers(
+        self,
+        df: DataFrame,
+        handlers: Sequence[Mapping[str, Mapping[str, Any]]],
+        fail: Column,
+        msg: str,
+    ) -> DataFrame:
+        """Per-processor ``on_failure``: run each handler step guarded
+        to the failing documents (kafka/log sets ``kafka.log.component
+        = "unknown"`` when its component grok misses and removes the
+        half-parsed trace object when the trace grok misses —
+        filebeat/module/kafka/log/ingest/pipeline.json:22-47)."""
+        for step in handlers:
+            if len(step) != 1:
+                raise IngestError(
+                    f"on_failure step must have one processor: {step}"
+                )
+            (name, conf), = step.items()
+            if name not in self._GUARDABLE:
+                raise IngestError(
+                    f"unsupported per-processor on_failure: {name}"
+                )
+            val = conf.get("value")
+            if isinstance(val, str) and "_ingest.on_failure_message" in val:
+                conf = {**conf, "value": msg}
+            df = getattr(self, f"_step_{name}")(df, conf, fail)
+        return df
 
     def _step_remove(
         self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None

@@ -325,3 +325,120 @@ def test_golden_elasticsearch_audit(spark):
 def test_golden_logstash_slowlog_plain(spark):
     _golden_case(spark, "logstash", "slowlog", "slowlog-plain.log",
                  "pipeline-plain.json")
+
+
+# -- multiline module goldens -------------------------------------------
+
+
+def test_golden_kafka_log(spark):
+    """kafka: stack-trace continuation lines joined by the fileset's
+    multiline reader, then grok + date."""
+    _golden_case(
+        spark, "kafka", "log", "server.log",
+        multiline={"pattern": r"^\[", "negate": True, "match": "after"},
+    )
+
+
+def test_golden_elasticsearch_server(spark):
+    """es/server: multiline + plaintext/json sub-pipeline routing."""
+    _golden_case(
+        spark, "elasticsearch", "server", "test.log",
+        multiline={
+            "pattern": r"^(\[[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            "negate": True, "match": "after",
+        },
+    )
+
+
+def test_golden_elasticsearch_gc(spark):
+    _golden_case(
+        spark, "elasticsearch", "gc", "test.log",
+        multiline={
+            "pattern": r"^\[?[0-9]{4}-[0-9]{2}-[0-9]{2}",
+            "negate": True, "match": "after",
+        },
+    )
+
+
+def test_golden_elasticsearch_deprecation(spark):
+    _golden_case(
+        spark, "elasticsearch", "deprecation",
+        "elasticsearch_deprecation.log",
+        multiline={
+            "pattern": r"^(\[[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            "negate": True, "match": "after",
+        },
+    )
+
+
+def test_golden_elasticsearch_slowlog(spark):
+    _golden_case(
+        spark, "elasticsearch", "slowlog",
+        "auditlog_index_indexing_slowlog.log",
+        multiline={
+            "pattern": r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+            "negate": True, "match": "after",
+        },
+    )
+
+
+def test_golden_postgresql_log(spark):
+    _golden_case(
+        spark, "postgresql", "log", "postgresql-9.6-new-timestamp.log",
+        multiline={"pattern": r"^[-0-9]* ", "negate": True, "match": "after"},
+    )
+
+
+def test_golden_mysql_slowlog(spark):
+    """mysql/slowlog: multiline + header exclude_lines + the
+    params-driven field-remap painless loop."""
+    _golden_case(
+        spark, "mysql", "slowlog", "mariadb-10.1.21.log",
+        multiline={
+            "pattern": r"^(# User@Host: |# Time: )",
+            "negate": True, "match": "after",
+        },
+        exclude_lines=(
+            r"(^[\/\w\.]+, Version: .* started with:.*|^# Time:.*)"
+        ),
+    )
+
+
+def test_golden_icinga_startup(spark):
+    _golden_case(
+        spark, "icinga", "startup", "test.log",
+        multiline={
+            "pattern": r"^[a-z]*\/[a-zA-Z]*:", "negate": True,
+            "match": "after",
+        },
+    )
+
+
+def test_golden_icinga_debug(spark):
+    _golden_case(
+        spark, "icinga", "debug", "test.log",
+        multiline={"pattern": r"^\[", "negate": True, "match": "after"},
+    )
+
+
+def test_golden_logstash_log_plain(spark):
+    _golden_case(
+        spark, "logstash", "log", "logstash-plain.log", "pipeline-plain.json",
+        multiline={
+            "pattern": r"^\[[0-9]{4}-[0-9]{2}-[0-9]{2}",
+            "negate": True, "match": "after",
+        },
+    )
+
+
+def test_golden_system_auth(spark):
+    _golden_case(
+        spark, "system", "auth", "test.log",
+        multiline={"pattern": r"^\s", "negate": False, "match": "after"},
+    )
+
+
+def test_golden_kibana_log(spark):
+    """kibana: filebeat json reader (keys_under_root false) feeding a
+    json-map-addressing pipeline."""
+    _golden_case(spark, "kibana", "log", "test.log", json_decode=True)
