@@ -98,7 +98,12 @@ PATTERNS: dict[str, str] = {
         r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
     ),
     "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)",
-    "BASE16FLOAT": r"(?:[+-]?0x[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)",
+    # the 0x prefix is OPTIONAL in the ecosystem pattern — postgresql
+    # captures its plain-decimal core_id ("835-1") as BASE16FLOAT
+    "BASE16FLOAT": (
+        r"(?:\b(?<![0-9A-Fa-f.])[+-]?(?:0x)?"
+        r"(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b)"
+    ),
     "JAVACLASS": r"(?:[A-Za-z$_][A-Za-z$_0-9]*(?:\.[A-Za-z$_][A-Za-z$_0-9]*)*)",
     "JAVALOGMESSAGE": r".*",
     "SYSLOGHOST": r"%{IPORHOST}",
@@ -246,9 +251,10 @@ def _scan_segment(
 #: through the Branch node — a multiline-joined stack trace of a few
 #: thousand chars throws StackOverflowError and kills the executor.
 #: 13 module pipelines define ``GREEDYMULTILINE = (.|\n)*``.
-#: the alternative may be the two-char escape ``\n`` OR a real
-#: newline (JSON ``"(.|\n)*"`` decodes to an actual 0x0A)
-_CHAR_ALT_LOOP = re.compile(r"\(\.(?:\|(?:\\[rn]|[\n\r]))+\)([*+])")
+#: each alternative is one char — a 2-char escape, a real control
+#: char (JSON ``"\n"``/``"\t"`` decode to actual 0x0A/0x09), or a
+#: plain literal; postgresql defines ``GREEDYDATA = (.|\n|\t)*``
+_CHAR_ALT_LOOP = re.compile(r"\(\.((?:\|(?:\\.|[^()|\\]))+)\)([*+])")
 
 
 def _linearize(pat: str) -> str:
@@ -257,8 +263,18 @@ def _linearize(pat: str) -> str:
     the quantifier runs in java.util.regex's iterative Curly loop
     instead of per-char Branch recursion. The group's captured TEXT
     changes (whole run vs last char) — safe, because raw unnamed
-    groups are only ever counted for numbering, never extracted."""
-    return _CHAR_ALT_LOOP.sub(lambda m: f"((?s:.{m.group(1)}))", pat)
+    groups are only ever counted for numbering, never extracted.
+    Applies only when a newline is among the alternatives (every other
+    single-char alternative is already subsumed by ``.``, so the union
+    is "any char" exactly when ``\\n`` is present)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        alts = m.group(1)
+        if "\\n" in alts or "\n" in alts:
+            return f"((?s:.{m.group(2)}))"
+        return m.group(0)
+
+    return _CHAR_ALT_LOOP.sub(sub, pat)
 
 
 def compile_grok(
@@ -324,7 +340,10 @@ def grok_columns(
     cols: dict[str, Column] = {}
     dup = {name for name, _, _ in g.fields
            if sum(1 for n, _, _ in g.fields if n == name) > 1}
+    mixed = _mixed_type_fields(g.fields)
     for name, idx, cast in g.fields:
+        if name in mixed:
+            cast = None
         c = F.when(ok, F.regexp_extract(col, search, idx))
         if cast:
             # try_cast: a typed capture that fails to convert fails
@@ -342,6 +361,22 @@ def grok_columns(
         else:
             cols[name] = c
     return cols, ok
+
+
+def _mixed_type_fields(
+    fields: list[tuple[str, int, str | None]]
+) -> set[str]:
+    """Duplicate-named captures whose branches DISAGREE on cast type
+    (mysql/slowlog captures mysql.thread_id as ``Id: %{NUMBER:...:long}``
+    in one optional group and ``Thread_id: %{NUMBER:...}`` untyped in
+    another — ES emits a long or a string per document depending on
+    which branch matched). One static Spark column can't be both:
+    such fields keep the lexical STRING for every branch (documented
+    divergence; homogeneous typed duplicates still cast)."""
+    types: dict[str, set] = {}
+    for name, _, cast in fields:
+        types.setdefault(name, set()).add(cast)
+    return {n for n, ts in types.items() if len(ts) > 1}
 
 
 #: 2-char field separator for single-pass extraction (RS + ETB —
@@ -414,8 +449,11 @@ def grok_single_pass(
         search = f"(?s:{g.pattern})"
         dup = {n for n, _, _ in g.fields
                if sum(1 for m, _, _ in g.fields if m == n) > 1}
+        mixed = _mixed_type_fields(g.fields)
         pat_cols: dict[str, Column] = {}
         for j, (name, idx, cast) in enumerate(g.fields):
+            if name in mixed:
+                cast = None
             fast = F.when(F.size(arr) == k, F.get(arr, j))
             slow = F.when(ok, F.regexp_extract(col, search, idx))
             c = F.coalesce(fast, slow)

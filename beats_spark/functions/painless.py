@@ -478,7 +478,15 @@ class _Compiler:
             rnull = isinstance(node.right, Lit) and node.right.value is None
             if lnull or rnull:
                 side = node.right if lnull else node.left
-                eq = self.expr(side).isNull()
+                if isinstance(side, Path):
+                    # `ctx.a.b != null` may name an OBJECT prefix: in
+                    # our flat-column model the object "exists" iff any
+                    # child column is non-null (es/server guards
+                    # `ctx...gc.observation_duration != null` before
+                    # scaling its .time leaf)
+                    eq = ~self._present(side.name)
+                else:
+                    eq = self.expr(side).isNull()
             else:
                 eq = self.expr(node.left).eqNullSafe(self.expr(node.right))
             return eq if op == "==" else ~eq

@@ -233,11 +233,16 @@ def _date_parse(
             # also allows a COMMA fraction separator — elasticsearch
             # audit/server logs emit `2018-10-31T09:34:25,109`.
             for sep in (".", ","):
-                alts.append(
-                    F.try_to_timestamp(
-                        col, F.lit(f"yyyy-MM-dd'T'HH:mm:ss[{sep}SSSSSS]XXX")
+                # offset spellings: +07:00 (XXX) and +0700 (xx) — ES
+                # ISO8601 accepts both (elasticsearch gc logs stamp
+                # `2018-03-03T19:37:06.157+0500`)
+                for off in ("XXX", "xx"):
+                    alts.append(
+                        F.try_to_timestamp(
+                            col,
+                            F.lit(f"yyyy-MM-dd'T'HH:mm:ss[{sep}SSSSSS]{off}"),
+                        )
                     )
-                )
                 alts.append(
                     zoneless(
                         F.try_to_timestamp(

@@ -191,9 +191,15 @@ def _golden_case(
         )
     if json_decode:
         # filebeat-side json reader (fileset config `json.*` options):
-        # the event carries the parsed object under `json`
+        # the event carries the parsed object under `json`, and with
+        # keys_under_root:false there is NO message field at all — the
+        # raw line survives only on decode error
+        # (libbeat/reader/readjson/json.go:117-128)
         df = df.withColumn(
             "json", F.from_json("message", "map<string,string>")
+        ).withColumn(
+            "message",
+            F.when(F.col("json").isNull(), F.col("message")),
         )
     pipe = _load(f"{MODULES}/{module}/{fileset}/ingest/{pipename}", variables)
     out = pipe.apply(df).orderBy("rowid")
@@ -215,6 +221,18 @@ def _golden_case(
             if isinstance(gval, str) and isinstance(wval, (dict, list)):
                 # a map<string,string> keeps nested objects as their
                 # JSON text; the golden file has the parsed object
+                try:
+                    gval = json.loads(gval)
+                except ValueError:
+                    pass
+            if isinstance(gval, str) and isinstance(
+                wval, (int, float, bool)
+            ):
+                # a leaf read out of the filebeat json reader keeps its
+                # JSON-text lexical form in our map<string,string>
+                # model (kibana renames res.statusCode → 304 the ES
+                # side, "304" ours); numeric identity is checked by
+                # parsing the text back
                 try:
                     gval = json.loads(gval)
                 except ValueError:
