@@ -19,7 +19,7 @@ capturing groups so group numbering stays ours).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -60,14 +60,17 @@ PATTERNS: dict[str, str] = {
         r"(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})"
     ),
     # full, compressed (::), and v4-suffixed forms; module fixtures
-    # carry ::1 and 2a03:… client addresses
+    # carry ::1 and 2a03:… client addresses. The ecosystem pattern
+    # allows a trailing zone id (`(%.+)?`) — iis logs `::1%0`; we
+    # bound the zone to non-space so a greedy tail can't swallow the
+    # rest of the line
     "IPV6": (
-        r"(?:"
+        r"(?:(?:"
         r"(?:[0-9A-Fa-f]{1,4}:){6}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}|%{IPV4})"
         r"|::(?:[0-9A-Fa-f]{1,4}:){0,5}(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})?|%{IPV4})?"
         r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:(?:[0-9A-Fa-f]{1,4}:){0,4}(?:[0-9A-Fa-f]{1,4}|%{IPV4}))?"
         r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
-        r")"
+        r")(?:%\S+)?)"
     ),
     "IP": r"(?:%{IPV6}|%{IPV4})",
     "HOSTNAME": r"(?:[A-Za-z0-9][A-Za-z0-9\-]*(?:\.[A-Za-z0-9][A-Za-z0-9\-]*)*)",
@@ -113,7 +116,11 @@ PATTERNS: dict[str, str] = {
 
 _REF_RE = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
 
-_TYPES = {"int": "long", "long": "long", "float": "double", "double": "double"}
+#: ES grok ``:float`` converts to a Java Float — true 32-bit storage
+#: matters: painless promotes it to double for arithmetic, and the
+#: float32 quantization is visible in golden outputs (postgresql's
+#: "26.082" ms → 26.082000732… → round(×1e6) = 26082001, not 26082000)
+_TYPES = {"int": "long", "long": "long", "float": "float", "double": "double"}
 
 
 class GrokError(ValueError):
@@ -125,6 +132,25 @@ class CompiledGrok:
     pattern: str
     #: (field_name, group_index, spark_cast_type|None) per named capture
     fields: list[tuple[str, int, str | None]]
+    #: group indexes that may legally NOT PARTICIPATE in a successful
+    #: match (inside a ?/*-quantified group or an alternation branch).
+    #: joni reports non-participation as begin=-1 and ES sets nothing;
+    #: java regexp_extract returns '' for it — indistinguishable from a
+    #: PARTICIPATING empty capture at extract time. A group outside
+    #: every optional construct must participate whenever the pattern
+    #: matches, so its genuine '' capture is written.
+    conditional: frozenset[int] = frozenset()
+    #: conditional group → enclosing ANCHOR group whose extract decides
+    #: participation at runtime: the nearest optional-quantified
+    #: CAPTURING ancestor that cannot match empty (contains a required
+    #: literal). es/slowlog's `(types\[%{DATA:...types}\],)?` anchors
+    #: the DATA capture on the raw wrapper — `types[],` in the text
+    #: means the wrapper participated, so the field's '' is a REAL
+    #: empty capture and ES writes it; a missing `types[` extracts the
+    #: wrapper as '', so the field stays unset. Groups with no such
+    #: anchor (alternation branches, wrappers that can match empty)
+    #: fall back to treating '' as unset.
+    anchors: dict[int, int] = field(default_factory=dict)
 
 
 def _expand(
@@ -277,6 +303,139 @@ def _linearize(pat: str) -> str:
     return _CHAR_ALT_LOOP.sub(sub, pat)
 
 
+def _analyze_participation(
+    pattern: str,
+) -> tuple[frozenset[int], dict[int, int]]:
+    """Scan the FINAL compiled pattern (group numbers line up with the
+    extract indexes) and return ``(conditional, anchors)`` — see
+    :class:`CompiledGrok`. A group is conditional when any
+    ancestor-or-self frame is ``?``/``*``/``{0,…}``-quantified, or any
+    PROPER ancestor frame has a top-level ``|`` (the group lies in one
+    branch). Its anchor is the nearest optional-quantified CAPTURING
+    ancestor reachable without crossing an alternation, provided that
+    ancestor cannot match empty text."""
+
+    class _Frame:
+        __slots__ = ("parent", "cap", "pipe", "optional", "start", "end")
+
+        def __init__(self, parent: int, cap: int | None, start: int):
+            self.parent = parent
+            self.cap = cap
+            self.pipe = False
+            self.optional = False
+            self.start = start
+            self.end = -1
+
+    frames = [_Frame(-1, None, 0)]
+    stack = [0]
+    group = 0
+    group_frame: dict[int, int] = {}
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "|":
+            frames[stack[-1]].pipe = True
+        elif c == "(":
+            cap: int | None = None
+            if not pattern.startswith("(?", i):
+                group += 1
+                cap = group
+            frames.append(_Frame(stack[-1], cap, i + 1))
+            stack.append(len(frames) - 1)
+            if cap is not None:
+                group_frame[cap] = stack[-1]
+        elif c == ")" and len(stack) > 1:
+            fr = frames[stack.pop()]
+            fr.end = i
+            nxt = pattern[i + 1 : i + 3]
+            fr.optional = bool(nxt[:1] in ("?", "*") or nxt == "{0")
+        i += 1
+
+    def cannot_match_empty(fr: _Frame) -> bool:
+        """True when the frame's subpattern REQUIRES at least one char:
+        a top-level literal/class/escape with no ?/*/{0 quantifier and
+        no top-level alternation. Conservative — False means unknown."""
+        if fr.pipe:
+            return False
+        j, depth, cls = fr.start, 0, False
+        while j < min(fr.end, n):
+            ch = pattern[j]
+            if ch == "\\" and j + 1 < n:
+                unit_end = j + 2
+            elif cls:
+                if ch == "]":
+                    cls = False
+                j += 1
+                continue
+            elif ch == "[":
+                cls = True
+                j += 1
+                continue
+            elif ch == "(":
+                depth += 1
+                j += 1
+                continue
+            elif ch == ")":
+                depth -= 1
+                j += 1
+                continue
+            else:
+                unit_end = j + 1
+            if depth == 0 and ch not in "?*+{}":
+                quant = pattern[unit_end : unit_end + 2]
+                if quant[:1] not in ("?", "*") and quant != "{0":
+                    return True
+            j = unit_end
+        return False
+
+    conditional: set[int] = set()
+    anchors: dict[int, int] = {}
+    for g, fi in group_frame.items():
+        # is g conditional? own-or-ancestor optional, or container pipe
+        cond = False
+        p = fi
+        first = True
+        while p >= 0:
+            fr = frames[p]
+            if fr.optional or (not first and fr.pipe):
+                cond = True
+                break
+            first = False
+            p = fr.parent
+        if not cond:
+            continue
+        conditional.add(g)
+        # anchor: walk outward; stop at the first optional frame; give
+        # up on any alternation crossed on the way (branch identity is
+        # not recoverable from one extract)
+        p = fi
+        first = True
+        while p >= 0:
+            fr = frames[p]
+            if not first and fr.pipe:
+                break
+            if fr.optional:
+                if (
+                    p != fi
+                    and fr.cap is not None
+                    and cannot_match_empty(fr)
+                ):
+                    anchors[g] = fr.cap
+                break
+            first = False
+            p = fr.parent
+    return frozenset(conditional), anchors
+
+
 def compile_grok(
     expr: str, definitions: dict[str, str] | None = None
 ) -> CompiledGrok:
@@ -289,7 +448,14 @@ def compile_grok(
     any capturing group it opens claims the next group number(s)."""
     defs = {k: _linearize(v) for k, v in (definitions or {}).items()}
     pattern, fields, _ = _expand(_linearize(expr), defs, 0, 0)
-    return CompiledGrok(pattern=_escape_bare_braces(pattern), fields=fields)
+    pattern = _escape_bare_braces(pattern)
+    conditional, anchors = _analyze_participation(pattern)
+    return CompiledGrok(
+        pattern=pattern,
+        fields=fields,
+        conditional=conditional,
+        anchors=anchors,
+    )
 
 
 _BRACE_QUANT = re.compile(r"\{\d+(,\d*)?\}")
@@ -345,16 +511,26 @@ def grok_columns(
         if name in mixed:
             cast = None
         c = F.when(ok, F.regexp_extract(col, search, idx))
+        anchor = g.anchors.get(idx)
+        if anchor is not None:
+            # runtime participation: the anchor wrapper extracted ''
+            # ⇔ its optional group didn't participate — the field
+            # stays unset; a participating wrapper keeps the field's
+            # genuine (possibly empty) capture
+            c = F.when(
+                F.regexp_extract(col, search, anchor) != "", c
+            )
         if cast:
             # try_cast: a typed capture that fails to convert fails
             # only that document (ingest grok), never the job (ANSI
             # cast of a non-participating optional group's '' would)
             c = c.try_cast(cast)
+        elif anchor is None and idx in g.conditional:
+            # no anchor (alternation branch / empty-matching wrapper):
+            # '' is treated as unset — see CompiledGrok.conditional
+            c = F.nullif(c, F.lit(""))
         if name in dup:
-            # non-participating groups extract as '' — first
-            # non-empty branch wins
-            if not cast:
-                c = F.nullif(c, F.lit(""))
+            # first branch that captured (non-null) wins
             cols[name] = (
                 F.coalesce(cols[name], c) if name in cols else c
             )
@@ -424,7 +600,11 @@ def grok_single_pass(
         oks.append(F.col(f"_g_ok_{i}"))
         tmp[f"_g_ok_{i}"] = ok
         if g.fields:
-            repl = _SEP.join(f"${idx}" for _, idx, _ in g.fields)
+            # field groups first, then the participation ANCHOR groups
+            # (CompiledGrok.anchors) — same rewrite extracts both
+            anchor_idxs = sorted(set(g.anchors.values()))
+            all_idxs = [idx for _, idx, _ in g.fields] + anchor_idxs
+            repl = _SEP.join(f"${idx}" for idx in all_idxs)
             tmp[f"_g_arr_{i}"] = F.when(
                 ok, F.split(F.regexp_replace(col, full, repl), _SEP, -1)
             )
@@ -445,23 +625,35 @@ def grok_single_pass(
         ok = oks[i]
         gate = ok if prev_not is None else prev_not & ok
         arr = F.col(f"_g_arr_{i}") if g.fields else None
-        k = len(g.fields)
+        anchor_idxs = sorted(set(g.anchors.values()))
+        k = len(g.fields) + len(anchor_idxs)
         search = f"(?s:{g.pattern})"
         dup = {n for n, _, _ in g.fields
                if sum(1 for m, _, _ in g.fields if m == n) > 1}
         mixed = _mixed_type_fields(g.fields)
+
+        def _grp(pos: int, idx: int) -> Column:
+            fast = F.when(F.size(arr) == k, F.get(arr, pos))
+            slow = F.when(ok, F.regexp_extract(col, search, idx))
+            return F.coalesce(fast, slow)
+
         pat_cols: dict[str, Column] = {}
         for j, (name, idx, cast) in enumerate(g.fields):
             if name in mixed:
                 cast = None
-            fast = F.when(F.size(arr) == k, F.get(arr, j))
-            slow = F.when(ok, F.regexp_extract(col, search, idx))
-            c = F.coalesce(fast, slow)
+            c = _grp(j, idx)
+            anchor = g.anchors.get(idx)
+            if anchor is not None:
+                # runtime participation via the anchor wrapper's
+                # extract (see grok_columns / CompiledGrok.anchors)
+                apos = len(g.fields) + anchor_idxs.index(anchor)
+                c = F.when(_grp(apos, anchor) != "", c)
             if cast:
                 c = c.try_cast(cast)
+            elif anchor is None and idx in g.conditional:
+                # non-participating group → unset (see grok_columns)
+                c = F.nullif(c, F.lit(""))
             if name in dup:
-                if not cast:
-                    c = F.nullif(c, F.lit(""))
                 pat_cols[name] = (
                     F.coalesce(pat_cols[name], c) if name in pat_cols else c
                 )

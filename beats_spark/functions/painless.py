@@ -402,9 +402,13 @@ class _Compiler:
         columns: Sequence[str],
         params: Mapping[str, Any],
         resolver: Any = None,
+        float_columns: Sequence[str] = (),
     ):
         self.columns = list(columns)
         self.params = params
+        #: FloatType columns promoted to double on read (ES float
+        #: storage, double painless arithmetic — see compile_statements)
+        self.float_columns = set(float_columns)
         #: optional field→Column resolver (ingest passes _read_field so
         #: ctx paths reach INTO kv/json map columns — es/audit guards
         #: read `elasticsearch.audit.url.path` out of a json map)
@@ -417,12 +421,21 @@ class _Compiler:
     def read(self, name: str) -> Column:
         if name in self.store:
             return self.store[name]
-        if name in self.columns:
-            return _fcol(name)
+        # the resolver outranks a bare flat-column read: after a routed
+        # `pipeline` union one ES field can have TWO homes — a flat
+        # column (NULL on the other branch) and a kv/json map entry —
+        # and ingest's _read_field coalesces both (es/slowlog's json
+        # drop guard reads ...slowlog.type with a NULL flat column from
+        # the plaintext branch shadowing the json map's value)
         if self.resolver is not None:
             c = self.resolver(name)
             if c is not None:
-                return c
+                return (
+                    c.cast("double") if name in self.float_columns else c
+                )
+        if name in self.columns:
+            c = _fcol(name)
+            return c.cast("double") if name in self.float_columns else c
         return F.lit(None).cast("string")
 
     def _present(self, key: str) -> Column:
@@ -581,14 +594,19 @@ def compile_statements(
     columns: Sequence[str],
     params: Mapping[str, Any] | None = None,
     resolver: Any = None,
+    float_columns: Sequence[str] = (),
 ) -> dict[str, Column]:
     """Compile a painless script body to its net effect: a mapping of
     assigned ctx-field → Column expression (reads of unassigned fields
     resolve to the input columns). Raises :class:`PainlessError` for
-    anything outside the subset."""
+    anything outside the subset. ``float_columns`` are FloatType
+    columns: painless stores ES ``:float`` fields as Java Float but
+    promotes them to double for arithmetic — reads cast them to double
+    so `Math.round(26.082f * 1e6)` reproduces ES's 26082001 (the
+    float32 quantization happens at parse time, the math at 64-bit)."""
     params = params or {}
     stmts = _Parser(_tokenize(src), params).parse_program()
-    c = _Compiler(columns, params, resolver)
+    c = _Compiler(columns, params, resolver, float_columns=float_columns)
     c.exec(stmts)
     return c.store
 

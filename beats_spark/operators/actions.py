@@ -513,7 +513,15 @@ class Grok(Processor):
                     # converted (per-doc heterogeneous types don't
                     # exist in a Spark column)
                     prev = prev.try_cast(new_t)
-                c = F.when(masks[k], c).otherwise(prev)
+                # a null extract is a NON-PARTICIPATING optional/
+                # alternation group (grok_single_pass nullifies its ''
+                # — see CompiledGrok.conditional) or a failed typed
+                # cast: ES sets nothing, the prior value survives.
+                # postgresql's `(duration: …%{GREEDYDATA:…query}|
+                # %{GREEDYDATA:message})` keeps the original message on
+                # the duration branch; es/slowlog's sure `stats`
+                # capture still writes its genuine ''.
+                c = F.when(masks[k], F.coalesce(c, prev)).otherwise(prev)
             assigns[out] = self._guarded(df, guard, out, c)
         # ONE atomic projection: every extract reads the PRE-step
         # frame, so a capture landing in the source field itself

@@ -328,10 +328,13 @@ def compile_painless_script(
         compile_statements,
     )
 
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import FloatType, StringType
 
     strings = [
         f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
+    floats = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, FloatType)
     ]
     try:
         recognized = compile_recognized_script(
@@ -342,6 +345,7 @@ def compile_painless_script(
         return compile_statements(
             source, df.columns, params,
             resolver=lambda f: _read_field(df, f),
+            float_columns=floats,
         )
     except PainlessError as e:
         raise IngestError(
@@ -430,10 +434,13 @@ class IngestPipeline:
         column is new). Writes always land as FLAT columns; a
         map-backed field (kv/json target key) is migrated out of its
         map so the value has one home. A guarded TYPE-CHANGING write
-        (slowlog's guarded ``split`` turns a string into an array)
-        nulls the unguarded rows — documented divergence, since one
-        Spark column can't hold both types per row (the module guards
-        are presence checks, so those rows were empty anyway)."""
+        (es/slowlog's ``split`` guarded by ``stats != ''`` turns a
+        string into an array on SOME rows) keeps the column STRING and
+        stores the new complex value as its JSON text — ES's per-row
+        dynamic typing can't live in one static column, and JSON text
+        is the same representation the kv/json map model already uses
+        for nested values. A guarded scalar→scalar type change still
+        nulls the unguarded rows (documented divergence)."""
         # consult the map even when a flat column exists: after a
         # routed-pipeline union a field can have two homes (see
         # _read_field) and a write must leave exactly one
@@ -443,7 +450,13 @@ class IngestPipeline:
         else:
             if field in df.columns:
                 prev: Column = _fcol(field)
-                from pyspark.sql.types import NullType
+                from pyspark.sql.types import (
+                    ArrayType,
+                    MapType,
+                    NullType,
+                    StringType,
+                    StructType,
+                )
 
                 new_t = df.select(val.alias("_t")).schema[0].dataType
                 old_t = df.schema[field].dataType
@@ -452,7 +465,14 @@ class IngestPipeline:
                     and not isinstance(new_t, NullType)
                     and not isinstance(old_t, NullType)
                 ):
-                    prev = F.lit(None).cast(new_t)
+                    if isinstance(old_t, StringType) and isinstance(
+                        new_t, (ArrayType, MapType, StructType)
+                    ):
+                        # per-row dynamic type: complex value as JSON
+                        # text, unguarded rows keep their string
+                        val = F.to_json(val)
+                    else:
+                        prev = F.lit(None).cast(new_t)
             elif mp is not None:
                 prev = _read_field(df, field)  # type: ignore[assignment]
             else:

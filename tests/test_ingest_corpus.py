@@ -157,13 +157,7 @@ def _golden_case(
     expath = logpath + "-expected.json"
     if not (os.path.exists(logpath) and os.path.exists(expath)):
         pytest.skip(f"fixture missing: {logpath}")
-    lines = [
-        ln for ln in open(logpath, encoding="utf-8").read().splitlines()
-    ]
-    if exclude_lines:
-        # fileset config `exclude_lines` (iis drops W3C '#' headers)
-        rx = re.compile(exclude_lines)
-        lines = [ln for ln in lines if not rx.search(ln)]
+    lines = open(logpath, encoding="utf-8").read().splitlines()
     expected = json.load(open(expath, encoding="utf-8"))
     if multiline:
         # the fileset's filebeat-side multiline reader runs BEFORE the
@@ -189,6 +183,16 @@ def _golden_case(
             [(i, ln, "2024-01-01T00:00:00.000Z") for i, ln in enumerate(lines)],
             "rowid long, message string, `@timestamp` string",
         )
+    # the harvester drops empty EVENTS and applies exclude_lines to the
+    # ASSEMBLED message — both run AFTER the multiline reader, so a
+    # blank line inside a joined stack trace survives (kafka
+    # state-change-2.0.0) while a standalone blank line is dropped
+    # (haproxy httplog-no-headers), and a multi-line mysql version
+    # header is excluded as ONE event
+    # (filebeat/input/log/harvester.go:308,403-421)
+    df = df.filter(F.length("message") > 0)
+    if exclude_lines:
+        df = df.filter(~F.col("message").rlike(exclude_lines))
     if json_decode:
         # filebeat-side json reader (fileset config `json.*` options):
         # the event carries the parsed object under `json`, and with
@@ -237,8 +241,18 @@ def _golden_case(
                     gval = json.loads(gval)
                 except ValueError:
                     pass
-            if isinstance(gval, float) and isinstance(wval, (int, float)):
-                ok = abs(gval - float(wval)) < 1e-9
+            if isinstance(gval, (int, float)) and isinstance(
+                wval, (int, float)
+            ) and not isinstance(gval, bool) and not isinstance(wval, bool):
+                # relative 2e-6: ES stores grok :float as float32 and
+                # different ES versions ran the duration-scale painless
+                # in float or double — the goldens carry both roundings
+                # (mysql 178306016000 is float math, postgresql
+                # 26082001 is double math on the same script shape);
+                # 2e-6 absorbs float32 epsilon, real defects are off by
+                # orders of magnitude
+                w = float(wval)
+                ok = abs(gval - w) <= max(1e-9, 2e-6 * abs(w))
             elif gval is None and key == "@timestamp" and wval is None:
                 ok = True
             else:
@@ -460,3 +474,98 @@ def test_golden_kibana_log(spark):
     """kibana: filebeat json reader (keys_under_root false) feeding a
     json-map-addressing pipeline."""
     _golden_case(spark, "kibana", "log", "test.log", json_decode=True)
+
+
+# -- full-corpus sweep: every remaining golden fixture -------------------
+#
+# The named tests above document one fixture per semantic novelty; this
+# table sweeps the REST of the reference's test/*-expected.json corpus
+# so the claim is "every golden fixture passes", not "one per module".
+# Reader kwargs come from each fileset's config/*.yml (multiline /
+# exclude_lines / json) — same sources as the named tests.
+
+_ML = {
+    "kafka": {"pattern": r"^\[", "negate": True, "match": "after"},
+    "es-server": {
+        "pattern": r"^(\[[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+        "negate": True, "match": "after",
+    },
+    "es-slowlog": {
+        "pattern": r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)",
+        "negate": True, "match": "after",
+    },
+    "mysql-slowlog": {
+        "pattern": r"^(# User@Host: |# Time: )",
+        "negate": True, "match": "after",
+    },
+    "pg": {"pattern": r"^[-0-9]* ", "negate": True, "match": "after"},
+    "indent": {"pattern": r"^\s", "negate": False, "match": "after"},
+}
+_MYSQL_EXC = r"(^[\/\w\.]+, Version: .* started with:.*|^# Time:.*)"
+
+_SWEEP = [
+    ("apache", "access", "ssl-request.log", {"pipename": "default.json"}),
+    ("auditd", "log", "test.log", {}),
+    ("elasticsearch", "audit", "test-access.log", {}),
+    ("elasticsearch", "deprecation", "other_elasticsearch_deprecation.log",
+     {"multiline": _ML["es-server"]}),
+    ("elasticsearch", "deprecation", "test-json.log",
+     {"multiline": _ML["es-server"]}),
+    ("elasticsearch", "server", "test-json.log",
+     {"multiline": _ML["es-server"]}),
+    ("elasticsearch", "slowlog", "es_index_indexing_slowlog-json.log",
+     {"multiline": _ML["es-slowlog"]}),
+    ("elasticsearch", "slowlog", "es_index_search_slowlog-json.log",
+     {"multiline": _ML["es-slowlog"]}),
+    ("elasticsearch", "slowlog", "test.log",
+     {"multiline": _ML["es-slowlog"]}),
+    ("haproxy", "log", "haproxy.log", {}),
+    ("haproxy", "log", "tcplog.log", {}),
+    ("haproxy", "log", "httplog-no-headers.log", {}),
+    ("iis", "access", "test.log",
+     {"pipename": "default.json", "exclude_lines": r"^#"}),
+    ("iis", "access", "test-ipv6zone.log",
+     {"pipename": "default.json", "exclude_lines": r"^#"}),
+    ("iis", "error", "ipv6_zone_id.log",
+     {"pipename": "default.json", "exclude_lines": r"^#"}),
+    ("kafka", "log", "controller.log", {"multiline": _ML["kafka"]}),
+    ("kafka", "log", "state-change.log", {"multiline": _ML["kafka"]}),
+    ("kafka", "log", "state-change-1.1.0.log", {"multiline": _ML["kafka"]}),
+    ("kafka", "log", "state-change-2.0.0.log", {"multiline": _ML["kafka"]}),
+    # logstash's json format has no filebeat-side json reader — the
+    # pipeline's own `json` processor parses `message`
+    ("logstash", "log", "logstash-json.log",
+     {"pipename": "pipeline-json.json"}),
+    ("logstash", "slowlog", "slowlog-json.log",
+     {"pipename": "pipeline-json.json"}),
+    ("mysql", "slowlog", "mariadb-10.2.12.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("mysql", "slowlog", "mariadb-explain.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("mysql", "slowlog", "mysql-5.7.22.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("mysql", "slowlog", "mysql-ubuntu-8.0.15.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("mysql", "slowlog", "percona-ubuntu-5.7.19-innodb.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("mysql", "slowlog", "percona-ubuntu-8.0.15.log",
+     {"multiline": _ML["mysql-slowlog"], "exclude_lines": _MYSQL_EXC}),
+    ("postgresql", "log", "postgresql-9.6-debian-with-slowlog.log",
+     {"multiline": _ML["pg"]}),
+    ("postgresql", "log", "postgresql-9.6-multi-core.log",
+     {"multiline": _ML["pg"]}),
+    ("redis", "log", "test.log", {}),
+    ("system", "syslog", "darwin-syslog-sample.log",
+     {"multiline": _ML["indent"]}),
+]
+
+
+@pytest.mark.parametrize(
+    "module,fileset,logname,kw",
+    _SWEEP,
+    ids=[f"{m}-{fs}-{ln}" for m, fs, ln, _ in _SWEEP],
+)
+def test_golden_sweep(spark, module, fileset, logname, kw):
+    kw = dict(kw)
+    pipename = kw.pop("pipename", "pipeline.json")
+    _golden_case(spark, module, fileset, logname, pipename, **kw)
