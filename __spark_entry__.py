@@ -552,10 +552,17 @@ def q_es_metadata_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """full RFC3164 syslog parse (§2.1, filebeat/input/syslog/parser.go
-    as one anchored regex + arithmetic): render deterministic syslog
-    lines from events (pid optional on every 4th), parse them back,
-    return every extracted field per row."""
+    """syslog-over-TCP end to end (§2.1): render deterministic RFC3164
+    lines from events (pid optional on every 4th), pack them into
+    per-connection byte-stream blobs, frame the blobs back into
+    messages with the tcp input's delimiter scanner
+    (functions/framing.py; inputsource/tcp/scan.go:27-40), then run
+    the full parse (filebeat/input/syslog/parser.go as one anchored
+    regex + arithmetic) and return every extracted field per row. The
+    oracle computes the expected fields straight from ``events``, so a
+    framing defect (lost/merged/reordered frames) breaks row counts
+    and value hashes before the parser even matters."""
+    from beats_spark.functions.framing import frame_events
     from beats_spark.functions.syslog import syslog_parse
 
     _utc(spark)
@@ -576,8 +583,36 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("[%d]:", F.pmod("event_id", F.lit(900)) + 100)
     )
     tail = F.format_string(" %s event %d", F.col("event_type"), F.col("event_id"))
-    lines = ev.select(
+    rendered = ev.select(
         "event_id", F.concat(head, pid_part, tail).alias("line")
+    )
+    # one blob per synthetic TCP connection, lines in arrival order,
+    # '\n'-delimited with a trailing delimiter (what a syslog sender
+    # writes); 4096 connections keep blobs small and the explode wide
+    blobs = (
+        rendered.groupBy(F.pmod("event_id", F.lit(4096)).alias("conn"))
+        .agg(
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("event_id", "line"))
+                        ),
+                        lambda r: r["line"],
+                    ),
+                    "\n",
+                ),
+                F.lit("\n"),
+            ).alias("blob")
+        )
+    )
+    lines = frame_events(blobs, blob_col="blob", out_col="line").select(
+        # the line carries its own identity ("... event N") — recover
+        # it post-framing so the oracle join is framing-sensitive
+        F.regexp_extract("line", r" event (\d+)$", 1)
+        .cast("long")
+        .alias("event_id"),
+        "line",
     )
     p = syslog_parse(F.col("line"), year=2024)
     return lines.select(

@@ -291,6 +291,98 @@ def q_multiline_flush(spark, sf_dir):
     )
 
 
+def q_multiline_modes(spark, sf_dir):
+    """multiline_combine + multiline_flush under one driver row (the
+    driver correctness check windows at ~50 registrations; both modes
+    share a schema, so a variant tag keeps each independently
+    hash-checked)."""
+    a = q_multiline_combine(spark, sf_dir).select(
+        F.lit("combine").alias("variant"), "*"
+    )
+    b = q_multiline_flush(spark, sf_dir).select(
+        F.lit("flush").alias("variant"), "*"
+    )
+    return a.unionByName(b)
+
+
+#: docker synth chunk width — small enough that sf0.01 documents split
+#: into real partial chains, large enough to keep the line table sane
+DOCKER_CHUNK = 48
+
+
+def q_docker_logs(spark, sf_dir):
+    """docker input round-trip (sources/docker.py;
+    libbeat/reader/readjson/docker_json.go): synthesize json-file and
+    CRI container-log lines from ``documents`` — each doc chunked at
+    DOCKER_CHUNK chars, every chunk but the last flagged partial, the
+    way the docker daemon splits >16 KB writes — run the full
+    parse + partial-join + stream plumbing, and land back at the
+    original text. The oracle states the fixpoint directly from
+    ``documents``, so any reader defect (bad join, lost terminator,
+    stream/ts mixup) breaks the value hash."""
+    from .sources.docker import docker_logs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        # the daemon never emits a bare \n inside one json line's log
+        # payload — normalize so chunk boundaries are the only partials
+        F.regexp_replace("text", r"\n", " ").alias("txt"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"posexplode(transform("
+            f" sequence(0, greatest(cast(ceil(length(txt)/{DOCKER_CHUNK}.0)"
+            f"   as int), 1) - 1),"
+            f" i -> substring(txt, i*{DOCKER_CHUNK}+1, {DOCKER_CHUNK})))"
+        ).alias("pos", "chunk"),
+        F.greatest(
+            F.ceil(F.length("txt") / DOCKER_CHUNK).cast("int"), F.lit(1)
+        ).alias("n_chunks"),
+    )
+    last = F.col("pos") == F.col("n_chunks") - 1
+    ts = F.lit("2020-01-01T00:00:00Z")
+    json_line = F.to_json(
+        F.struct(
+            F.when(last, F.concat("chunk", F.lit("\n")))
+            .otherwise(F.col("chunk"))
+            .alias("log"),
+            F.lit("stdout").alias("stream"),
+            ts.alias("time"),
+        )
+    )
+    cri_line = F.concat_ws(
+        " ",
+        ts,
+        F.lit("stderr"),
+        F.when(last, F.lit("F")).otherwise(F.lit("P")),
+        "chunk",
+    )
+    # file key at container-log cardinality (a real deployment has one
+    # json-file per container, not one per source label) — the chain
+    # window partitions on it, so low cardinality would serialize the
+    # assembly at scale
+    lines = chunks.select(
+        F.concat_ws(
+            "#", "source", (F.col("doc_id") % 64).cast("string")
+        ).alias("file"),
+        (F.col("doc_id") * 1000000 + F.col("pos")).alias("seq"),
+        F.when(F.col("doc_id") % 2 == 1, cri_line)
+        .otherwise(json_line)
+        .alias("line"),
+    )
+    events = docker_logs(lines)
+    return events.select(
+        F.floor(F.col("first_seq") / 1000000).alias("doc_id"),
+        F.substring_index("file", "#", 1).alias("source"),
+        "text",
+        "stream",
+        "n_lines",
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     return brute_force_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
 
@@ -411,6 +503,11 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "embedding_neardup": q_embedding_neardup,
+        # new in r3: docker/CRI container-log reader (round-trip oracle)
+        "docker_logs": q_docker_logs,
+        # merged from multiline_combine + multiline_flush to keep the
+        # registry at ≤ 50 driver rows
+        "multiline_modes": q_multiline_modes,
     }
 
 
@@ -435,8 +532,6 @@ def dataops_queries_rest() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "dns_enrich": q_dns_enrich,
-        "multiline_combine": q_multiline_combine,
-        "multiline_flush": q_multiline_flush,
         "chunk_documents": q_chunk_documents,
         "quantize_embeddings": q_quantize_embeddings,
     }
@@ -484,6 +579,68 @@ def _quant_oracle() -> str:
     from .operators.similarity import quantization_stats_sql
 
     return quantization_stats_sql("embeddings")
+
+
+_MULTILINE_COMBINE_SQL = """
+WITH lines AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text
+  FROM documents
+),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
+    AS is_head
+  FROM lines
+),
+grp AS (
+  SELECT *, sum(is_head) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT conv_id AS source,
+       min(turn_idx) AS first_turn_idx,
+       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
+         AS doc_chars,
+       CAST(count(*) AS INT) AS n_lines
+FROM grp GROUP BY conv_id, g
+"""
+
+_MULTILINE_FLUSH_SQL = """
+WITH RECURSIVE lines AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
+           AS is_head,
+         CASE WHEN regexp_matches(text, 'vector') THEN 1 ELSE 0 END
+           AS is_flush
+  FROM documents
+),
+-- walk each conversation line by line: a flush line joins-and-closes
+-- an OPEN event; a line arriving with no open event always opens one
+-- (even if it matches the flush pattern — readFirst does no flush
+-- check); a head line closes the open event without joining it
+walk AS (
+  SELECT conv_id, rn, turn_idx, text,
+         1 AS eid, 1 AS open_after
+  FROM lines WHERE rn = 1
+  UNION ALL
+  SELECT l.conv_id, l.rn, l.turn_idx, l.text,
+         CASE WHEN w.open_after = 0 THEN w.eid + 1
+              WHEN l.is_flush = 1 THEN w.eid
+              WHEN l.is_head = 1 THEN w.eid + 1
+              ELSE w.eid END AS eid,
+         CASE WHEN w.open_after = 0 THEN 1
+              WHEN l.is_flush = 1 THEN 0
+              ELSE 1 END AS open_after
+  FROM walk w
+  JOIN lines l ON l.conv_id = w.conv_id AND l.rn = w.rn + 1
+)
+SELECT conv_id AS source,
+       min(turn_idx) AS first_turn_idx,
+       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
+         AS doc_chars,
+       CAST(count(*) AS INT) AS n_lines
+FROM walk GROUP BY conv_id, eid
+"""
 
 
 def dataops_oracles() -> dict[str, str]:
@@ -547,65 +704,24 @@ SELECT host,
        count(*) AS n_docs
 FROM hosts GROUP BY 1, 2
 """,
-        "multiline_combine": """
-WITH lines AS (
-  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text
+        "docker_logs": f"""
+WITH d AS (
+  SELECT doc_id, source, regexp_replace(text, chr(10), ' ', 'g') AS txt
   FROM documents
-),
-marked AS (
-  SELECT *, CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
-    AS is_head
-  FROM lines
-),
-grp AS (
-  SELECT *, sum(is_head) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                               ROWS UNBOUNDED PRECEDING) AS g
-  FROM marked
 )
-SELECT conv_id AS source,
-       min(turn_idx) AS first_turn_idx,
-       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
-         AS doc_chars,
-       CAST(count(*) AS INT) AS n_lines
-FROM grp GROUP BY conv_id, g
+SELECT doc_id,
+       source,
+       txt AS text,
+       CASE WHEN doc_id % 2 = 1 THEN 'stderr' ELSE 'stdout' END AS stream,
+       CAST(greatest(ceil(len(txt) / {DOCKER_CHUNK}.0), 1) AS INT)
+         AS n_lines
+FROM d
 """,
-        "multiline_flush": """
-WITH RECURSIVE lines AS (
-  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
-         CASE WHEN regexp_matches(text, '^[a-z]') THEN 0 ELSE 1 END
-           AS is_head,
-         CASE WHEN regexp_matches(text, 'vector') THEN 1 ELSE 0 END
-           AS is_flush
-  FROM documents
-),
--- walk each conversation line by line: a flush line joins-and-closes
--- an OPEN event; a line arriving with no open event always opens one
--- (even if it matches the flush pattern — readFirst does no flush
--- check); a head line closes the open event without joining it
-walk AS (
-  SELECT conv_id, rn, turn_idx, text,
-         1 AS eid, 1 AS open_after
-  FROM lines WHERE rn = 1
-  UNION ALL
-  SELECT l.conv_id, l.rn, l.turn_idx, l.text,
-         CASE WHEN w.open_after = 0 THEN w.eid + 1
-              WHEN l.is_flush = 1 THEN w.eid
-              WHEN l.is_head = 1 THEN w.eid + 1
-              ELSE w.eid END AS eid,
-         CASE WHEN w.open_after = 0 THEN 1
-              WHEN l.is_flush = 1 THEN 0
-              ELSE 1 END AS open_after
-  FROM walk w
-  JOIN lines l ON l.conv_id = w.conv_id AND l.rn = w.rn + 1
-)
-SELECT conv_id AS source,
-       min(turn_idx) AS first_turn_idx,
-       CAST(len(string_agg(text, chr(10) ORDER BY turn_idx)) AS INT)
-         AS doc_chars,
-       CAST(count(*) AS INT) AS n_lines
-FROM walk GROUP BY conv_id, eid
-""",
+        "multiline_modes": (
+            f"SELECT 'combine' AS variant, m.* FROM ({_MULTILINE_COMBINE_SQL}) m"
+            f" UNION ALL "
+            f"SELECT 'flush' AS variant, m.* FROM ({_MULTILINE_FLUSH_SQL}) m"
+        ),
         "chunk_documents": _chunk_oracle(),
         "quantize_embeddings": _quant_oracle(),
         "text_analysis": f"""

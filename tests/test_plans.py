@@ -211,3 +211,28 @@ class TestCurationPlans:
         plan = _plan(out)
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestSourceReaderPlans:
+    def test_docker_assembly_is_one_exchange_no_python(self, spark):
+        from beats_spark.sources.docker import docker_logs
+
+        df = spark.createDataFrame(
+            [("f", 0, '{"log":"a\\n","stream":"stdout","time":"t"}')],
+            "file string, seq long, line string",
+        )
+        plan = _plan(docker_logs(df))
+        # window (chain ids) and groupBy (assembly) both key on `file`:
+        # one hash exchange feeds both, nothing per-row Python
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_framing_is_map_side_only(self, spark):
+        from beats_spark.functions.framing import frame_events
+
+        df = spark.createDataFrame([("c", "a\nb\n")], "conn string, blob string")
+        plan = _plan(frame_events(df, max_message_size=1024))
+        # split + posexplode: a generator in the scan stage, no shuffle
+        assert "Exchange" not in plan
+        assert "Generate" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
