@@ -110,7 +110,17 @@ def _ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     (stopword trigram) sorts LAST and never enters any prefix once
     ``ceil(t·|s|) ≥ 2`` — the hot-key D² explosion disappears at any
     threshold. A length filter (``min_sz ≥ t · max_sz``, necessary for
-    Jaccard ≥ t) prunes the survivors before dedup."""
+    Jaccard ≥ t) prunes the survivors before dedup.
+
+    POSITIONAL filtering (the "PP" in PPJoin) prunes further: tokens
+    are ordered by the same global rank in every doc, so for a shared
+    token at 0-based positions (p_a, p_b) the intersection is at most
+    ``min(p_a, p_b) + min(sz_a - p_a, sz_b - p_b)`` (everything before
+    it in the shorter prefix + everything from it on in the shorter
+    suffix). Jaccard ≥ t needs overlap ≥ ceil(t/(1+t)·(sz_a+sz_b));
+    occurrences whose bound can't reach that are dropped BEFORE the
+    distinct and the exact-verify join — at low thresholds (long
+    prefixes) this is where most of the candidate mass dies."""
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
 
@@ -138,7 +148,18 @@ def _ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             ),
         ).alias("prefix"),
     )
-    pex = pref.select("id", "sz", F.explode("prefix").alias("s"))
+    pex = pref.select("id", "sz", F.posexplode("prefix").alias("p", "s"))
+    # minimum intersection size equivalent to Jaccard >= t; the 1e-9
+    # slack keeps double rounding from ceil-ing past an exact integer
+    # boundary and wrongly pruning a boundary pair (the bound only
+    # loosens, never tightens)
+    min_overlap = F.ceil(
+        (F.col("a.sz") + F.col("b.sz")) * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-9)
+    )
+    ubound = F.least("a.p", "b.p") + F.least(
+        F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p")
+    )
     return (
         pex.alias("a")
         .join(pex.alias("b"), "s")
@@ -148,6 +169,7 @@ def _ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
                 F.least("a.sz", "b.sz")
                 >= F.ceil(F.greatest("a.sz", "b.sz") * F.lit(threshold))
             )
+            & (ubound >= min_overlap)
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
