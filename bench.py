@@ -8,9 +8,10 @@ them — a SIGTERM/SIGINT mid-run prints the partial JSON):
      the identical parse→route job at ``local[$BENCH_CORES_LO]`` and
      ``local[$BENCH_CORES_HI]`` (N and 4N) in fresh subprocesses — up
      to ``$BENCH_SCALING_PAIRS`` INTERLEAVED lo/hi pairs, each gated
-     on ambient load quiet, per-pair efficiency + load-average
-     markers, best plausible pair reported (``BENCH_SCALING=0`` to
-     skip);
+     on host health (loadavg + a memory-sweep probe that sees
+     neighbor bus contention loadavg cannot), per-pair efficiency +
+     probe + load markers, every attempt outcome logged, best
+     plausible pair reported (``BENCH_SCALING=0`` to skip);
   3. times each headline ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
      (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
@@ -256,43 +257,23 @@ def main() -> None:
 
     last_probe = [0.0]
 
-    # -- throughput on this session's core count (split-tuned session) -----
-    # BENCH_HEADLINE=0 skips (local scaling-iteration runs only)
-    if os.environ.get("BENCH_HEADLINE", "1") != "0":
-        wait_for_quiet()
-        one = run_one(CPUS, synth_path)
-        headline_probe = [last_probe[0], round(host_parallel_speedup(), 2)]
-        if not probe_ok(headline_probe[1]):
-            # the run straddled a degradation window (post-probe
-            # degraded); one re-gated retry — keep the faster, both
-            # probes recorded
-            wait_for_quiet()
-            retry = run_one(CPUS, synth_path)
-            headline_probe.append(round(host_parallel_speedup(), 2))
-            if retry["sec"] < one["sec"]:
-                one = retry
-    else:
-        one = {"sec": 1.0, "rows": 0}
-        headline_probe = []
-    tp_sec, n_rows = one["sec"], one["rows"]
-    throughput = n_rows / tp_sec
-
     out = {
         "metric": "parse_route_turns_per_sec",
-        "value": round(tp_sec, 3),  # query suite added below
+        "value": 0.0,  # headline secs below; query suite adds to it
         "unit": "sec",
         "queries": {},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-        "bench_rows": n_rows,
-        "throughput_turns_per_sec": round(throughput, 1),
+        "bench_rows": 0,
+        "throughput_turns_per_sec": 0.0,
         "cpus": CPUS,
-        "headline_probe": headline_probe,
+        "headline_probe": [],
     }
 
     # if an outer harness timeout SIGTERMs us mid-run, everything done
-    # so far (headline + scaling pairs + per-query times) still goes
-    # out as the one JSON line instead of nothing — scaling runs BEFORE
-    # the ~1-min-per-query suite precisely because it carries the gate
+    # so far still goes out as the one JSON line instead of nothing —
+    # registered BEFORE the headline because a gate-wait + retry on a
+    # degraded host can hold that phase for ~20 min; scaling runs
+    # before the ~1-min-per-query suite because it carries the gate
     def _emit_and_exit(signum, frame):  # noqa: ARG001
         out.setdefault("partial", True)
         print(json.dumps(out), flush=True)
@@ -300,6 +281,30 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
+
+    # -- throughput on this session's core count (split-tuned session) -----
+    # BENCH_HEADLINE=0 skips (local scaling-iteration runs only)
+    if os.environ.get("BENCH_HEADLINE", "1") != "0":
+        wait_for_quiet()
+        one = run_one(CPUS, synth_path)
+        out["headline_probe"] = [
+            last_probe[0], round(host_parallel_speedup(), 2)
+        ]
+        if not probe_ok(out["headline_probe"][1]):
+            # the run straddled a degradation window (post-probe
+            # degraded); one re-gated retry — keep the faster, both
+            # probes recorded
+            wait_for_quiet()
+            retry = run_one(CPUS, synth_path)
+            out["headline_probe"].append(round(host_parallel_speedup(), 2))
+            if retry["sec"] < one["sec"]:
+                one = retry
+    else:
+        one = {"sec": 1.0, "rows": 0}
+    tp_sec, n_rows = one["sec"], one["rows"]
+    out["value"] = round(tp_sec, 3)
+    out["bench_rows"] = n_rows
+    out["throughput_turns_per_sec"] = round(n_rows / tp_sec, 1)
 
     # -- scaling evidence: identical job at two parallelism levels ---------
     #
