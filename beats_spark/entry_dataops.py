@@ -18,9 +18,12 @@ from .functions.textstats import (
     fingerprint_sql,
     lang_id,
     lang_id_sql,
+    ngram_repetition_df,
     quality_features,
     quality_filter_oracle,
     quality_sql,
+    repetition_oracle,
+    repetition_rules_over,
     token_count_bpe,
     token_count_ws,
 )
@@ -392,14 +395,19 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    return ann_ivf_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
-
-
-def q_ann_ivf_nprobe2(spark, sf_dir):
-    """multi-probe IVF (similarity.py ann_ivf_topk nprobe=2): each
-    query probes its TWO nearest cells — recall up at 2/n_centroids of
-    the corpus touched per query."""
-    return ann_ivf_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K, nprobe=2)
+    """Both IVF probe widths under one driver row (nprobe column) —
+    merged from r2's separate `ann_ivf` + `ann_ivf_nprobe2` rows to
+    free a slot in the driver's ≤50-row correctness window. nprobe=1:
+    each query probes only its own cell; nprobe=2: its two nearest
+    cells — recall up at 2/n_centroids of the corpus touched."""
+    embs = _embs(spark, sf_dir)
+    one = ann_ivf_topk(embs, ANN_QUERIES, k=ANN_K).withColumn(
+        "nprobe", F.lit(1)
+    )
+    two = ann_ivf_topk(embs, ANN_QUERIES, k=ANN_K, nprobe=2).withColumn(
+        "nprobe", F.lit(2)
+    )
+    return one.unionByName(two)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -477,6 +485,36 @@ def q_text_analysis(spark, sf_dir):
     )
 
 
+#: repetition features carried into the driver row (the exploded path
+#: also emits dup_3gram_char_frac, which no rule consumes)
+_REP_FEATURES = (
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "dup_2gram_char_frac",
+)
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition removal (Rae et al. 2021 Table A1;
+    textstats.ngram_repetition_df): duplicate-line fraction +
+    character fraction, top-2/3-gram character fraction, duplicated
+    2-gram character fraction, with per-rule booleans + the AND'd
+    keep. Runs the EXPLODED path (explode → two map-side-combining
+    groupBys + join per n) — the 100-TB shape for long documents; the
+    shuffle-free Column path is pytest-pinned equal."""
+    stats = ngram_repetition_df(_docs(spark, sf_dir))
+    rules = repetition_rules_over(
+        {name: F.col(name) for name in _REP_FEATURES}
+    )
+    return stats.select(
+        "doc_id",
+        *_REP_FEATURES,
+        *[c.alias(k) for k, c in rules.items()],
+    )
+
+
 def q_lang_id(spark, sf_dir):
     pred = lang_id(F.col("text"))
     return (
@@ -508,6 +546,9 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # merged from multiline_combine + multiline_flush to keep the
         # registry at ≤ 50 driver rows
         "multiline_modes": q_multiline_modes,
+        # new in r3 (slot freed by merging ann_ivf_nprobe2 into
+        # ann_ivf): Gopher repetition-removal signals
+        "repetition_filter": q_repetition_filter,
     }
 
 
@@ -520,7 +561,6 @@ def dataops_queries_rest() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -655,10 +695,14 @@ GROUP BY {NORM_SQL.format(c='text')}
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", MINHASH_T),
         "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
         "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
-        "ann_ivf": ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K),
-        "ann_ivf_nprobe2": ann_ivf_topk_sql(
-            "embeddings", ANN_QUERIES, ANN_K, nprobe=2
-        ),
+        "ann_ivf": f"""
+SELECT *, CAST(1 AS INTEGER) AS nprobe
+FROM ({ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
+UNION ALL
+SELECT *, CAST(2 AS INTEGER) AS nprobe
+FROM ({ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K, nprobe=2)})
+""",
+        "repetition_filter": repetition_oracle("documents"),
         "embedding_neardup": f"""
 SELECT 'lsh' AS variant, * FROM ({embedding_neardup_lsh_sql("embeddings", NEARDUP_T)})
 UNION ALL

@@ -363,3 +363,120 @@ class TestMultiProbeIvf:
         r1, r2 = recall(1), recall(2)
         assert r2 >= r1  # more probes never lose recall
         assert r2 > 0
+
+
+class TestRepetition:
+    """Gopher repetition signals (Rae et al. 2021 Table A1;
+    textstats.repetition_features / ngram_repetition_df)."""
+
+    FIXTURE = [
+        # 3 of 4 lines identical: dup_line 0.5, dup chars 9/15
+        (1, "abc\nabc\ndef\nabc"),
+        # heavy 2-gram repetition: top 'x y' 3x, dup capped at 1.0
+        (2, "x y x y x y"),
+        # too short for any 2-gram
+        (3, "hello"),
+        # empty doc: every fraction 0 (nc floor of 1 divides)
+        (4, ""),
+    ]
+
+    def _fixture_df(self, spark):
+        return spark.createDataFrame(self.FIXTURE, "doc_id long, text string")
+
+    def test_hand_computed_fractions(self, spark):
+        from beats_spark.functions.textstats import repetition_features
+
+        feats = repetition_features(F.col("text"))
+        rows = {
+            r["doc_id"]: r
+            for r in self._fixture_df(spark)
+            .select("doc_id", *[c.alias(n) for n, c in feats.items()])
+            .collect()
+        }
+        a = rows[1]
+        assert a["dup_line_frac"] == 0.5           # 1 - 2/4
+        assert a["dup_line_char_frac"] == 0.6      # 3 dup lines x 3 chars / 15
+        assert a["top_2gram_char_frac"] == 0.466667  # all unique: 1 x 7 / 15
+        assert a["dup_2gram_char_frac"] == 0.0
+        b = rows[2]
+        assert b["dup_line_frac"] == 0.0
+        assert b["top_2gram_char_frac"] == 0.818182  # 'x y' 3x len 3 / 11
+        assert b["dup_2gram_char_frac"] == 1.0       # 9 + 6 > 11, capped
+        c = rows[3]
+        assert c["top_2gram_char_frac"] == 0.0       # no 2-grams at all
+        d = rows[4]
+        assert all(d[n] == 0.0 for n in feats)
+
+    def test_exploded_path_matches_column_path(self, spark):
+        from beats_spark.functions.textstats import (
+            ngram_repetition_df,
+            repetition_features,
+        )
+
+        df = self._fixture_df(spark)
+        feats = repetition_features(F.col("text"))
+        names = sorted(feats)
+        inline = {
+            r["doc_id"]: tuple(r[n] for n in names)
+            for r in df.select(
+                "doc_id", *[c.alias(n) for n, c in feats.items()]
+            ).collect()
+        }
+        exploded = {
+            r["doc_id"]: tuple(r[n] for n in names)
+            for r in ngram_repetition_df(df).collect()
+        }
+        assert exploded == inline
+
+    def test_rules_and_keep(self, spark):
+        from beats_spark.functions.textstats import (
+            repetition_features,
+            repetition_rules_over,
+        )
+
+        feats = repetition_features(F.col("text"))
+        rules = repetition_rules_over(feats)
+        rows = {
+            r["doc_id"]: r
+            for r in self._fixture_df(spark)
+            .select("doc_id", *[c.alias(n) for n, c in rules.items()])
+            .collect()
+        }
+        assert rows[1]["r_dup_line"] is False      # 0.5 > 0.30
+        assert rows[1]["r_dup_line_chars"] is False
+        assert rows[1]["keep"] is False
+        assert rows[2]["r_top_2gram"] is False     # 0.818 > 0.20
+        assert rows[2]["r_dup_2gram"] is False     # 1.0 > 0.30
+        assert rows[3]["keep"] is True
+        assert rows[4]["keep"] is True
+
+    def test_duckdb_oracle_matches(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        from beats_spark.functions.textstats import (
+            ngram_repetition_df,
+            repetition_oracle,
+            repetition_rules_over,
+        )
+
+        df = self._fixture_df(spark)
+        path = str(tmp_path / "docs.parquet")
+        df.coalesce(1).write.parquet(path)
+
+        names = (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "dup_2gram_char_frac",
+        )
+        stats = ngram_repetition_df(df)
+        rules = repetition_rules_over({n: F.col(n) for n in names})
+        got = {
+            r["doc_id"]: tuple(r[c] for c in (*names, *rules))
+            for r in stats.select(
+                "doc_id", *names, *[c.alias(k) for k, c in rules.items()]
+            ).collect()
+        }
+        sql = repetition_oracle(f"parquet_scan('{path}/*.parquet')")
+        want = {row[0]: tuple(row[1:]) for row in duckdb.sql(sql).fetchall()}
+        assert got == want

@@ -202,6 +202,31 @@ class TestCurationPlans:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_repetition_column_path_is_single_stage(
+        self, spark, transcripts_on_disk
+    ):
+        from beats_spark.functions.textstats import repetition_features
+
+        df = spark.read.parquet(transcripts_on_disk)
+        feats = repetition_features(F.col("text"))
+        out = df.select(*[c.alias(n) for n, c in feats.items()])
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_repetition_exploded_path_shape(self, spark, transcripts_on_disk):
+        # the 100-TB path: per n, explode -> groupBy(id, gram) ->
+        # groupBy(id) -> join back; exactly two hash exchanges per n,
+        # nothing per-row Python
+        from beats_spark.functions.textstats import ngram_repetition_df
+
+        df = spark.read.parquet(transcripts_on_disk).withColumnRenamed(
+            "turn_idx", "doc_id"
+        )
+        plan = _plan(ngram_repetition_df(df.select("doc_id", "text")))
+        assert plan.count("Exchange hashpartitioning") == 4  # 2 per n
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_quality_filter_is_single_stage(self, spark, transcripts_on_disk):
         from beats_spark.functions.textstats import quality_filter
 
