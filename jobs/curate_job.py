@@ -1,0 +1,219 @@
+"""spark-submit training-data curation pipeline: the end-to-end path
+a 100-TB pretraining corpus takes through this library.
+
+    zip -qr beats_spark.zip beats_spark
+    spark-submit --py-files beats_spark.zip jobs/curate_job.py \\
+        --input <documents parquet> --output <output root> \\
+        [--benchmark <eval-set parquet>] [--rates en=0.5,de=1.0] \\
+        [--default-rate 0.5] [--budget 256] [--neardup-threshold 0.6]
+
+Stage design is FLAGS-THEN-FILTER, not filter-then-filter: every
+gate (exact-dup canonical, near-dup canonical, quality keep,
+repetition keep, decontamination, stratified sample) is computed as
+a boolean COLUMN over the full corpus, so
+
+  * one aggregation pass yields the whole survival funnel (per-gate
+    and cumulative counts) without re-running the chain once per
+    stage, and
+  * the audit trail (which gate dropped a document) is a queryable
+    table (``<output>/flags``) instead of a log line — the thing a
+    data-curation team actually debugs with.
+
+The only operators that need the SURVIVING set (PII redaction of the
+kept text, token-budget sequence packing — pack boundaries depend on
+which neighbors survived) run after the single conjunction filter.
+
+Scale notes: the dup gates are the library's bucketed paths (exact =
+one hash groupBy; near-dup = banded minhash LSH + verify + pointer-
+doubling connected components); decontamination broadcasts the
+benchmark's distinct n-grams (TB:MB asymmetry); the sample gate is a
+pure hash of the key column (map-side, reproducible across engines
+and repartitioning); packing keys its one window on the same group
+column the fan-out writer shuffles on anyway.
+
+Prints one JSON summary line (sentinel ``CURATE_RESULT``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_rates(spec: str) -> dict[str, float]:
+    rates: dict[str, float] = {}
+    if spec:
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            rates[k.strip()] = float(v)
+    return rates
+
+
+def curate(
+    spark,
+    input_path: str,
+    output_root: str,
+    benchmark_path: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+    token_budget: int = 256,
+    neardup_threshold: float = 0.6,
+):
+    """Run the curation pipeline; returns the summary dict."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.functions.textstats import (
+        ngram_repetition_df,
+        quality_filter_df,
+        repetition_rules_over,
+    )
+    from beats_spark.operators.decontam import ngram_overlap
+    from beats_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+    )
+    from beats_spark.operators.redact import redact_text
+    from beats_spark.operators.sampling import (
+        pack_sequences,
+        stratified_sample,
+    )
+
+    t0 = time.time()
+    docs = spark.read.parquet(input_path)
+
+    # -- gate columns over the FULL corpus ------------------------------
+    exact_keep = (
+        exact_dedup_groups(docs)
+        .select(F.col("canonical_id").alias("doc_id"))
+        .withColumn("exact_keep", F.lit(True))
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=neardup_threshold)
+    neardup_keep = connected_components(pairs, docs).select(
+        "doc_id", (F.col("doc_id") == F.col("component_id")).alias(
+            "neardup_keep"
+        )
+    )
+    quality_keep = quality_filter_df(docs).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    rep_stats = ngram_repetition_df(docs)
+    rep_rules = repetition_rules_over(
+        {name: F.col(name) for name in rep_stats.columns if name != "doc_id"}
+    )
+    repetition_keep = rep_stats.select(
+        "doc_id", rep_rules["keep"].alias("repetition_keep")
+    )
+
+    flags = (
+        docs.join(exact_keep, "doc_id", "left")
+        .join(neardup_keep, "doc_id", "left")
+        .join(quality_keep, "doc_id", "left")
+        .join(repetition_keep, "doc_id", "left")
+        .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
+    )
+    if benchmark_path is not None:
+        bench = spark.read.parquet(benchmark_path)
+        flags = flags.join(
+            ngram_overlap(docs, bench).select(
+                "doc_id", (~F.col("contaminated")).alias("decontam_keep")
+            ),
+            "doc_id",
+            "left",
+        )
+    else:
+        flags = flags.withColumn("decontam_keep", F.lit(True))
+    # the sample gate is a pure function of (strata, key) — a column,
+    # not a join
+    sampled_ids = stratified_sample(
+        docs.select("doc_id", "lang"), rates or {}, default_rate=default_rate
+    ).withColumn("sample_keep", F.lit(True))
+    flags = flags.join(
+        sampled_ids.select("doc_id", "sample_keep"), "doc_id", "left"
+    ).withColumn("sample_keep", F.coalesce("sample_keep", F.lit(False)))
+
+    gate_order = [
+        "exact_keep",
+        "neardup_keep",
+        "quality_keep",
+        "repetition_keep",
+        "decontam_keep",
+        "sample_keep",
+    ]
+    # flags feed one funnel agg + the audit write + the kept filter:
+    # materialize once instead of re-running the dup machinery 3x
+    flags = flags.localCheckpoint()
+
+    # -- one pass: per-gate counts + cumulative funnel -------------------
+    cum = None
+    aggs = [F.count("*").alias("total")]
+    for g in gate_order:
+        aggs.append(F.sum(F.col(g).cast("long")).alias(f"pass_{g}"))
+        cum = F.col(g) if cum is None else (cum & F.col(g))
+        aggs.append(F.sum(cum.cast("long")).alias(f"cum_{g}"))
+    funnel = flags.agg(*aggs).first().asDict()
+
+    flags.select("doc_id", *gate_order).write.mode("overwrite").parquet(
+        f"{output_root}/flags"
+    )
+
+    # -- surviving set: redact, pack, write ------------------------------
+    kept_cond = None
+    for g in gate_order:
+        kept_cond = F.col(g) if kept_cond is None else (kept_cond & F.col(g))
+    kept = flags.where(kept_cond).select(
+        "doc_id", "lang", "source", redact_text(F.col("text")).alias("text")
+    )
+    packs = pack_sequences(kept, token_budget=token_budget)
+    packed = kept.join(
+        packs.select("doc_id", "n_tokens", "pack_id"), "doc_id"
+    )
+    packed.write.mode("overwrite").partitionBy("source").parquet(
+        f"{output_root}/packed"
+    )
+
+    n_packs = packed.select("source", "pack_id").distinct().count()
+    return {
+        "funnel": funnel,
+        "kept": funnel[f"cum_{gate_order[-1]}"],
+        "n_packs": n_packs,
+        "secs": round(time.time() - t0, 3),
+        "output": output_root,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--benchmark", default=None)
+    p.add_argument("--rates", default="")
+    p.add_argument("--default-rate", type=float, default=0.5)
+    p.add_argument("--budget", type=int, default=256)
+    p.add_argument("--neardup-threshold", type=float, default=0.6)
+    args = p.parse_args(argv)
+
+    from beats_spark.session import build_session
+
+    spark = build_session("curate")
+    try:
+        summary = curate(
+            spark,
+            args.input,
+            args.output,
+            benchmark_path=args.benchmark,
+            rates=_parse_rates(args.rates),
+            default_rate=args.default_rate,
+            token_budget=args.budget,
+            neardup_threshold=args.neardup_threshold,
+        )
+    finally:
+        spark.stop()
+    print("CURATE_RESULT " + json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

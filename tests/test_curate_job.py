@@ -1,0 +1,95 @@
+"""End-to-end curation job (jobs/curate_job.py): flags-then-filter
+funnel, audit table, PII-redacted token-packed output."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+
+from curate_job import _parse_rates, curate  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestCurateJob:
+    def test_funnel_and_outputs(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            rates={"en": 1.0, "de": 0.25},
+            default_rate=0.5,
+            token_budget=256,
+        )
+        f = summary["funnel"]
+        # cumulative funnel is monotone non-increasing and starts full
+        gates = [
+            "exact_keep",
+            "neardup_keep",
+            "quality_keep",
+            "repetition_keep",
+            "decontam_keep",
+            "sample_keep",
+        ]
+        cums = [f["total"]] + [f[f"cum_{g}"] for g in gates]
+        assert all(a >= b for a, b in zip(cums, cums[1:]))
+        assert summary["kept"] == f["cum_sample_keep"] > 0
+        # each cumulative stage is bounded by its own gate's pass count
+        assert all(f[f"cum_{g}"] <= f[f"pass_{g}"] for g in gates)
+
+        # independent reader: flags conjunction == kept == packed rows
+        conj = " AND ".join(gates)
+        n_flags, n_kept = duckdb.sql(
+            f"SELECT count(*), sum(CASE WHEN {conj} THEN 1 ELSE 0 END) "
+            f"FROM parquet_scan('{out}/flags/*.parquet')"
+        ).fetchone()
+        assert n_flags == f["total"]
+        assert n_kept == summary["kept"]
+        n_rows, n_packs, n_emails = duckdb.sql(
+            "SELECT count(*), count(DISTINCT (source, pack_id)), "
+            "  max(len(regexp_extract_all(text,"
+            "      '[\\w.+-]+@[\\w-]+\\.[\\w.]+')))"
+            f" FROM parquet_scan('{out}/packed/*/*.parquet',"
+            "   hive_partitioning=1)"
+        ).fetchone()
+        assert n_rows == summary["kept"]
+        assert n_packs == summary["n_packs"]
+        assert n_emails == 0  # PII redaction ran on the kept text
+        # pack ids reproduce the prefix-floor rule exactly (DuckDB
+        # recomputes the window independently of Spark)
+        (mismatch,) = duckdb.sql(
+            "WITH o AS (SELECT source, pack_id, n_tokens,"
+            " coalesce(sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND 1 PRECEDING), 0) AS prefix"
+            f" FROM parquet_scan('{out}/packed/*/*.parquet',"
+            "   hive_partitioning=1))"
+            " SELECT max(abs(pack_id - floor(prefix / 256))) FROM o"
+        ).fetchone()
+        assert mismatch == 0
+
+    def test_benchmark_decontamination_gate(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bench_path = str(tmp_path / "bench.parquet")
+        docs.where("doc_id % 97 = 0").write.parquet(bench_path)
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            benchmark_path=bench_path,
+            default_rate=1.0,
+        )
+        f = summary["funnel"]
+        # the benchmark docs themselves (and any 4-gram overlap) fail
+        assert f["pass_decontam_keep"] < f["total"]
+
+    def test_parse_rates(self):
+        assert _parse_rates("en=1.0, de=0.25") == {"en": 1.0, "de": 0.25}
+        assert _parse_rates("") == {}

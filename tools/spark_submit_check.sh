@@ -28,3 +28,13 @@ spark-submit \
   --py-files /tmp/beats_spark.zip \
   jobs/parse_route_job.py --input "$IN" --output "$OUT" 2>/dev/null \
   | grep PARSE_ROUTE_RESULT
+
+spark-submit \
+  --master "local[${SPARK_GRAFT_CPUS:-8}]" \
+  --conf spark.sql.shuffle.partitions=16 \
+  --conf spark.ui.enabled=false \
+  --py-files /tmp/beats_spark.zip \
+  jobs/curate_job.py \
+  --input /root/testdata/sf0.001/documents.parquet \
+  --output "${OUT}_curated" 2>/dev/null \
+  | grep CURATE_RESULT
