@@ -399,15 +399,14 @@ def q_ann_ivf(spark, sf_dir):
     merged from r2's separate `ann_ivf` + `ann_ivf_nprobe2` rows to
     free a slot in the driver's ≤50-row correctness window. nprobe=1:
     each query probes only its own cell; nprobe=2: its two nearest
-    cells — recall up at 2/n_centroids of the corpus touched."""
-    embs = _embs(spark, sf_dir)
-    one = ann_ivf_topk(embs, ANN_QUERIES, k=ANN_K).withColumn(
-        "nprobe", F.lit(1)
+    cells — recall up at 2/n_centroids of the corpus touched. One
+    corpus assignment + probe join shared across the widths
+    (similarity.ann_ivf_topk_multi)."""
+    from .operators.similarity import ann_ivf_topk_multi
+
+    return ann_ivf_topk_multi(
+        _embs(spark, sf_dir), ANN_QUERIES, k=ANN_K, nprobes=(1, 2)
     )
-    two = ann_ivf_topk(embs, ANN_QUERIES, k=ANN_K, nprobe=2).withColumn(
-        "nprobe", F.lit(2)
-    )
-    return one.unionByName(two)
 
 
 def q_embedding_neardup(spark, sf_dir):

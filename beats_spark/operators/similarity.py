@@ -307,6 +307,73 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_multi(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2),
+    n_centroids: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k at SEVERAL probe widths from ONE corpus pass (for
+    recall/latency sweeps — and the merged ``ann_ivf`` driver row).
+    A width-``p`` result ranks exactly the rows whose probed cell sat
+    at position ≤ p in the query's centroid ordering, so: probe
+    ``max(nprobes)`` cells WITH their position (posexplode), join the
+    corpus once, then rank the scored set once per width over a
+    ``cell_rank <= p`` filter. Running :func:`ann_ivf_topk` per width
+    would recompute the corpus centroid assignment + probe join per
+    width; here the widths share them, and the per-width work is a
+    window over the (queries × probed cells) scored set — tiny next
+    to the corpus."""
+    max_probe = max(nprobes)
+    cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
+    cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
+    q = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            ivf_probe_cells(F.col(vec_col), cents, max_probe).alias(
+                "q_cells"
+            ),
+        )
+        .select(
+            "q_id", "q_vec", F.posexplode("q_cells").alias("pos", "cell")
+        )
+    )
+    pairs = cells.alias("c").join(F.broadcast(q), on="cell").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        (F.col("pos") + 1).alias("cell_rank"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    ).localCheckpoint()  # one probe join feeds every width's ranking
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    out = None
+    for p in nprobes:
+        ranked = (
+            scored.where(F.col("cell_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "q_id",
+                "neighbor_id",
+                "cos_sim",
+                "rank",
+                F.lit(p).alias("nprobe"),
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out
+
+
 def ann_ivf_topk_sql(
     table: str, query_ids: list[int], k: int = 10,
     n_centroids: int = 8, dim: int = 64,

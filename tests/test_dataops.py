@@ -305,6 +305,39 @@ class TestSimilarity:
         assert out[0]["neighbor_id"] == 4 and out[0]["cos_sim"] == 1.0
 
 
+    def test_ivf_multi_matches_per_width_runs(self, spark):
+        # ann_ivf_topk_multi shares one corpus assignment + probe join
+        # across widths; its per-width slices must equal independent
+        # ann_ivf_topk runs exactly
+        from beats_spark.operators.similarity import (
+            ann_ivf_topk,
+            ann_ivf_topk_multi,
+        )
+
+        dim, n_cent = 8, 4
+        vecs = [
+            (i, [float((i * 13 + j) % 11) - 5.0 for j in range(dim)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        multi = ann_ivf_topk_multi(
+            df, [0, 1], k=3, nprobes=(1, 2), n_centroids=n_cent, dim=dim
+        ).collect()
+        for p in (1, 2):
+            got = sorted(
+                (r["q_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+                for r in multi
+                if r["nprobe"] == p
+            )
+            want = sorted(
+                (r["q_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+                for r in ann_ivf_topk(
+                    df, [0, 1], k=3, nprobe=p, n_centroids=n_cent, dim=dim
+                ).collect()
+            )
+            assert got == want
+
+
 class TestMultimodal:
     def test_extract_features_fake_decoder(self, spark, docs):
         feats = {
