@@ -125,9 +125,16 @@ def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_conditions_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """conditions engine + drop_event short-circuit (§2.3)."""
-    chain = [
+def q_conditions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditions engine (§2.3) under ONE driver row — merged r3 from
+    r2's `conditions_drop` + `range_filter` + `network_route` rows to
+    free driver-window slots (the driver checks ≤50 registrations).
+    Variants: 'drop' = equals/contains/or + drop_event short-circuit;
+    'range' = range condition as a filter (conditions/range.go:29-80);
+    'network' = CIDR containment as a routing predicate
+    (conditions/network.go). Shared schema (variant, key, n_rows,
+    extra) so the union hashes cleanly."""
+    drop_chain = [
         Dissect(tokenizer=LOGFMT_TOKENIZER),
         When(
             condition={
@@ -139,8 +146,67 @@ def q_conditions_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             then=DropEvent(),
         ),
     ]
-    kept = apply_chain(_transcripts(spark, sf_dir), chain)
-    return kept.groupBy("role").agg(F.count("*").alias("n_rows"))
+    kept = apply_chain(_transcripts(spark, sf_dir), drop_chain)
+    drop = kept.groupBy("role").agg(
+        F.count("*").alias("n_rows"),
+        F.max("turn_idx").cast("long").alias("extra"),
+    ).select(
+        F.lit("drop").alias("variant"),
+        F.col("role").alias("key"),
+        "n_rows",
+        "extra",
+    )
+
+    rng_cond = compile_condition({"range": {"turn_idx": {"gte": 2, "lt": 30}}})
+    rng = (
+        _transcripts(spark, sf_dir)
+        .filter(rng_cond)
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("turn_idx").cast("long").alias("extra"),
+        )
+        .select(
+            F.lit("range").alias("variant"),
+            F.col("role").alias("key"),
+            "n_rows",
+            "extra",
+        )
+    )
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ips = ev.select(
+        F.format_string(
+            "%d.%d.%d.%d",
+            F.when(F.pmod("event_id", F.lit(3)) == 0, 10)
+            .when(F.pmod("event_id", F.lit(3)) == 1, 192)
+            .otherwise(8),
+            F.when(F.pmod("event_id", F.lit(3)) == 1, 168).otherwise(
+                F.pmod("user_id", F.lit(256))
+            ),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod(F.col("event_id") * 13, F.lit(256)),
+        ).alias("client_ip")
+    )
+    is_private = compile_condition({"network": {"client_ip": "private"}})
+    net = (
+        ips.withColumn(
+            "sink", F.when(is_private, "internal").otherwise("external")
+        )
+        .groupBy("sink")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("client_ip").alias("extra"),
+        )
+        .select(
+            F.lit("network").alias("variant"),
+            F.col("sink").alias("key"),
+            "n_rows",
+            "extra",
+        )
+    )
+    return drop.unionByName(rng).unionByName(net)
 
 
 def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,17 +784,6 @@ def q_selector_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fmt.unionByName(mapped)
 
 
-def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """range condition (conditions/range.go:29-80) as a filter."""
-    cond = compile_condition({"range": {"turn_idx": {"gte": 2, "lt": 30}}})
-    return (
-        _transcripts(spark, sf_dir)
-        .filter(cond)
-        .groupBy("role")
-        .agg(F.count("*").alias("n_rows"), F.max("turn_idx").alias("max_turn"))
-    )
-
-
 def q_dissect_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dissect append-modifier tokenizer (field.go:175-189) through the
     Arrow pandas-UDF tier: ordinals reorder the captures and the join
@@ -765,32 +820,6 @@ def q_flow_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_network_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """network condition (conditions/network.go): CIDR containment via
-    pure column bit math, used as a routing predicate."""
-    _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ips = ev.select(
-        F.format_string(
-            "%d.%d.%d.%d",
-            F.when(F.pmod("event_id", F.lit(3)) == 0, 10)
-            .when(F.pmod("event_id", F.lit(3)) == 1, 192)
-            .otherwise(8),
-            F.when(F.pmod("event_id", F.lit(3)) == 1, 168).otherwise(
-                F.pmod("user_id", F.lit(256))
-            ),
-            F.pmod("event_id", F.lit(256)),
-            F.pmod(F.col("event_id") * 13, F.lit(256)),
-        ).alias("client_ip")
-    )
-    is_private = compile_condition({"network": {"client_ip": "private"}})
-    routed = ips.withColumn(
-        "sink", F.when(is_private, "internal").otherwise("external")
-    )
-    return routed.groupBy("sink").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("client_ip").alias("n_ips"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -835,7 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ua_geo_enrich": q_ua_geo_enrich,
             "dissect_parse": q_dissect_parse,
             "route_counts": q_route_counts,
-            "conditions_drop": q_conditions_drop,
+            "conditions_suite": q_conditions_suite,
             "enrich_lookup": q_enrich_lookup,
             "selector_variants": q_selector_variants,
             "actions_project": q_actions_project,
@@ -850,10 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bulk_failure_scan": q_bulk_failure_scan,
             "kafka_partitioner": q_kafka_partitioner,
             "field_actions": q_field_actions,
-            "range_filter": q_range_filter,
             "dissect_append": q_dissect_append,
             "flow_hash": q_flow_hash,
-            "network_route": q_network_route,
         }
     )
     try:
@@ -1016,13 +1043,36 @@ SELECT {ROUTES_SQL} AS sink,
        count(DISTINCT conv_id) AS n_convs
 FROM parsed GROUP BY 1
 """,
-        "conditions_drop": f"""
+        "conditions_suite": f"""
 {_TRANSCRIPTS_CTE},
-parsed AS (SELECT *, regexp_extract(text, ' msg="(.*?)"', 1) AS message FROM transcripts)
-SELECT role, count(*) AS n_rows
+parsed AS (SELECT *, regexp_extract(text, ' msg="(.*?)"', 1) AS message FROM transcripts),
+ips AS (
+  SELECT printf('%d.%d.%d.%d',
+                CASE WHEN event_id % 3 = 0 THEN 10
+                     WHEN event_id % 3 = 1 THEN 192 ELSE 8 END,
+                CASE WHEN event_id % 3 = 1 THEN 168
+                     ELSE user_id % 256 END,
+                event_id % 256,
+                (event_id * 13) % 256) AS client_ip,
+         CASE WHEN event_id % 3 IN (0, 1)
+              THEN 'internal' ELSE 'external' END AS sink
+  FROM events
+)
+SELECT 'drop' AS variant, role AS key, count(*) AS n_rows,
+       CAST(max(turn_idx) AS BIGINT) AS extra
 FROM parsed
 WHERE NOT (role = 'system' OR message LIKE '%purchase%')
 GROUP BY role
+UNION ALL
+SELECT 'range' AS variant, role AS key, count(*) AS n_rows,
+       CAST(max(turn_idx) AS BIGINT) AS extra
+FROM transcripts
+WHERE turn_idx >= 2 AND turn_idx < 30
+GROUP BY role
+UNION ALL
+SELECT 'network' AS variant, sink AS key, count(*) AS n_rows,
+       count(DISTINCT client_ip) AS extra
+FROM ips GROUP BY sink
 """,
         "enrich_lookup": f"""
 {_TRANSCRIPTS_CTE},
@@ -1155,13 +1205,6 @@ SELECT role AS actor, tool AS tool_name,
        count(*) * 2 AS sum_tags
 FROM transcripts GROUP BY 1, 2
 """,
-        "range_filter": f"""
-{_TRANSCRIPTS_CTE}
-SELECT role, count(*) AS n_rows, max(turn_idx) AS max_turn
-FROM transcripts
-WHERE turn_idx >= 2 AND turn_idx < 30
-GROUP BY role
-""",
         "dissect_append": f"""
 {_TRANSCRIPTS_CTE}
 SELECT tool || ' ' || role AS pair, count(*) AS n_rows
@@ -1194,23 +1237,6 @@ SELECT '1:' || base64(unhex(md5(
        count(*) AS n_rows,
        min(event_id) AS first_event
 FROM norm GROUP BY 1
-""",
-        "network_route": """
-WITH ips AS (
-  SELECT printf('%d.%d.%d.%d',
-                CASE WHEN event_id % 3 = 0 THEN 10
-                     WHEN event_id % 3 = 1 THEN 192 ELSE 8 END,
-                CASE WHEN event_id % 3 = 1 THEN 168
-                     ELSE user_id % 256 END,
-                event_id % 256,
-                (event_id * 13) % 256) AS client_ip,
-         CASE WHEN event_id % 3 IN (0, 1)
-              THEN 'internal' ELSE 'external' END AS sink
-  FROM events
-)
-SELECT sink, count(*) AS n_rows,
-       count(DISTINCT client_ip) AS n_ips
-FROM ips GROUP BY sink
 """,
     }
     try:

@@ -529,6 +529,25 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(docs)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): add-k bigram
+    LM trained on the deterministic doc_id%5 reference slice, every
+    document scored with cross-entropy + perplexity via two broadcast
+    joins against the vocab-bounded count tables."""
+    from .operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py semdedup): k-means clusters
+    from the trained-IVF machinery, within-cell cosine pairs, drop the
+    pair member closer to its centroid."""
+    from .operators.similarity import semdedup
+
+    return semdedup(_embs(spark, sf_dir), k=8, iters=2, threshold=NEARDUP_T)
+
+
 def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered FIRST in ``__spark_entry__.queries()``: the queries
     that had no driver correctness row in round 2 (registered 51st+ of
@@ -548,6 +567,11 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # new in r3 (slot freed by merging ann_ivf_nprobe2 into
         # ann_ivf): Gopher repetition-removal signals
         "repetition_filter": q_repetition_filter,
+        # new in r3 (slots freed by merging conditions_drop +
+        # range_filter + network_route into conditions_suite):
+        # CCNet-style LM scoring and SemDeDup
+        "lm_perplexity": q_lm_perplexity,
+        "semdedup": q_semdedup,
     }
 
 
@@ -618,6 +642,18 @@ def _quant_oracle() -> str:
     from .operators.similarity import quantization_stats_sql
 
     return quantization_stats_sql("embeddings")
+
+
+def _lm_perplexity_oracle() -> str:
+    from .operators.lm import bigram_lm_sql
+
+    return bigram_lm_sql("documents")
+
+
+def _semdedup_oracle() -> str:
+    from .operators.similarity import semdedup_sql
+
+    return semdedup_sql("embeddings", k=8, iters=2, threshold=NEARDUP_T)
 
 
 _MULTILINE_COMBINE_SQL = """
@@ -783,4 +819,6 @@ SELECT lang, {lang_id_sql('text')} AS pred_lang, count(*) AS n_docs
 FROM documents GROUP BY 1, 2
 """,
         "multimodal_features": multimodal_features_sql("documents"),
+        "lm_perplexity": _lm_perplexity_oracle(),
+        "semdedup": _semdedup_oracle(),
     }

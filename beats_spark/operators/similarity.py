@@ -830,3 +830,139 @@ pairs AS (
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside k-means clusters
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with k-means, compare pairs only WITHIN a cluster, and
+    for every near-duplicate pair (cosine >= threshold) drop the member
+    CLOSER to its centroid — the paper's keep-the-lowest-
+    centroid-similarity rule, which retains the most atypical
+    representative of each duplicate neighborhood.
+
+    Composition: the cluster step is :func:`kmeans_ivf` (deterministic
+    distributed Lloyd — same centroids on both engines), so the whole
+    operator adds only one id-join (to re-attach vectors), one
+    within-cell self-join, and one drop-set aggregation. Determinism:
+    cosine and centroid distance are both rounded to 6 dp BEFORE any
+    comparison; distance ties break on the larger id being dropped.
+
+    100-TB shape: cost is sum(|cell|^2) pair cosines — exactly the
+    published algorithm's cost model; k is chosen proportional to N so
+    cells stay bounded (the paper uses k=50k for 5B embeddings). The
+    corpus shuffles once on id (vector re-attach) and once on cell;
+    nothing is quadratic across cells.
+
+    Returns (id, cell, dist, n_dup_pairs, keep): one row per input
+    vector; ``keep`` is False iff some same-cell vector within the
+    cosine threshold sits strictly farther from the centroid (or
+    equally far with a smaller id).
+
+    No reference-repo counterpart (training-data extension per the
+    brief).
+    """
+    assigned = kmeans_ivf(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    av = assigned.join(df.select(id_col, vec_col), id_col)
+    lhs = av.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        F.col("dist").alias("dist_a"),
+        F.col(vec_col).alias("va"),
+    )
+    rhs = av.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        F.col("dist").alias("dist_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    dup = (
+        lhs.join(rhs, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "dist_a",
+            "dist_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    # the dropped member of a pair: closer to the centroid; equal
+    # (rounded) distances drop the larger id
+    loser = F.when(
+        (F.col("dist_a") < F.col("dist_b"))
+        | ((F.col("dist_a") == F.col("dist_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    drops = (
+        dup.select(loser.alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+    return assigned.join(drops, id_col, "left").select(
+        id_col,
+        "cell",
+        "dist",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("long").alias(
+            "n_dup_pairs"
+        ),
+        F.col("n_dup_pairs").isNull().alias("keep"),
+    )
+
+
+def semdedup_sql(
+    table: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semdedup` — reuses the unrolled k-means
+    generator so both engines derive identical cells and distances."""
+    km = kmeans_ivf_sql(
+        table, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+WITH assigned AS ({km}),
+av AS (
+  SELECT a.{id_col}, a.cell, a.dist, e.{vec_col}
+  FROM assigned a JOIN {table} e USING ({id_col})
+),
+dup AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.dist AS dist_a, b.dist AS dist_b,
+         round(
+           list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos_sim
+  FROM av a JOIN av b ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+),
+losers AS (
+  SELECT CASE WHEN dist_a < dist_b OR (dist_a = dist_b AND id_a > id_b)
+              THEN id_a ELSE id_b END AS vid
+  FROM dup WHERE cos_sim >= {threshold}
+),
+drops AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_dup_pairs
+  FROM losers GROUP BY vid
+)
+SELECT a.{id_col}, a.cell, a.dist,
+       coalesce(d.n_dup_pairs, 0) AS n_dup_pairs,
+       d.vid IS NULL AS keep
+FROM assigned a LEFT JOIN drops d ON a.{id_col} = d.vid
+"""

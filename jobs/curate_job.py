@@ -9,7 +9,8 @@ a 100-TB pretraining corpus takes through this library.
 
 Stage design is FLAGS-THEN-FILTER, not filter-then-filter: every
 gate (exact-dup canonical, near-dup canonical, quality keep,
-repetition keep, decontamination, stratified sample) is computed as
+repetition keep, optional CCNet-style LM-perplexity keep,
+decontamination, stratified sample) is computed as
 a boolean COLUMN over the full corpus, so
 
   * one aggregation pass yields the whole survival funnel (per-gate
@@ -60,6 +61,7 @@ def curate(
     default_rate: float = 0.5,
     token_budget: int = 256,
     neardup_threshold: float = 0.6,
+    max_perplexity: float | None = None,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -114,6 +116,22 @@ def curate(
         .join(repetition_keep, "doc_id", "left")
         .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
     )
+    if max_perplexity is not None:
+        # CCNet-style LM gate (operators/lm.py): keep the low-
+        # perplexity head. A document with no scorable tokens has no
+        # LM row — it carries no trainable content, so it drops here
+        # (the quality gate's min-length rule fires on it anyway).
+        from beats_spark.operators.lm import bigram_lm_scores
+
+        lm = bigram_lm_scores(docs).select(
+            "doc_id",
+            (F.col("perplexity") <= F.lit(max_perplexity)).alias("lm_keep"),
+        )
+        flags = flags.join(lm, "doc_id", "left").withColumn(
+            "lm_keep", F.coalesce("lm_keep", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("lm_keep", F.lit(True))
     if benchmark_path is not None:
         bench = spark.read.parquet(benchmark_path)
         flags = flags.join(
@@ -139,6 +157,7 @@ def curate(
         "neardup_keep",
         "quality_keep",
         "repetition_keep",
+        "lm_keep",
         "decontam_keep",
         "sample_keep",
     ]
@@ -193,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--default-rate", type=float, default=0.5)
     p.add_argument("--budget", type=int, default=256)
     p.add_argument("--neardup-threshold", type=float, default=0.6)
+    p.add_argument(
+        "--max-perplexity",
+        type=float,
+        default=None,
+        help="CCNet-style LM gate: drop documents whose bigram-LM "
+        "perplexity exceeds this (default: gate off)",
+    )
     args = p.parse_args(argv)
 
     from beats_spark.session import build_session
@@ -208,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             default_rate=args.default_rate,
             token_budget=args.budget,
             neardup_threshold=args.neardup_threshold,
+            max_perplexity=args.max_perplexity,
         )
     finally:
         spark.stop()

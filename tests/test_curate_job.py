@@ -34,6 +34,7 @@ class TestCurateJob:
             "neardup_keep",
             "quality_keep",
             "repetition_keep",
+            "lm_keep",
             "decontam_keep",
             "sample_keep",
         ]
@@ -89,6 +90,37 @@ class TestCurateJob:
         f = summary["funnel"]
         # the benchmark docs themselves (and any 4-gram overlap) fail
         assert f["pass_decontam_keep"] < f["total"]
+
+    def test_lm_perplexity_gate(self, spark, tmp_path):
+        from beats_spark.operators.lm import bigram_lm_scores
+
+        out = str(tmp_path / "curated")
+        # pick a cutoff strictly inside the observed perplexity range
+        # so the gate provably fires on some docs and passes others
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ppls = sorted(
+            r["perplexity"] for r in bigram_lm_scores(docs).collect()
+        )
+        cutoff = ppls[len(ppls) // 2]
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            default_rate=1.0,
+            max_perplexity=cutoff,
+        )
+        f = summary["funnel"]
+        expect_pass = sum(1 for p in ppls if p <= cutoff)
+        assert f["pass_lm_keep"] == expect_pass
+        assert 0 < f["pass_lm_keep"] < f["total"]
+
+    def test_lm_gate_off_by_default(self, spark, tmp_path):
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark, f"{SF_DIR}/documents.parquet", out, default_rate=1.0
+        )
+        f = summary["funnel"]
+        assert f["pass_lm_keep"] == f["total"]
 
     def test_parse_rates(self):
         assert _parse_rates("en=1.0, de=0.25") == {"en": 1.0, "de": 0.25}

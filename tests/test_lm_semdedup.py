@@ -1,0 +1,196 @@
+"""Unit tests for LM perplexity scoring (operators/lm.py) and SemDeDup
+(operators/similarity.py semdedup) against pure-Python oracles —
+independent of the DuckDB oracle SQL (tools/check_correctness.py
+exercises that separately).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.lm import LM_SCALE, S_TOKEN, bigram_lm_scores
+from beats_spark.operators.similarity import semdedup
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity
+
+
+LM_DOCS = [
+    (0, "the cat sat on the mat"),     # train (0 % 5 == 0)
+    (1, "the cat sat on the mat"),     # identical to a train doc
+    (2, "the dog sat on the mat"),
+    (3, "zebra quux flurble"),         # every token unseen in training
+    (4, ""),                           # no tokens → no row
+    (5, "The Cat SAT on the mat"),     # train; lowercasing folds w/ doc 0
+    (6, "mat the on sat cat the"),     # same tokens, different bigrams
+    (10, "on on on on"),               # train; repeated-token bigrams
+]
+
+
+def _py_lm(docs, alpha=1.0, train_mod=5):
+    """Pure-Python mirror of the model definition in operators/lm.py."""
+    def toks(t):
+        return [S_TOKEN] + [w for w in t.lower().split() if w]
+
+    c2: dict[tuple[str, str], int] = {}
+    for doc_id, text in docs:
+        if doc_id % train_mod != 0:
+            continue
+        ts = toks(text)
+        for p, c in zip(ts, ts[1:]):
+            c2[(p, c)] = c2.get((p, c), 0) + 1
+    c1: dict[str, int] = {}
+    for (p, _), n in c2.items():
+        c1[p] = c1.get(p, 0) + n
+    v = len({c for (_, c) in c2}) + 1
+
+    out = {}
+    for doc_id, text in docs:
+        ts = toks(text)
+        if len(ts) < 2:
+            continue
+        s = 0
+        for p, c in zip(ts, ts[1:]):
+            logp = math.log2(
+                (c2.get((p, c), 0) + alpha) / (c1.get(p, 0) + alpha * v)
+            )
+            s += math.floor(logp * LM_SCALE + 0.5)
+        n = len(ts) - 1
+        ce = round(-s / (n * LM_SCALE), 6)
+        out[doc_id] = (n, ce, round(2.0 ** ce, 6), doc_id % train_mod == 0)
+    return out, v, c1, c2
+
+
+class TestBigramLM:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        df = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+        return {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+
+    def test_matches_python_oracle(self, scored):
+        expect, _, _, _ = _py_lm(LM_DOCS)
+        assert set(scored) == set(expect)
+        for doc_id, (n, ce, ppl, is_train) in expect.items():
+            r = scored[doc_id]
+            assert r["n_tokens"] == n, doc_id
+            assert r["cross_entropy"] == pytest.approx(ce, abs=2e-6), doc_id
+            assert r["perplexity"] == pytest.approx(ppl, abs=2e-6), doc_id
+            assert r["is_train"] == is_train, doc_id
+
+    def test_empty_doc_emits_no_row(self, scored):
+        assert 4 not in scored
+
+    def test_train_doc_scores_below_identical_unseen_shuffle(self, scored):
+        # doc 1 is verbatim a training doc; doc 6 reorders the same
+        # tokens into unseen bigrams — the LM must prefer doc 1
+        assert scored[1]["cross_entropy"] < scored[6]["cross_entropy"]
+
+    def test_all_unseen_tokens_score_uniform(self, scored):
+        # doc 3: first token unseen under the seen <s> context, the
+        # rest are unseen contexts → P = 1/V for them
+        _, v, c1, _ = _py_lm(LM_DOCS)
+        m1 = math.floor(
+            math.log2(1.0 / (c1[S_TOKEN] + v)) * LM_SCALE + 0.5
+        )
+        mu = math.floor(math.log2(1.0 / v) * LM_SCALE + 0.5)
+        ce = round(-(m1 + 2 * mu) / (3 * LM_SCALE), 6)
+        assert scored[3]["cross_entropy"] == pytest.approx(ce, abs=2e-6)
+
+    def test_scoring_joins_are_broadcast(self, spark):
+        df = spark.createDataFrame(LM_DOCS, "doc_id long, text string")
+        plan = (
+            bigram_lm_scores(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # two count-table joins + the 1-row V cross join, all broadcast;
+        # the corpus is never shuffled by anything except doc_id
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row V join
+        assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(d / (na * nb), 6)
+
+
+class TestSemDeDup:
+    # two tight direction-clusters plus a lone outlier; ids 0 and 1
+    # are the k-means seeds and sit in different clusters
+    VECS = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.5, 0.0, 0.0]),       # colinear with id 0 (cos = 1.0)
+        (4, [0.05, 0.98, 0.0]),
+        (5, [-1.0, -1.0, 4.0]),     # outlier
+    ]
+
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        df = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<float>"
+        )
+        return {
+            r["vec_id"]: r
+            for r in semdedup(df, k=2, iters=2, threshold=0.9).collect()
+        }
+
+    def test_drop_rule_matches_python(self, result):
+        # independent re-check of the pair/drop logic over the cells
+        # and centroid distances Spark assigned (kmeans_ivf itself is
+        # covered by test_dataops/test_plans)
+        vec = {i: v for i, v in self.VECS}
+        expect_drop = set()
+        ids = list(result)
+        for a in ids:
+            for b in ids:
+                if a >= b or result[a]["cell"] != result[b]["cell"]:
+                    continue
+                if _cos(vec[a], vec[b]) < 0.9:
+                    continue
+                da, db = result[a]["dist"], result[b]["dist"]
+                loser = a if (da < db or (da == db and a > b)) else b
+                expect_drop.add(loser)
+        got_drop = {i for i in ids if not result[i]["keep"]}
+        assert got_drop == expect_drop
+        assert expect_drop  # the fixture must actually exercise drops
+
+    def test_every_vector_gets_a_row(self, result):
+        assert set(result) == {i for i, _ in self.VECS}
+
+    def test_farthest_member_never_dropped(self, result):
+        # the drop rule only ever removes a vector when a same-cell
+        # duplicate sits strictly farther from the centroid (or ties
+        # with a smaller id) — so each cell's max-(dist, -id) vector is
+        # unbeatable and must survive. (Both members of a pair CAN be
+        # dropped via transitive chains: here 0 and 3 both lose to 2.)
+        cells = {r["cell"] for r in result.values()}
+        for cell in cells:
+            members = [r for r in result.values() if r["cell"] == cell]
+            vmax = max(members, key=lambda r: (r["dist"], -r["vec_id"]))
+            assert vmax["keep"], cell
+        # and the fixture's colinear trio {0, 2, 3} must have collapsed
+        # to its farthest member
+        assert not result[0]["keep"] and not result[3]["keep"]
+        assert result[2]["keep"]
+
+    def test_impossible_threshold_keeps_all(self, spark):
+        df = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<float>"
+        )
+        rows = semdedup(df, k=2, iters=2, threshold=1.01).collect()
+        assert all(r["keep"] for r in rows)
+        assert all(r["n_dup_pairs"] == 0 for r in rows)
