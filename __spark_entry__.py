@@ -719,21 +719,55 @@ def q_bulk_failure_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kafka_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kafka partition.hash (§2.7, partition.go:216-277): fnv32a over
-    the message key → hash2Partition; per-partition routed counts."""
+def q_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic hash-routing operators under ONE driver row
+    (variant column) — merged r3 from r2's `flow_hash` +
+    `kafka_partitioner` rows to free a driver-window slot.
+    'community_id' = the community_id flow hash
+    (communityid/communityid.go:39,93): direction-normalized, both
+    directions of a flow hash identically; key = the hash, extra =
+    first event id. 'kafka' = kafka partition.hash (§2.7,
+    partition.go:216-277): fnv32a over the message key →
+    hash2Partition; key = the partition, extra = distinct keys."""
+    from beats_spark.operators.actions import CommunityID
     from beats_spark.operators.sinkscan import kafka_partition
 
     _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    flows = ev.select(
+        F.format_string("10.0.%d.%d", F.pmod("event_id", F.lit(64)),
+                        F.pmod("user_id", F.lit(200))).alias("source_ip"),
+        F.format_string("10.1.%d.0", F.pmod("event_id", F.lit(16))).alias("dest_ip"),
+        F.pmod(F.col("event_id") * 7, F.lit(32768)).cast("long").alias("source_port"),
+        F.lit(443).cast("long").alias("dest_port"),
+        F.lit(6).alias("proto"),
+        "event_id",
+    )
+    hashed = apply_chain(flows, [CommunityID(hash_fn="md5")])
+    flow = hashed.groupBy("community_id").agg(
+        F.count("*").alias("n_rows"), F.min("event_id").alias("extra")
+    ).select(
+        F.lit("community_id").alias("variant"),
+        F.col("community_id").alias("key"),
+        "n_rows",
+        "extra",
+    )
+
     key = F.format_string("user-%d", F.col("user_id"))
     parts = ev.select(
         kafka_partition(key, 12).alias("partition"), "user_id"
     )
-    return parts.groupBy("partition").agg(
-        F.count("*").alias("n_msgs"),
-        F.countDistinct("user_id").alias("n_keys"),
+    kafka = parts.groupBy("partition").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("extra"),
+    ).select(
+        F.lit("kafka").alias("variant"),
+        F.col("partition").cast("string").alias("key"),
+        "n_rows",
+        "extra",
     )
+    return flow.unionByName(kafka)
 
 
 def q_field_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,27 +831,6 @@ def q_dissect_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("pair").agg(F.count("*").alias("n_rows"))
 
 
-def q_flow_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """community_id flow hash (communityid/communityid.go:39,93):
-    deterministic, direction-normalized — both directions of a flow
-    hash identically."""
-    from beats_spark.operators.actions import CommunityID
-
-    _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    flows = ev.select(
-        F.format_string("10.0.%d.%d", F.pmod("event_id", F.lit(64)),
-                        F.pmod("user_id", F.lit(200))).alias("source_ip"),
-        F.format_string("10.1.%d.0", F.pmod("event_id", F.lit(16))).alias("dest_ip"),
-        F.pmod(F.col("event_id") * 7, F.lit(32768)).cast("long").alias("source_port"),
-        F.lit(443).cast("long").alias("dest_port"),
-        F.lit(6).alias("proto"),
-        "event_id",
-    )
-    hashed = apply_chain(flows, [CommunityID(hash_fn="md5")])
-    return hashed.groupBy("community_id").agg(
-        F.count("*").alias("n_rows"), F.min("event_id").alias("first_event")
-    )
 
 
 
@@ -877,10 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "include_fields_nested": q_include_fields_nested,
             "syslog_parse": q_syslog_parse,
             "bulk_failure_scan": q_bulk_failure_scan,
-            "kafka_partitioner": q_kafka_partitioner,
+            "hash_routing": q_hash_routing,
             "field_actions": q_field_actions,
             "dissect_append": q_dissect_append,
-            "flow_hash": q_flow_hash,
         }
     )
     try:
@@ -912,15 +924,44 @@ FROM items GROUP BY 1
 """
 
 
-def _kafka_partitioner_oracle() -> str:
+def _hash_routing_oracle() -> str:
     from beats_spark.operators.sinkscan import kafka_partition_sql
 
     part = kafka_partition_sql("printf('user-%d', user_id)", 12)
     return f"""
-SELECT {part} AS partition,
-       count(*) AS n_msgs,
-       count(DISTINCT user_id) AS n_keys
-FROM events GROUP BY 1
+WITH flows AS (
+  SELECT printf('10.0.%d.%d', event_id % 64, user_id % 200) AS s_ip,
+         printf('10.1.%d.0', event_id % 16) AS d_ip,
+         CAST((event_id * 7) % 32768 AS BIGINT) AS s_pt,
+         CAST(443 AS BIGINT) AS d_pt,
+         event_id
+  FROM events
+),
+norm AS (
+  SELECT event_id,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN s_ip ELSE d_ip END AS lo_ip,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN d_ip ELSE s_ip END AS hi_ip,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN s_pt ELSE d_pt END AS lo_pt,
+         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
+              THEN d_pt ELSE s_pt END AS hi_pt
+  FROM flows
+)
+SELECT 'community_id' AS variant,
+       '1:' || base64(unhex(md5(
+         concat_ws(':', 0, lo_ip, hi_ip, lo_pt, hi_pt, 6)
+       ))) AS key,
+       count(*) AS n_rows,
+       min(event_id) AS extra
+FROM norm GROUP BY 2
+UNION ALL
+SELECT 'kafka' AS variant,
+       CAST({part} AS VARCHAR) AS key,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS extra
+FROM events GROUP BY 2
 """
 
 
@@ -1197,7 +1238,7 @@ FROM parsed
 """,
         "syslog_parse": _syslog_parse_oracle(),
         "bulk_failure_scan": _bulk_scan_oracle(),
-        "kafka_partitioner": _kafka_partitioner_oracle(),
+        "hash_routing": _hash_routing_oracle(),
         "field_actions": f"""
 {_TRANSCRIPTS_CTE}
 SELECT role AS actor, tool AS tool_name,
@@ -1209,34 +1250,6 @@ FROM transcripts GROUP BY 1, 2
 {_TRANSCRIPTS_CTE}
 SELECT tool || ' ' || role AS pair, count(*) AS n_rows
 FROM transcripts GROUP BY 1
-""",
-        "flow_hash": """
-WITH flows AS (
-  SELECT printf('10.0.%d.%d', event_id % 64, user_id % 200) AS s_ip,
-         printf('10.1.%d.0', event_id % 16) AS d_ip,
-         CAST((event_id * 7) % 32768 AS BIGINT) AS s_pt,
-         CAST(443 AS BIGINT) AS d_pt,
-         event_id
-  FROM events
-),
-norm AS (
-  SELECT event_id,
-         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
-              THEN s_ip ELSE d_ip END AS lo_ip,
-         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
-              THEN d_ip ELSE s_ip END AS hi_ip,
-         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
-              THEN s_pt ELSE d_pt END AS lo_pt,
-         CASE WHEN s_ip < d_ip OR (s_ip = d_ip AND s_pt <= d_pt)
-              THEN d_pt ELSE s_pt END AS hi_pt
-  FROM flows
-)
-SELECT '1:' || base64(unhex(md5(
-         concat_ws(':', 0, lo_ip, hi_ip, lo_pt, hi_pt, 6)
-       ))) AS community_id,
-       count(*) AS n_rows,
-       min(event_id) AS first_event
-FROM norm GROUP BY 1
 """,
     }
     try:

@@ -548,6 +548,15 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_embs(spark, sf_dir), k=8, iters=2, threshold=NEARDUP_T)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (operators/lm.py dsir_weights):
+    target-vs-raw bigram-LM likelihood ratio per document, with the
+    deterministic threshold analog of the paper's resampling step."""
+    from .operators.lm import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
 def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered FIRST in ``__spark_entry__.queries()``: the queries
     that had no driver correctness row in round 2 (registered 51st+ of
@@ -572,6 +581,9 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # CCNet-style LM scoring and SemDeDup
         "lm_perplexity": q_lm_perplexity,
         "semdedup": q_semdedup,
+        # new in r3 (slot freed by merging flow_hash + kafka_partitioner
+        # into hash_routing): DSIR importance weighting
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -654,6 +666,12 @@ def _semdedup_oracle() -> str:
     from .operators.similarity import semdedup_sql
 
     return semdedup_sql("embeddings", k=8, iters=2, threshold=NEARDUP_T)
+
+
+def _dsir_oracle() -> str:
+    from .operators.lm import dsir_weights_sql
+
+    return dsir_weights_sql("documents")
 
 
 _MULTILINE_COMBINE_SQL = """
@@ -821,4 +839,5 @@ FROM documents GROUP BY 1, 2
         "multimodal_features": multimodal_features_sql("documents"),
         "lm_perplexity": _lm_perplexity_oracle(),
         "semdedup": _semdedup_oracle(),
+        "dsir_weights": _dsir_oracle(),
     }

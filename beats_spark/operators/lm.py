@@ -198,3 +198,171 @@ SELECT doc_id AS {id_col}, n_tokens, cross_entropy,
        doc_id % {train_mod} = 0 AS is_train
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance weights from a target/raw LM ratio
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+    target_mod: int = 7,
+    select_threshold: float = 0.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): fit one LM to a
+    TARGET sample and one to the RAW pool, and weight every document by
+    the likelihood ratio — documents that look more like the target
+    than like the pool get weight > 1 and are preferentially selected.
+
+    Reduction (same discipline as :func:`bigram_lm_scores`): both
+    models are add-k bigram LMs over the shared tokenization; the
+    target sample is the deterministic ``doc_id % target_mod == 0``
+    slice and the raw pool is its complement (the paper uses hashed
+    n-gram bag models — the bigram LM is the same feature family
+    without the hash collisions, and it keeps both engines lock-step).
+    Per-token log ratios are differences of the SAME integer
+    micro-units, so the per-document sum is exact and order-free.
+
+    Selection: the paper resamples with Gumbel noise; the
+    deterministic analog here is a threshold on the per-token log2
+    ratio (geometric-mean likelihood ratio), ``selected =
+    log_weight_per_token >= select_threshold`` — 0.0 keeps documents
+    at least as target-like as pool-like.
+
+    Returns (doc_id, n_tokens, log_weight, log_weight_per_token,
+    weight, is_target, selected); ``weight = 2^log_weight_per_token``
+    (the per-token ratio — the TOTAL ratio 2^log_weight under- and
+    overflows doubles for long documents, so only its log ships).
+
+    100-TB shape: two slice-filtered training passes (both predicates
+    push to the scan) + one corpus scan with four broadcast joins
+    against vocab-bounded count tables + one groupBy on doc_id.
+    """
+    tgt = df.where(F.col(id_col) % target_mod == 0)
+    raw = df.where(F.col(id_col) % target_mod != 0)
+
+    def tables(part: DataFrame, sfx: str):
+        c2 = (
+            _bigrams(part, id_col, text_col)
+            .groupBy("prev", "cur")
+            .agg(F.count("*").alias(f"n2{sfx}"))
+        )
+        c1 = c2.groupBy("prev").agg(F.sum(f"n2{sfx}").alias(f"n1{sfx}"))
+        v = c2.agg(
+            (F.countDistinct("cur") + F.lit(1)).cast("double").alias(f"v{sfx}")
+        )
+        return c2, c1, v
+
+    c2t, c1t, vt = tables(tgt, "_t")
+    c2r, c1r, vr = tables(raw, "_r")
+
+    scored = (
+        _bigrams(df, id_col, text_col)
+        .join(F.broadcast(c2t), ["prev", "cur"], "left")
+        .join(F.broadcast(c1t), ["prev"], "left")
+        .join(F.broadcast(c2r), ["prev", "cur"], "left")
+        .join(F.broadcast(c1r), ["prev"], "left")
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vr))
+    )
+
+    def micro(n2: str, n1: str, v: str) -> Column:
+        logp = F.log2(
+            (F.coalesce(F.col(n2), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col(n1), F.lit(0)) + F.lit(alpha) * F.col(v))
+        )
+        return F.floor(logp * F.lit(float(LM_SCALE)) + F.lit(0.5)).cast("long")
+
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(micro("n2_t", "n1_t", "v_t")).alias("_st"),
+        F.sum(micro("n2_r", "n1_r", "v_r")).alias("_sr"),
+    )
+    diff = (F.col("_st") - F.col("_sr")).cast("double")
+    staged = agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(diff / F.lit(float(LM_SCALE)), 6).alias("log_weight"),
+        F.round(
+            diff / (F.col("n_tokens") * F.lit(float(LM_SCALE))), 6
+        ).alias("log_weight_per_token"),
+    )
+    return staged.select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "log_weight",
+        "log_weight_per_token",
+        F.round(
+            F.pow(F.lit(2.0), F.col("log_weight_per_token")), 6
+        ).alias("weight"),
+        (F.col("doc_id") % target_mod == 0).alias("is_target"),
+        (F.col("log_weight_per_token") >= F.lit(select_threshold)).alias(
+            "selected"
+        ),
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+    target_mod: int = 7,
+    select_threshold: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights`."""
+    toks = WORDS_SQL.format(c=f"lower({text_col})")
+    return f"""
+WITH seqs AS (
+  SELECT {id_col} AS doc_id, ['{S_TOKEN}'] || {toks} AS ts FROM {table}
+),
+bg AS (
+  SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+  FROM seqs, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+c2t AS (
+  SELECT prev, cur, count(*) AS n2_t
+  FROM bg WHERE doc_id % {target_mod} = 0 GROUP BY 1, 2
+),
+c1t AS (SELECT prev, CAST(sum(n2_t) AS BIGINT) AS n1_t FROM c2t GROUP BY 1),
+vt AS (SELECT (count(DISTINCT cur) + 1)::DOUBLE AS v_t FROM c2t),
+c2r AS (
+  SELECT prev, cur, count(*) AS n2_r
+  FROM bg WHERE doc_id % {target_mod} <> 0 GROUP BY 1, 2
+),
+c1r AS (SELECT prev, CAST(sum(n2_r) AS BIGINT) AS n1_r FROM c2r GROUP BY 1),
+vr AS (SELECT (count(DISTINCT cur) + 1)::DOUBLE AS v_r FROM c2r),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(
+           log2((coalesce(n2_t, 0) + {alpha})
+                / (coalesce(n1_t, 0) + {alpha} * vt.v_t))
+           * {LM_SCALE} + 0.5) AS BIGINT) AS m_t,
+         CAST(floor(
+           log2((coalesce(n2_r, 0) + {alpha})
+                / (coalesce(n1_r, 0) + {alpha} * vr.v_r))
+           * {LM_SCALE} + 0.5) AS BIGINT) AS m_r
+  FROM bg LEFT JOIN c2t USING (prev, cur)
+          LEFT JOIN c1t USING (prev)
+          LEFT JOIN c2r USING (prev, cur)
+          LEFT JOIN c1r USING (prev)
+          CROSS JOIN vt CROSS JOIN vr
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(m_t) - sum(m_r) AS BIGINT)
+               / {LM_SCALE}.0, 6) AS log_weight,
+         round(CAST(sum(m_t) - sum(m_r) AS BIGINT)
+               / (count(*) * {LM_SCALE}.0), 6) AS log_weight_per_token
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id AS {id_col}, n_tokens, log_weight, log_weight_per_token,
+       round(pow(2.0, log_weight_per_token), 6) AS weight,
+       doc_id % {target_mod} = 0 AS is_target,
+       log_weight_per_token >= {select_threshold} AS selected
+FROM agg
+"""

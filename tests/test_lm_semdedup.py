@@ -116,6 +116,81 @@ class TestBigramLM:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights
+
+
+class TestDSIR:
+    # target slice (doc_id % 7 == 0) talks about cats; the raw pool
+    # talks about dogs; doc 3 is cat-like, doc 5 dog-like
+    DOCS = [
+        (0, "the cat sat on the mat"),      # target
+        (7, "a cat naps on the mat"),       # target
+        (14, "the cat eats fish"),          # target
+        (1, "the dog barks at the gate"),
+        (2, "a dog digs under the gate"),
+        (4, "the dog chases the ball"),
+        (3, "the cat sat on the mat"),      # scored: target-like
+        (5, "the dog barks at the gate"),   # scored: pool-like
+    ]
+
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        from beats_spark.operators.lm import dsir_weights
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {r["doc_id"]: r for r in dsir_weights(df).collect()}
+
+    def test_matches_python_oracle(self, result):
+        target, _, _, _ = _py_lm(
+            [(i, t) for i, t in self.DOCS], train_mod=7
+        )
+        # raw LM: score every doc against the complement slice — reuse
+        # _py_lm by shifting ids so the complement becomes the %-slice
+        def lm_scores(train_pred):
+            c2, c1 = {}, {}
+            for i, t in self.DOCS:
+                if not train_pred(i):
+                    continue
+                ts = [S_TOKEN] + t.lower().split()
+                for p, c in zip(ts, ts[1:]):
+                    c2[(p, c)] = c2.get((p, c), 0) + 1
+            for (p, _), n in c2.items():
+                c1[p] = c1.get(p, 0) + n
+            v = len({c for (_, c) in c2}) + 1
+            out = {}
+            for i, t in self.DOCS:
+                ts = [S_TOKEN] + t.lower().split()
+                s = 0
+                for p, c in zip(ts, ts[1:]):
+                    lp = math.log2(
+                        (c2.get((p, c), 0) + 1.0) / (c1.get(p, 0) + v)
+                    )
+                    s += math.floor(lp * LM_SCALE + 0.5)
+                out[i] = (s, len(ts) - 1)
+            return out
+
+        st = lm_scores(lambda i: i % 7 == 0)
+        sr = lm_scores(lambda i: i % 7 != 0)
+        for i, _ in self.DOCS:
+            d, n = st[i][0] - sr[i][0], st[i][1]
+            lw = round(d / LM_SCALE, 6)
+            lwpt = round(d / (n * LM_SCALE), 6)
+            r = result[i]
+            assert r["log_weight"] == pytest.approx(lw, abs=2e-6), i
+            assert r["log_weight_per_token"] == pytest.approx(
+                lwpt, abs=2e-6
+            ), i
+            assert r["selected"] == (lwpt >= 0.0), i
+
+    def test_target_like_doc_upweighted(self, result):
+        # doc 3 repeats a target doc verbatim; doc 5 repeats a pool doc
+        assert result[3]["log_weight_per_token"] > 0
+        assert result[5]["log_weight_per_token"] < 0
+        assert result[3]["selected"] and not result[5]["selected"]
+        assert result[3]["weight"] > 1.0 > result[5]["weight"]
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup
 
 
