@@ -221,13 +221,13 @@ def main() -> None:
     probe_gate = float(os.environ.get("BENCH_SCALING_PROBE_GATE", "3.2"))
     probe_hi = float(os.environ.get("BENCH_SCALING_PROBE_HI", "4.6"))
 
-    def probe_ok(x: float) -> bool:
+    def probe_ok(x: float, lo: float | None = None) -> bool:
         """healthy AND steady: below probe_gate = degraded; above
         probe_hi = the 1-proc member was throttled mid-probe, i.e.
         the weather is changing right now."""
-        return probe_gate <= x <= probe_hi
+        return (probe_gate if lo is None else lo) <= x <= probe_hi
 
-    def wait_for_quiet() -> float:
+    def wait_for_quiet(gate_lo: float | None = None) -> float:
         """Host-health gate: measuring during one of this shared
         host's degradation windows yields garbage in a KNOWN
         direction — waiting a bounded time for the window to pass
@@ -250,7 +250,7 @@ def main() -> None:
             # CHANGING, which is exactly when not to measure
             # (observed: probe 7.47 immediately before a pair that
             # collapsed to 0.126)
-            if probe_ok(last_probe[0]):
+            if probe_ok(last_probe[0], lo=gate_lo):
                 break
             time.sleep(15)
         return round(time.monotonic() - t0, 1)
@@ -283,18 +283,41 @@ def main() -> None:
     signal.signal(signal.SIGINT, _emit_and_exit)
 
     # -- throughput on this session's core count (split-tuned session) -----
-    # BENCH_HEADLINE=0 skips (local scaling-iteration runs only)
+    # BENCH_HEADLINE=0 skips (local scaling-iteration runs only).
+    # Unlike the scaling RATIO (both pair members see the same ambient
+    # interval, so mild degradation mostly cancels), the headline is an
+    # ABSOLUTE number — a marginal window directly understates it (r3:
+    # a pre-probe of 3.23, just past the 3.2 gate, recorded 1.45M
+    # turns/s where the healthy number is ~3.0M). So the headline
+    # waits for a COMFORTABLY healthy probe (≥ headline_gate, default
+    # 3.5 vs healthy 3.8-4.1) and retries once more than the scaling
+    # phase would, keeping the fastest run; every probe is recorded.
     if os.environ.get("BENCH_HEADLINE", "1") != "0":
-        wait_for_quiet()
+        headline_gate = float(os.environ.get("BENCH_HEADLINE_GATE", "3.5"))
+        # hard wall-clock budget: the gate-critical SCALING phase runs
+        # after this one, so headline waits + retries must never starve
+        # it (worst case here is bounded; waits give up early once the
+        # budget is spent)
+        h_budget = float(os.environ.get("BENCH_HEADLINE_BUDGET", "900"))
+        t_head0 = time.monotonic()
+        wait_for_quiet(gate_lo=headline_gate)
         one = run_one(CPUS, synth_path)
         out["headline_probe"] = [
             last_probe[0], round(host_parallel_speedup(), 2)
         ]
-        if not probe_ok(out["headline_probe"][1]):
-            # the run straddled a degradation window (post-probe
-            # degraded); one re-gated retry — keep the faster, both
-            # probes recorded
-            wait_for_quiet()
+        retries = int(os.environ.get("BENCH_HEADLINE_RETRIES", "2"))
+        for _ in range(retries):
+            # a run is trusted only if the probes on BOTH sides of it
+            # were comfortably healthy — otherwise it may straddle a
+            # degradation window and understate the rate
+            if probe_ok(out["headline_probe"][-2], lo=headline_gate) and (
+                probe_ok(out["headline_probe"][-1], lo=headline_gate)
+            ):
+                break
+            if time.monotonic() - t_head0 > h_budget:
+                break
+            wait_for_quiet(gate_lo=headline_gate)
+            out["headline_probe"].append(last_probe[0])
             retry = run_one(CPUS, synth_path)
             out["headline_probe"].append(round(host_parallel_speedup(), 2))
             if retry["sec"] < one["sec"]:
