@@ -756,14 +756,20 @@ def embedding_neardup_pairs(
         planes = [hyperplane(dim, i) for i in range(n_planes)]
         df = df.withColumn("_nd_blk", lsh_bucket(F.col(vec_col), planes))
         block_col = "_nd_blk"
+    # norms are per-VECTOR: precompute them once per side (the same
+    # fold the per-pair cosine would run → bit-identical floats) so
+    # each pair evaluates one interpreted array fold (dot), not three
+    df = df.withColumn("_nd_nrm", norm(F.col(vec_col)))
     lhs = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        F.col("_nd_nrm").alias("na"),
         F.col(block_col).alias("blk"),
     )
     rhs = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        F.col("_nd_nrm").alias("nb"),
         F.col(block_col).alias("blk"),
     )
     pairs = lhs.join(rhs, "blk").where(F.col("id_a") < F.col("id_b"))
@@ -771,7 +777,10 @@ def embedding_neardup_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -874,18 +883,31 @@ def semdedup(
     brief).
     """
     assigned = kmeans_ivf(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    av = assigned.join(df.select(id_col, vec_col), id_col)
+    # one row per vector, consumed by BOTH self-join sides and the
+    # final keep-join — materialize once. The norm is precomputed per
+    # VECTOR (the identical fold the per-pair cosine would run, so the
+    # float is bit-identical) — this cuts the per-pair array loops
+    # from 3 (dot + 2 norms) to 1 (dot): higher-order-function
+    # expressions are interpreted per element, and the pair stage is
+    # sum(|cell|^2) of them.
+    av = (
+        assigned.join(df.select(id_col, vec_col), id_col)
+        .withColumn("_nrm", norm(F.col(vec_col)))
+        .localCheckpoint()
+    )
     lhs = av.select(
         F.col(id_col).alias("id_a"),
         F.col("cell"),
         F.col("dist").alias("dist_a"),
         F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
     )
     rhs = av.select(
         F.col(id_col).alias("id_b"),
         F.col("cell"),
         F.col("dist").alias("dist_b"),
         F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
     dup = (
         lhs.join(rhs, "cell")
@@ -895,7 +917,11 @@ def semdedup(
             "id_b",
             "dist_a",
             "dist_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -911,7 +937,7 @@ def semdedup(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_dup_pairs"))
     )
-    return assigned.join(drops, id_col, "left").select(
+    return av.select(id_col, "cell", "dist").join(drops, id_col, "left").select(
         id_col,
         "cell",
         "dist",

@@ -440,8 +440,13 @@ def main() -> None:
         # such a pair is a measurement error, never evidence
         plausible_hi = float(os.environ.get("BENCH_SCALING_PLAUSIBLE", "1.15"))
         # hard wall-clock budget for the whole scaling phase: never be
-        # the reason the harness times the bench out with NO output
-        budget = float(os.environ.get("BENCH_SCALING_BUDGET", "1500"))
+        # the reason the harness times the bench out with NO output.
+        # 2400 s rides out one full multi-minute degradation window
+        # (observed r3: a ~25-min window consumed a 1500 s budget with
+        # 1 discard + 3 timeouts and ZERO valid pairs; the SIGTERM
+        # partial-emit handler protects against outer timeouts, so the
+        # larger budget risks nothing)
+        budget = float(os.environ.get("BENCH_SCALING_BUDGET", "2400"))
         t_scale0 = time.monotonic()
         lo, hi = CORES_LO, CORES_HI
         pairs: list[dict] = []
@@ -452,14 +457,19 @@ def main() -> None:
             return p["efficiency"] <= plausible_hi
 
         def record() -> None:
-            candidates = (
-                [p for p in pairs if plausible(p)] or pairs or discarded
-            )
+            # only a VALID pair may populate the top-level efficiency:
+            # a discarded pair is a probe-confirmed measurement error,
+            # and promoting its number (r3: a 0.436 whose post-probe
+            # read 2.44, deep in the degraded band) would present host
+            # weather as a property of the code. With zero valid pairs
+            # the section still carries every attempt + discard for
+            # the reader, plus an explicit no_valid_pair marker.
+            candidates = [p for p in pairs if plausible(p)] or pairs
             if candidates:
                 best = max(candidates, key=lambda p: p["efficiency"])
                 out["scaling"] = dict(best)
             else:
-                out["scaling"] = {}
+                out["scaling"] = {"no_valid_pair": True}
             out["scaling"]["pairs"] = list(pairs)
             out["scaling"]["n_pairs"] = len(pairs)
             out["scaling"]["attempts"] = list(attempts_log)
@@ -519,11 +529,16 @@ def main() -> None:
         # empirical fallback pair: the criterion is N→4N at ANY N; if
         # 1→4 keeps missing or never completed (every attempt ate a
         # degradation window), 2→8 on the same input is an equally
-        # valid N→4N measurement on this 32-core box
+        # valid N→4N measurement on this 32-core box. When there is NO
+        # valid pair at all, the fallback runs even past the phase
+        # budget — one bounded attempt (≤ 2 run-timeouts + one gate
+        # wait) at a real measurement beats an empty section.
         sane_best = max(
             (p["efficiency"] for p in pairs if plausible(p)), default=0.0
         )
-        if sane_best < 0.8 and time.monotonic() - t_scale0 <= budget:
+        if sane_best < 0.8 and (
+            time.monotonic() - t_scale0 <= budget or not pairs
+        ):
             alt = os.environ.get("BENCH_SCALING_FALLBACK", "2,8")
             if alt:
                 alo, ahi = (int(x) for x in alt.split(","))
