@@ -52,14 +52,26 @@ def brute_force_topk(
     """Exact cosine top-k for each query id. The query side is tiny →
     broadcast; the corpus side streams with no shuffle until the
     per-query top-k aggregation (a windowed rank over q_id)."""
-    q = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    # norms are per-vector: precompute them on each side (identical
+    # fold → bit-identical float) so every pair runs ONE interpreted
+    # array fold (the dot), not three
+    corpus = df.withColumn("_nrm", norm(F.col(vec_col)))
+    q = corpus.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_nrm").alias("q_nrm"),
     )
-    pairs = df.alias("c").join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    pairs = corpus.alias("c").join(
+        F.broadcast(q), F.col(id_col) != F.col("q_id")
+    )
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col))
+            / (F.col("q_nrm") * F.col("_nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -138,10 +150,13 @@ def ann_lsh_topk(
     the oracle reproduces the identical buckets so results still
     match exactly."""
     planes = [hyperplane(dim, i) for i in range(n_planes)]
-    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), planes)
+    ).withColumn("_nrm", norm(F.col(vec_col)))
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("_nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
     pairs = bucketed.alias("c").join(
@@ -151,7 +166,11 @@ def ann_lsh_topk(
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col))
+            / (F.col("q_nrm") * F.col("_nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -271,7 +290,9 @@ def ann_ivf_topk(
     oracle reproduces the identical cells so results still match
     exactly."""
     cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
-    cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
+    cells = df.withColumn(
+        "cell", ivf_assign(F.col(vec_col), cents)
+    ).withColumn("_nrm", norm(F.col(vec_col)))
     # query side scores centroids ONCE (ivf_probe_cells; its element 1
     # equals ivf_assign, so the query's own cell is never recomputed)
     # and EXPLODES its nprobe cells to rows: the probe join is then an
@@ -287,9 +308,10 @@ def ann_ivf_topk(
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_nrm"),
             ivf_probe_cells(F.col(vec_col), cents, nprobe).alias("q_cells"),
         )
-        .select("q_id", "q_vec", F.explode("q_cells").alias("cell"))
+        .select("q_id", "q_vec", "q_nrm", F.explode("q_cells").alias("cell"))
     )
     pairs = cells.alias("c").join(
         F.broadcast(q), on="cell"
@@ -297,7 +319,11 @@ def ann_ivf_topk(
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col))
+            / (F.col("q_nrm") * F.col("_nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -330,18 +356,22 @@ def ann_ivf_topk_multi(
     to the corpus."""
     max_probe = max(nprobes)
     cents = [ivf_centroid(dim, i) for i in range(n_centroids)]
-    cells = df.withColumn("cell", ivf_assign(F.col(vec_col), cents))
+    cells = df.withColumn(
+        "cell", ivf_assign(F.col(vec_col), cents)
+    ).withColumn("_nrm", norm(F.col(vec_col)))
     q = (
         df.where(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_nrm"),
             ivf_probe_cells(F.col(vec_col), cents, max_probe).alias(
                 "q_cells"
             ),
         )
         .select(
-            "q_id", "q_vec", F.posexplode("q_cells").alias("pos", "cell")
+            "q_id", "q_vec", "q_nrm",
+            F.posexplode("q_cells").alias("pos", "cell"),
         )
     )
     pairs = cells.alias("c").join(F.broadcast(q), on="cell").where(
@@ -351,7 +381,11 @@ def ann_ivf_topk_multi(
         "q_id",
         (F.col("pos") + 1).alias("cell_rank"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col(vec_col))
+            / (F.col("q_nrm") * F.col("_nrm")),
+            6,
+        ).alias("cos_sim"),
     ).localCheckpoint()  # one probe join feeds every width's ranking
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
