@@ -205,19 +205,42 @@ def q_decontaminate(spark, sf_dir):
 #: data-mixing rates for the stratified-sample query (keep all rare
 #: languages, downsample the rest)
 SAMPLE_RATES = {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.1}
+#: domain-mix target: src1 over-asks (rate clips to 1.0), src2/src3
+#: get fractional rates, every other source weight 0 (dropped)
+MIX_WEIGHTS = {"src1": 0.6, "src2": 0.3, "src3": 0.1}
+MIX_BUDGET = 4000
 
 
 def q_stratified_sample(spark, sf_dir):
-    """deterministic stratified sampling (operators/sampling.py): the
-    keep-decision is a pure md5 function of doc_id, reproducible
-    across engines, runs, and repartitioning."""
-    from .operators.sampling import stratified_sample
+    """deterministic sampling, BOTH modes under one driver row
+    (variant column, r3): 'fixed' = per-stratum rates given directly
+    (operators/sampling.py stratified_sample); 'mix' = rates COMPUTED
+    from a target token mixture + observed per-source token mass
+    (domain_mix — the Pile/Dolma mixing stage), incl. a clipped
+    stratum and zero-weight drops. Row-level kept sets on both sides:
+    the exact membership is what the oracle hashes. The keep-decision
+    is a pure md5 function of doc_id, reproducible across engines,
+    runs, and repartitioning."""
+    from .operators.sampling import domain_mix, stratified_sample
 
-    return stratified_sample(
-        _docs(spark, sf_dir).select("doc_id", "lang"),
+    docs = _docs(spark, sf_dir)
+    fixed = stratified_sample(
+        docs.select("doc_id", "lang"),
         SAMPLE_RATES,
         default_rate=0.5,
+    ).select(
+        F.lit("fixed").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("stratum"),
     )
+    mix = domain_mix(
+        docs, MIX_WEIGHTS, MIX_BUDGET, strata_col="source"
+    ).select(
+        F.lit("mix").alias("variant"),
+        "doc_id",
+        F.col("source").alias("stratum"),
+    )
+    return fixed.unionByName(mix)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -674,6 +697,24 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql("documents")
 
 
+def _sampling_oracle() -> str:
+    from .operators.sampling import domain_mix_sql
+
+    fixed = stratified_sample_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        SAMPLE_RATES,
+        default_rate=0.5,
+    )
+    mix = domain_mix_sql(
+        "documents", MIX_WEIGHTS, MIX_BUDGET, strata_col="source"
+    )
+    return f"""
+SELECT 'fixed' AS variant, doc_id, lang AS stratum FROM ({fixed})
+UNION ALL
+SELECT 'mix' AS variant, doc_id, source AS stratum FROM ({mix})
+"""
+
+
 _MULTILINE_COMBINE_SQL = """
 WITH lines AS (
   SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text
@@ -784,11 +825,7 @@ FROM sh GROUP BY simhash32 HAVING count(*) > 1
             n=4,
             threshold=1,
         ),
-        "stratified_sample": stratified_sample_sql(
-            "(SELECT doc_id, lang FROM documents)",
-            SAMPLE_RATES,
-            default_rate=0.5,
-        ),
+        "stratified_sample": _sampling_oracle(),
         "pack_sequences": pack_sequences_sql("documents", token_budget=256),
         "dns_enrich": """
 WITH hosts AS (

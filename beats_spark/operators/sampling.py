@@ -95,6 +95,107 @@ WHERE {code} % {SAMPLE_MOD} <
 """
 
 
+def domain_mix_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum sampling rates that hit a target TOKEN mixture
+    (the Pile/Dolma-style mixing stage): stratum ``s`` with target
+    weight ``w_s`` and observed token mass ``n_s`` gets rate
+    ``min(1, w_s·budget / n_s)`` — clipped when the stratum cannot
+    supply its share. Strata absent from ``weights`` get 0 (dropped).
+
+    One map-side-combining aggregation over the corpus produces the
+    strata-bounded count table; everything downstream is arithmetic on
+    that small frame. Deterministic cross-engine: counts are exact
+    longs, and the IEEE multiply/divide on them is identical on both
+    engines (no order-dependent float aggregation anywhere)."""
+    counts = df.groupBy(strata_col).agg(
+        F.sum(token_count_ws(F.col(text_col)).cast("long")).alias("n_tokens")
+    )
+    w = None
+    for stratum, wt in weights.items():
+        cond = F.col(strata_col) == stratum
+        w = (
+            F.when(cond, F.lit(float(wt)))
+            if w is None
+            else w.when(cond, F.lit(float(wt)))
+        )
+    wcol = w.otherwise(F.lit(0.0)) if w is not None else F.lit(0.0)
+    # guard BEFORE least: Spark's least() SKIPS nulls (CLAUDE.md
+    # gotcha), so a 0-token stratum's NULL division would read 1.0
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), wcol * F.lit(float(budget)) / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    return counts.select(strata_col, "n_tokens", rate.alias("rate"))
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministically sample the corpus to a target per-stratum
+    TOKEN mixture: rates from :func:`domain_mix_rates`, keep-decision
+    the same portable hash as :func:`stratified_sample`. Returns the
+    kept (key, stratum) rows. 100-TB shape: one counting aggregation +
+    one broadcast join of the strata-bounded rate table + a map-side
+    filter — the corpus never shuffles."""
+    rates = domain_mix_rates(
+        df, weights, budget, strata_col=strata_col, text_col=text_col
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    keep = F.pmod(
+        word_code(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD)
+    ) < F.floor(F.col("rate") * SAMPLE_MOD).cast("long")
+    return joined.where(keep).select(key_col, strata_col)
+
+
+def domain_mix_sql(
+    table: str,
+    weights: dict[str, float],
+    budget: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`domain_mix`."""
+    from ..functions.textstats import WORDS_SQL, word_code_sql
+
+    toks = WORDS_SQL.format(c=text_col)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {float(w)}"
+        for s, w in weights.items()
+    )
+    code = word_code_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {strata_col},
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+rates AS (
+  SELECT {strata_col},
+         CASE WHEN n_tokens > 0
+              THEN least(1.0, (CASE {whens} ELSE 0.0 END)
+                              * {float(budget)} / n_tokens)
+              ELSE 0.0 END AS rate
+  FROM counts
+)
+SELECT d.{key_col}, d.{strata_col}
+FROM {table} d JOIN rates USING ({strata_col})
+WHERE {code} % {SAMPLE_MOD} <
+      CAST(floor(rate * {SAMPLE_MOD}) AS BIGINT)
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int = 256,

@@ -269,3 +269,80 @@ class TestSemDeDup:
         rows = semdedup(df, k=2, iters=2, threshold=1.01).collect()
         assert all(r["keep"] for r in rows)
         assert all(r["n_dup_pairs"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# domain mixing (operators/sampling.py domain_mix)
+
+
+class TestDomainMix:
+    DOCS = [
+        # src_a: 12 tokens total; src_b: 6; src_c: 4; src_d unlisted
+        (0, "a b c d e f", "src_a"),
+        (1, "g h i j k l", "src_a"),
+        (2, "m n o", "src_b"),
+        (3, "p q r", "src_b"),
+        (4, "s t u v", "src_c"),
+        (5, "", "src_empty"),
+        (6, "w x", "src_d"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, source string"
+        )
+
+    def test_rates_clip_and_zero(self, spark):
+        from beats_spark.operators.sampling import domain_mix_rates
+
+        # budget 12 tokens: src_a asks 0.75*12=9 of 12 -> 0.75;
+        # src_b asks 0.25*12=3 of 6 -> 0.5; src_c asks 2.0*12=24 of 4
+        # -> clipped 1.0; src_d/src_empty unlisted -> 0.0
+        rates = {
+            r["source"]: r["rate"]
+            for r in domain_mix_rates(
+                self._df(spark),
+                {"src_a": 0.75, "src_b": 0.25, "src_c": 2.0},
+                budget=12,
+            ).collect()
+        }
+        assert rates["src_a"] == 0.75
+        assert rates["src_b"] == 0.5
+        assert rates["src_c"] == 1.0  # clipped
+        assert rates["src_d"] == 0.0
+        assert rates["src_empty"] == 0.0  # 0-token guard, not NULL->1.0
+
+    def test_kept_set_matches_hash_rule(self, spark):
+        import hashlib
+        import math
+
+        from beats_spark.operators.sampling import SAMPLE_MOD, domain_mix
+
+        weights = {"src_a": 0.75, "src_b": 0.25, "src_c": 2.0}
+        kept = {
+            r["doc_id"]
+            for r in domain_mix(self._df(spark), weights, budget=12).collect()
+        }
+        rates = {"src_a": 0.75, "src_b": 0.5, "src_c": 1.0}
+        expect = set()
+        for doc_id, _, src in self.DOCS:
+            rate = rates.get(src, 0.0)
+            code = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            if code % SAMPLE_MOD < math.floor(rate * SAMPLE_MOD):
+                expect.add(doc_id)
+        assert kept == expect
+        # clipped stratum keeps everything; zero-weight keeps nothing
+        assert 4 in kept and 6 not in kept
+
+    def test_no_corpus_shuffle(self, spark):
+        from beats_spark.operators.sampling import domain_mix
+
+        plan = (
+            domain_mix(self._df(spark), {"src_a": 1.0}, budget=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # rate table joins broadcast; the corpus side never shuffles
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
