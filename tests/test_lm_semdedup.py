@@ -262,6 +262,22 @@ class TestSemDeDup:
         assert not result[0]["keep"] and not result[3]["keep"]
         assert result[2]["keep"]
 
+    def test_plan_shape(self, spark):
+        # the 100-TB guarantees: within-cell pairing is an EQUI-join on
+        # cell (one shuffle), never a nested-loop/cartesian product;
+        # vector re-attach and the keep-join are id equi-joins
+        df = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<float>"
+        )
+        plan = (
+            semdedup(df, k=2, iters=1, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_impossible_threshold_keeps_all(self, spark):
         df = spark.createDataFrame(
             self.VECS, "vec_id long, embedding array<float>"
