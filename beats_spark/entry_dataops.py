@@ -115,27 +115,39 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def q_dedup_simhash_hamming(spark, sf_dir):
-    """banded simhash ≤k-bit matching (dedup.py
-    simhash_hamming_pairs): 4×8-bit bands generate candidates, full
-    bit_count(xor) verifies hamming ≤ 3."""
+def q_simhash_dedup(spark, sf_dir):
+    """Both simhash dedup modes under ONE driver row (variant column,
+    merged r3 from `dedup_simhash` + `dedup_simhash_hamming` to free a
+    driver-window slot). 'groups' = hamming-0 near-dup groups (docs
+    sharing a fingerprint collapse; a=simhash32, b=n_docs,
+    c=canonical_id); 'hamming' = banded ≤k-bit matching (4×8-bit bands
+    generate candidates, full bit_count(xor) verifies hamming ≤ 3;
+    a=id_a, b=id_b, c=hamming). Shared (variant, a, b, c) schema so
+    the union hashes cleanly."""
     from .operators.dedup import simhash_hamming_pairs
 
-    return simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3)
-
-
-def q_dedup_simhash(spark, sf_dir):
-    """simhash hamming-0 near-dup groups (dedup.py §simhash): docs
-    sharing a fingerprint collapse; emit groups with >1 member."""
     sh = simhash_df(_docs(spark, sf_dir))
-    return (
+    groups = (
         sh.groupBy("simhash32")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("canonical_id"),
         )
         .where(F.col("n_docs") > 1)
+        .select(
+            F.lit("groups").alias("variant"),
+            F.col("simhash32").cast("long").alias("a"),
+            F.col("n_docs").cast("long").alias("b"),
+            F.col("canonical_id").cast("long").alias("c"),
+        )
     )
+    hamming = simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        F.lit("hamming").alias("variant"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("c"),
+    )
+    return groups.unionByName(hamming)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -571,6 +583,43 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_embs(spark, sf_dir), k=8, iters=2, threshold=NEARDUP_T)
 
 
+#: dirt fragments shared verbatim by the Spark query and the DuckDB
+#: oracle (identical unicode codepoints on both sides)
+_DIRT = {
+    "nbsp": chr(0xA0),
+    "zwsp": chr(0x200B),
+    "shy": chr(0xAD),
+    "bell": chr(0x07),
+    "thin": chr(0x2009),
+    "ideo": chr(0x3000),
+}
+
+
+def q_clean_text(spark, sf_dir):
+    """Text normalization / fix-text (operators/clean.py): the synth
+    corpus is ASCII-clean, so — like `pii_redact` — the query renders
+    deterministically dirty lines in-query (NBSP/ZWSP/soft-hyphen/
+    control bytes/CRLF/space runs keyed on event_id % 5) and both
+    engines normalize them with the identical pattern chain."""
+    from .operators.clean import clean_documents
+
+    ev = _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    base = F.format_string(
+        "doc %d %s", F.col("event_id"), F.col("event_type")
+    )
+    d = _DIRT
+    m = F.pmod("event_id", F.lit(5))
+    dirty = (
+        F.when(m == 0, F.concat(base, F.lit(d["nbsp"] + "x" + d["zwsp"] + "y")))
+        .when(m == 1, F.concat(F.lit("a" + d["bell"]), base, F.lit("\r\ntail")))
+        .when(m == 2, F.concat(base, F.lit("   spaced\t\tout   ")))
+        .when(m == 3, F.concat(F.lit("\n\n\n\n"), base, F.lit(d["shy"] + "hyphen")))
+        .otherwise(F.concat(F.lit(d["thin"]), base, F.lit(d["ideo"] + "z")))
+    )
+    docs = ev.select(F.col("event_id").alias("doc_id"), dirty.alias("text"))
+    return clean_documents(docs)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/lm.py dsir_weights):
     target-vs-raw bigram-LM likelihood ratio per document, with the
@@ -607,6 +656,9 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # new in r3 (slot freed by merging flow_hash + kafka_partitioner
         # into hash_routing): DSIR importance weighting
         "dsir_weights": q_dsir_weights,
+        # new in r3 (slot freed by merging dedup_simhash +
+        # dedup_simhash_hamming into simhash_dedup): fix-text
+        "clean_text": q_clean_text,
     }
 
 
@@ -620,8 +672,7 @@ def dataops_queries_rest() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "simhash_dedup": q_simhash_dedup,
         "dedup_components": q_dedup_components,
         "quality_filter": q_quality_filter,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -695,6 +746,34 @@ def _dsir_oracle() -> str:
     from .operators.lm import dsir_weights_sql
 
     return dsir_weights_sql("documents")
+
+
+def _clean_text_oracle() -> str:
+    from .operators.clean import clean_text_sql
+
+    d = _DIRT
+    base = "printf('doc %d %s', event_id, event_type)"
+    cleaned = clean_text_sql("text")
+    nl = chr(10)
+    crlf = chr(13) + chr(10)
+    return f"""
+WITH dirty AS (
+  SELECT event_id AS doc_id,
+         CASE event_id % 5
+           WHEN 0 THEN {base} || '{d["nbsp"]}x{d["zwsp"]}y'
+           WHEN 1 THEN 'a' || chr(7) || {base} || '{crlf}tail'
+           WHEN 2 THEN {base} || '   spaced' || chr(9) || chr(9) || 'out   '
+           WHEN 3 THEN '{nl}{nl}{nl}{nl}' || {base} || '{d["shy"]}hyphen'
+           ELSE '{d["thin"]}' || {base} || '{d["ideo"]}z'
+         END AS text
+  FROM events
+)
+SELECT doc_id,
+       {cleaned} AS cleaned,
+       CAST(length(text) - length({cleaned}) AS BIGINT) AS n_removed,
+       text <> {cleaned} AS changed
+FROM dirty
+"""
 
 
 def _sampling_oracle() -> str:
@@ -803,16 +882,22 @@ UNION ALL
 SELECT 'label' AS variant, * FROM ({embedding_neardup_sql("embeddings", NEARDUP_T)})
 """,
         "dedup_jaccard_prefix": ngram_jaccard_sql("documents", 0.5),
-        "dedup_simhash": f"""
+        "simhash_dedup": f"""
 WITH sh AS (
   SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
 )
-SELECT simhash32, count(*) AS n_docs, min(doc_id) AS canonical_id
+SELECT 'groups' AS variant,
+       CAST(simhash32 AS BIGINT) AS a,
+       count(*) AS b,
+       min(doc_id) AS c
 FROM sh GROUP BY simhash32 HAVING count(*) > 1
+UNION ALL
+SELECT 'hamming' AS variant,
+       CAST(id_a AS BIGINT) AS a,
+       CAST(id_b AS BIGINT) AS b,
+       CAST(hamming AS BIGINT) AS c
+FROM ({simhash_hamming_pairs_sql("documents", max_hamming=3)})
 """,
-        "dedup_simhash_hamming": simhash_hamming_pairs_sql(
-            "documents", max_hamming=3
-        ),
         "dedup_components": connected_components_sql(
             minhash_lsh_pairs_sql("documents", MINHASH_T), "documents"
         ),
@@ -877,4 +962,5 @@ FROM documents GROUP BY 1, 2
         "lm_perplexity": _lm_perplexity_oracle(),
         "semdedup": _semdedup_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "clean_text": _clean_text_oracle(),
     }

@@ -1,0 +1,110 @@
+"""Text normalization for web-scale corpus ingestion ("fix-text").
+
+Every real pretraining pipeline runs a normalization pass before any
+quality/dedup stage (C4 strips control pages, CCNet/ftfy-style fixers
+repair whitespace and invisible characters): crawl text carries
+zero-width joiners, soft hyphens, NBSP variants, stray control bytes,
+and CRLF soup that would otherwise make identical documents hash
+differently and skew token statistics.
+
+This is that pass as a pure Column regexp chain (one codegen stage,
+no Python), with a DuckDB twin built from the SAME pattern strings so
+both engines transform identically:
+
+1. CRLF / lone CR → LF
+2. delete zero-width + soft-hyphen characters and C0/C1 controls
+   (TAB and LF survive — TAB is folded by step 4)
+3. unicode space separators (NBSP, en/em/thin/ideographic…) → ASCII
+   space
+4. runs of spaces/tabs → one space
+5. 3+ newlines → exactly 2 (paragraph break preserved)
+6. trim outer whitespace
+
+Returns the cleaned text plus audit columns (chars removed, changed
+flag) — the funnel-style contract the curation job uses everywhere.
+
+No reference-repo counterpart (training-data extension per the
+brief; the closest beats concept is the line-reader's BOM strip,
+filebeat/input/log/harvester.go:288-290).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: invisible characters deleted outright: soft hyphen, zero-width
+#: space/non-joiner/joiner, BOM/zero-width-no-break
+ZERO_WIDTH = "­​‌‍﻿"
+#: C0 controls minus TAB(09)/LF(0a)/CR(0d handled first), plus DEL
+CONTROLS = (
+    "".join(chr(c) for c in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(c) for c in range(0x0e, 0x20))
+    + "\x7f"
+)
+#: unicode space separators normalized to ASCII space
+UNISPACES = (
+    "          "
+    "     　"
+)
+
+def _cls(chars: str) -> str:
+    """Character class spelled entirely with ``\\x{HH}`` escapes —
+    Java regex and RE2 read them identically, and the pattern string
+    stays printable ASCII (raw control bytes inside a SQL literal are
+    a parse error; a NUL is one in any engine)."""
+    return "[" + "".join(f"\\x{{{ord(c):x}}}" for c in chars) + "]"
+
+
+#: (pattern, replacement) — applied in order; the SQL twin uses the
+#: identical strings, so the engines cannot drift. The last step is
+#: the outer trim as a regex (plain trim() strips only 0x20 on both
+#: engines and would leave leading/trailing newlines behind).
+CLEAN_STEPS: list[tuple[str, str]] = [
+    ("\\x{d}\\x{a}|\\x{d}", "\n"),
+    (_cls(ZERO_WIDTH + CONTROLS), ""),
+    (_cls(UNISPACES), " "),
+    ("[ \\x{9}]+", " "),
+    ("\\x{a}{3,}", "\n\n"),
+    ("^[ \\x{a}]+|[ \\x{a}]+$", ""),
+]
+
+
+def clean_text(c: Column) -> Column:
+    """The normalization chain as one Column expression."""
+    out = c
+    for pat, rep in CLEAN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def clean_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_text` (same pattern strings)."""
+    out = expr
+    for pat, rep in CLEAN_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def clean_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row normalization with audit columns: (id, cleaned,
+    n_removed, changed). Map-side only — one codegen stage, no
+    shuffle, nothing leaves the row."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        clean_text(F.col(text_col)).alias("cleaned"),
+    )
+    return staged.select(
+        id_col,
+        "cleaned",
+        (F.length("_raw") - F.length("cleaned")).cast("long").alias(
+            "n_removed"
+        ),
+        (F.col("_raw") != F.col("cleaned")).alias("changed"),
+    )

@@ -362,3 +362,62 @@ class TestDomainMix:
         # rate table joins broadcast; the corpus side never shuffles
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# text normalization (operators/clean.py)
+
+
+class TestCleanText:
+    CASES = [
+        # (dirty, expected-clean)
+        ("plain text", "plain text"),
+        ("a\r\nb\rc", "a\nb\nc"),                      # CRLF/CR -> LF
+        ("x\x00\x07y\x7fz", "xyz"),                    # controls deleted
+        ("a\u00adb\u200bc\u200cd\u200de\ufeff", "abcde"),  # zero-width
+        ("a\u00a0b\u2009c\u3000d", "a b c d"),         # unispaces
+        ("too    many\t\tspaces", "too many spaces"),  # runs collapse
+        ("p1\n\n\n\n\np2", "p1\n\np2"),                # >=3 LF -> 2
+        ("  \n\n hi \n ", "hi"),                       # outer trim
+        ("", ""),
+    ]
+
+    def test_matches_python_oracle(self, spark):
+        import re
+
+        from beats_spark.operators.clean import CLEAN_STEPS, clean_documents
+
+        def py_clean(s):
+            # Python re lacks \x{..}: rewrite to \uXXXX for the mirror
+            for pat, rep in CLEAN_STEPS:
+                pat = re.sub(
+                    r"\\x\{([0-9a-f]+)\}",
+                    lambda m: "\\u" + m.group(1).zfill(4),
+                    pat,
+                )
+                s = re.sub(pat, rep, s)
+            return s
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in clean_documents(df).collect()}
+        for i, (dirty, want) in enumerate(self.CASES):
+            assert got[i]["cleaned"] == want, (i, dirty)
+            assert got[i]["cleaned"] == py_clean(dirty), (i, dirty)
+            assert got[i]["n_removed"] == len(dirty) - len(want), i
+            assert got[i]["changed"] == (dirty != want), i
+
+    def test_single_stage_no_shuffle(self, spark):
+        from beats_spark.operators.clean import clean_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            clean_documents(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan
