@@ -84,7 +84,14 @@ def curate(
     )
 
     t0 = time.time()
-    docs = spark.read.parquet(input_path)
+    from beats_spark.operators.clean import clean_text
+
+    # -- normalization first (the fix-text pass every real pipeline
+    # runs before quality/dedup: otherwise identical documents with
+    # different invisible bytes hash apart) — map-side, no shuffle
+    docs = spark.read.parquet(input_path).withColumn(
+        "text", clean_text(F.col("text"))
+    )
 
     # -- gate columns over the FULL corpus ------------------------------
     exact_keep = (
