@@ -1143,7 +1143,7 @@ FROM transcripts GROUP BY 1, 2
 {_TRANSCRIPTS_CTE}
 SELECT conv_id, turn_idx,
        substr(text, 1, 40) AS head40,
-       split_part(text, ' ', 1) AS first_tok,
+       list_filter(str_split(text, ' '), t -> t <> '')[1] AS first_tok,
        'beats-spark' AS pipeline_tag
 FROM transcripts
 """,

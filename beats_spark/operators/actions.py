@@ -377,7 +377,14 @@ class DecodeJsonFields(Processor):
 @dataclass
 class ExtractField(Processor):
     """extract_field (actions/extract_field.go:75-95): split by
-    separator, take the Nth token."""
+    separator, take the Nth token COUNTING NON-EMPTY TOKENS ONLY —
+    the reference runs ``deleteEmpty(parts)`` before indexing
+    (extract_field.go:86-87), so a leading/doubled separator does not
+    shift the index. An out-of-range index leaves the event unchanged
+    in the reference (error return, extract_field.go:88-90); the
+    flat-column analog is a NULL target, which is why this uses
+    null-safe ``F.get`` — ``element_at`` would ABORT the whole job
+    under Spark 4 ANSI mode on the first short string."""
 
     field: str
     separator: str
@@ -385,8 +392,9 @@ class ExtractField(Processor):
     target: str
 
     def apply(self, df, guard=None):
-        tok = F.split(F.col(self.field), F.lit(self.separator).cast("string"), -1)
-        new = F.element_at(tok, self.index + 1)
+        parts = F.split(F.col(self.field), F.lit(self.separator).cast("string"), -1)
+        tok = F.filter(parts, lambda p: p != F.lit(""))
+        new = F.get(tok, self.index)
         return df.withColumn(self.target, self._guarded(df, guard, self.target, new))
 
 
