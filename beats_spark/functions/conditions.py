@@ -42,6 +42,13 @@ def _leaf(c: Column) -> Column:
 
 
 def _field(df: DataFrame | None, name: str) -> Column:
+    # A FLAT column whose name contains dots (the flat-key document
+    # model: enrichers emit e.g. `container.name`) wins over the
+    # struct-path reading of the same string — the same precedence
+    # ingest._read_field applies. Without the df check, a condition
+    # on an enricher output resolves `container`.`name` and fails.
+    if df is not None and name in df.columns:
+        return F.col(f"`{name}`")
     # dotted paths address struct fields natively; map overflow columns
     # are addressed as attrs['key']
     return F.col(name)

@@ -32,8 +32,13 @@ _FMT_RE = re.compile(r"%\{(?:((?:\[[^\]]+\])+)(?::([^}]*))?|\+([^}]+))\}")
 _TS_ISO = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
-def compile_fmtstr(fmt: str, ts_col: str = "ts") -> Column:
-    """Compile a format string into a string Column."""
+def compile_fmtstr(fmt: str, ts_col: str = "ts", df=None) -> Column:
+    """Compile a format string into a string Column.
+
+    Pass ``df`` so a ``%{[field]}`` whose dotted name is a FLAT column
+    (enricher outputs like ``container.name``) resolves to that column
+    instead of a struct path — the same precedence the conditions
+    engine and ingest._read_field apply."""
     parts: list[Column] = []
     pos = 0
     for m in _FMT_RE.finditer(fmt):
@@ -47,6 +52,8 @@ def compile_fmtstr(fmt: str, ts_col: str = "ts") -> Column:
             name = field[1:-1].replace("][", ".")
             if name == "@timestamp":
                 col = F.date_format(F.col(ts_col), _TS_ISO)
+            elif df is not None and name in df.columns:
+                col = F.col(f"`{name}`").cast("string")
             else:
                 col = F.col(name).cast("string")
             if default is not None:

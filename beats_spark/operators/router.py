@@ -37,8 +37,20 @@ def with_row_hash(df: DataFrame) -> DataFrame:
     — summed per partition it forms the manifest checksum, and it lets
     the manifest pass re-read only (part_id, sink, row_hash) from the
     written parquet (column pruning) instead of the full payload."""
-    cols = [c for c in df.columns if c not in (ROW_HASH_COL,)]
-    return df.withColumn(ROW_HASH_COL, F.xxhash64(*[F.col(c) for c in cols]))
+    # backticks: payload columns may be flat dotted keys (enricher
+    # outputs like `container.name`) — bare F.col would read them as
+    # struct paths and fail to resolve.  MAP columns (e.g. kv/label
+    # maps) are prohibited inside hash functions (undefined entry
+    # order), so hash their key-sorted entry list instead.
+    exprs = []
+    for f in df.schema.fields:
+        if f.name == ROW_HASH_COL:
+            continue
+        c = F.col(f"`{f.name}`")
+        if f.dataType.typeName() == "map":
+            c = F.array_sort(F.map_entries(c))
+        exprs.append(c)
+    return df.withColumn(ROW_HASH_COL, F.xxhash64(*exprs))
 
 
 def sort_for_fanout(

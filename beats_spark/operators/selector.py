@@ -45,7 +45,7 @@ def compile_rule(rule: Rule, ts_col: str = "ts", df=None) -> Column:
     with or without a mapping table. Pass ``df`` so schema-aware
     condition forms (array-element 'contains') activate in ``when:``
     guards."""
-    expr = compile_fmtstr(rule.value, ts_col=ts_col)
+    expr = compile_fmtstr(rule.value, ts_col=ts_col, df=df)
     if rule.mappings:
         kv = []
         for k, v in rule.mappings.items():
