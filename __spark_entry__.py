@@ -495,11 +495,41 @@ def q_ua_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("event_id", F.lit(5)).cast("int") + 1,
     )
     src = ev.select("event_id", "user_id", ua.alias("ua"), ip.alias("ip"))
+    # docker/process metadata variants (operators/metadata.py): a
+    # synthetic container log path per event round-trips through the
+    # add_docker_metadata source-path extraction (the oracle derives
+    # the cid directly, so the extraction itself is what's tested);
+    # pid 103 and cid c*64 are deliberate dim misses.
+    from beats_spark.operators.metadata import AddDockerMetadata, AddProcessMetadata
+
+    cids = ["a" * 64, "b" * 64, "c" * 64]
+    src = src.withColumn(
+        "log.file.path",
+        F.concat(
+            F.lit("/var/lib/docker/containers/"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in cids]),
+                F.pmod("event_id", F.lit(3)).cast("int") + 1,
+            ),
+            F.lit("/x-json.log"),
+        ),
+    ).withColumn("process.pid", F.pmod("event_id", F.lit(4)) + F.lit(100))
+    docker_dim = spark.createDataFrame(
+        [(cids[0], "web-1", "nginx:1.25", {}), (cids[1], "db-1", "postgres:16", {})],
+        "id string, name string, image string, labels map<string,string>",
+    )
+    proc_dim = spark.createDataFrame(
+        [(100, "nginx"), (101, "python"), (102, "bash")], "pid long, name string"
+    )
     out = UserAgentEnrich(
         dim=dim_user_agents(spark), field="ua", target_prefix="user_agent"
     ).apply(src)
     out = GeoIPEnrich(
         dim=dim_geoip(spark), field="ip", target_prefix="source.geo"
+    ).apply(out)
+    out = AddDockerMetadata(dim=docker_dim).apply(out)
+    out = AddProcessMetadata(
+        dim=proc_dim, match_pids=["process.pid"], include_fields=["name"]
     ).apply(out)
     return out.groupBy(
         F.col("`user_agent.name`").alias("ua_name"),
@@ -509,6 +539,9 @@ def q_ua_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("`container.name`") == "web-1", 1)).alias("n_docker_web"),
+        F.count(F.col("`container.id`")).alias("n_docker_hit"),
+        F.count(F.col("`process.name`")).alias("n_proc_hit"),
     )
 
 
@@ -1000,11 +1033,16 @@ def _ua_geo_oracle() -> str:
     )
     ua_list = ", ".join(f"'{r[0]}'" for r in UA_DIM_ROWS)
     ip_long = IP_TO_LONG_SQL.format(c="s.ip")
+    cid_a, cid_b, cid_c = "a" * 64, "b" * 64, "c" * 64
     return f"""
 WITH ua_dim(ua, name, os, device) AS (VALUES
     {ua_values}),
 geo_dim(cidr, country, city) AS (VALUES
     {geo_values}),
+docker_dim(cid, cname) AS (VALUES
+    ('{cid_a}', 'web-1'), ('{cid_b}', 'db-1')),
+proc_dim(pid, pname) AS (VALUES
+    (100, 'nginx'), (101, 'python'), (102, 'bash')),
 geo2 AS (
   SELECT CAST(split_part(cidr, '/', 2) AS BIGINT) AS plen,
          {IP_TO_LONG_SQL.format(c="split_part(cidr, '/', 1)")} AS net,
@@ -1021,7 +1059,9 @@ src AS (
             WHEN 2 THEN printf('192.168.%d.%d', event_id % 256,
                                (event_id * 7) % 256)
             WHEN 3 THEN printf('203.0.113.%d', event_id % 256)
-            ELSE '1.2.3.4' END) AS ip
+            ELSE '1.2.3.4' END) AS ip,
+         (['{cid_a}', '{cid_b}', '{cid_c}'])[event_id % 3 + 1] AS cid,
+         event_id % 4 + 100 AS pid
   FROM events
 ),
 matched AS (
@@ -1034,10 +1074,15 @@ matched AS (
 best AS (SELECT event_id, country, city FROM matched WHERE rn = 1)
 SELECT u.name AS ua_name, u.device AS ua_device,
        b.country AS geo_country, b.city AS geo_city,
-       count(*) AS n_rows, count(DISTINCT s.user_id) AS n_users
+       count(*) AS n_rows, count(DISTINCT s.user_id) AS n_users,
+       count(CASE WHEN d.cname = 'web-1' THEN 1 END) AS n_docker_web,
+       count(d.cid) AS n_docker_hit,
+       count(p.pname) AS n_proc_hit
 FROM src s
 LEFT JOIN ua_dim u ON s.ua = u.ua
 LEFT JOIN best b ON s.event_id = b.event_id
+LEFT JOIN docker_dim d ON s.cid = d.cid
+LEFT JOIN proc_dim p ON s.pid = p.pid
 GROUP BY 1, 2, 3, 4
 """
 
