@@ -33,6 +33,18 @@ from ..functions.dissect import (
 from ..schema import FLAGS_FIELD
 
 
+def _fcol(df: DataFrame, name: str) -> Column:
+    """Flat-column-first field reference: a FLAT column whose name
+    contains dots (the flat-key document model — enricher outputs like
+    ``container.name``, ECS fields like ``source.ip``) wins over the
+    struct-path reading of the same string; names not present as flat
+    columns keep native struct-path addressing. Same precedence as
+    conditions._field and ingest._read_field."""
+    if name in df.columns:
+        return F.col(f"`{name}`")
+    return F.col(name)
+
+
 class Processor:
     """Base: one pipeline step. apply() must be side-effect free."""
 
@@ -42,7 +54,7 @@ class Processor:
     def _guarded(self, df: DataFrame, guard: Column | None, col: str, new: Column) -> Column:
         if guard is None:
             return new
-        old = F.col(col) if col in df.columns else F.lit(None)
+        old = F.col(f"`{col}`") if col in df.columns else F.lit(None)
         return F.when(guard, new).otherwise(old)
 
 
@@ -125,8 +137,8 @@ class CommunityID(Processor):
     hash_fn: str = "sha1"
 
     def apply(self, df, guard=None):
-        s_ip, d_ip = F.col(self.src_ip).cast("string"), F.col(self.dst_ip).cast("string")
-        s_pt, d_pt = F.col(self.src_port).cast("long"), F.col(self.dst_port).cast("long")
+        s_ip, d_ip = _fcol(df, self.src_ip).cast("string"), _fcol(df, self.dst_ip).cast("string")
+        s_pt, d_pt = _fcol(df, self.src_port).cast("long"), _fcol(df, self.dst_port).cast("long")
         # normalize flow direction: order endpoints so both directions
         # of a flow hash identically (communityid.go flow ordering)
         fwd = (s_ip < d_ip) | ((s_ip == d_ip) & (s_pt <= d_pt))
@@ -135,7 +147,7 @@ class CommunityID(Processor):
         hi_pt = F.when(fwd, d_pt).otherwise(s_pt)
         canon = F.concat_ws(
             ":", F.lit(self.seed), lo_ip, hi_ip, lo_pt, hi_pt,
-            F.col(self.proto).cast("string"),
+            _fcol(df, self.proto).cast("string"),
         )
         digest = F.sha1(canon) if self.hash_fn == "sha1" else F.md5(canon)
         cid = F.concat(F.lit("1:"), F.base64(F.unhex(digest)))
@@ -174,7 +186,7 @@ class CopyFields(Processor):
     def apply(self, df, guard=None):
         for spec in self.fields:
             src, dst = spec["from"], spec["to"]
-            df = df.withColumn(dst, self._guarded(df, guard, dst, F.col(src)))
+            df = df.withColumn(dst, self._guarded(df, guard, dst, _fcol(df, src)))
         return df
 
 
@@ -287,12 +299,12 @@ class TruncateFields(Processor):
         # "was anything longer than the limit" bit BEFORE overwriting
         changed = F.lit(False)
         for f in self.fields:
-            changed = changed | (F.length(F.col(f)) > self.max_characters)
+            changed = changed | (F.length(_fcol(df, f)) > self.max_characters)
         tmp = "_trunc_changed"
         df = df.withColumn(tmp, changed)
         changed = F.col(tmp)
         for f in self.fields:
-            new = F.substring(F.col(f), 1, self.max_characters)
+            new = F.substring(_fcol(df, f), 1, self.max_characters)
             df = df.withColumn(f, self._guarded(df, guard, f, new))
         if self.tag_truncated:
             base = (
@@ -342,19 +354,19 @@ class DecodeJsonFields(Processor):
                 # the error expression reads the source column lazily;
                 # overwriting it in place would poison that read
                 raise ValueError("decode_json_fields: target == source")
-            new = F.from_json(F.col(f), self.schema)
+            new = F.from_json(_fcol(df, f), self.schema)
             # from_json returns NULL for a failed MAP parse but an
             # all-NULL STRUCT for a failed struct parse — probe raw
             # JSON validity too so both schema kinds tag failures.
             # The literal document `null` is LEGAL JSON that decodes to
             # NULL — both probes yield NULL for it, so exempt it
             # explicitly rather than tagging a valid document.
-            probe = F.get_json_object(F.col(f), "$")
+            probe = F.get_json_object(_fcol(df, f), "$")
             # rlike, not trim(): trim strips only spaces, but JSON
             # whitespace includes tab/newline/CR
-            is_null_doc = F.col(f).rlike(r"^[ \t\r\n]*null[ \t\r\n]*$")
+            is_null_doc = _fcol(df, f).rlike(r"^[ \t\r\n]*null[ \t\r\n]*$")
             failed = failed | (
-                F.col(f).isNotNull()
+                _fcol(df, f).isNotNull()
                 & ~is_null_doc
                 & (new.isNull() | probe.isNull())
             )
@@ -392,7 +404,7 @@ class ExtractField(Processor):
     target: str
 
     def apply(self, df, guard=None):
-        parts = F.split(F.col(self.field), F.lit(self.separator).cast("string"), -1)
+        parts = F.split(_fcol(df, self.field), F.lit(self.separator).cast("string"), -1)
         tok = F.filter(parts, lambda p: p != F.lit(""))
         new = F.get(tok, self.index)
         return df.withColumn(self.target, self._guarded(df, guard, self.target, new))
@@ -423,7 +435,7 @@ class Dissect(Processor):
         clash = [self._out(k) for k in d.output_keys if self._out(k) in df.columns]
         if clash:
             raise ValueError(f"dissect would overwrite existing columns: {clash}")
-        src = F.col(self.field)
+        src = _fcol(df, self.field)
         tmp = None
         tmp_cols: list[str] = []
         if d.lowerable():
