@@ -29,6 +29,7 @@ from .functions.textstats import (
 )
 from .operators.dedup import (
     connected_components_sql,
+    duplicated_spans_sql,
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
@@ -66,6 +67,8 @@ from .operators.similarity import (
 JACCARD_T = 0.2      # synthetic docs share vocabulary, not phrases —
 MINHASH_T = 0.2      # low thresholds keep result sets non-trivial
 NEARDUP_T = 0.3  # synthetic embeddings are near-orthogonal; within-label max cos ≈ 0.47
+SPAN_N = 5       # duplicated-span window (tokens); small so the synthetic
+                 # corpus' shared phrases actually collide (paper uses 50)
 ANN_QUERIES = [0, 1, 2, 3, 4]
 ANN_K = 10
 
@@ -93,7 +96,31 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup_groups(_docs(spark, sf_dir))
+    """Exact-dedup family under ONE driver row (variant column, merged
+    r3 to stay inside the 50-row driver window): 'doc' = whole-document
+    hash-groupBy dedup (id=canonical_id, m1=n_copies); 'span' = exact
+    duplicated-span detection, the Lee et al. 2022 substring-dedup
+    modality as a fixed n-token-window restatement
+    (operators/dedup.py duplicated_spans: id=doc_id, m1=n_spans,
+    m2=n_dup_spans, frac=dup_span_frac)."""
+    from .operators.dedup import duplicated_spans
+
+    docs = _docs(spark, sf_dir)
+    d = exact_dedup_groups(docs).select(
+        F.lit("doc").alias("variant"),
+        F.col("canonical_id").alias("id"),
+        F.col("n_copies").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    s = duplicated_spans(docs, n=SPAN_N, min_df=2).select(
+        F.lit("span").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("n_spans").alias("m1"),
+        F.col("n_dup_spans").alias("m2"),
+        F.col("dup_span_frac").alias("frac"),
+    )
+    return d.unionByName(s)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -859,9 +886,17 @@ FROM walk GROUP BY conv_id, eid
 def dataops_oracles() -> dict[str, str]:
     return {
         "dedup_exact": f"""
-SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-FROM documents
-GROUP BY {NORM_SQL.format(c='text')}
+SELECT 'doc' AS variant, canonical_id AS id, n_copies AS m1,
+       CAST(NULL AS BIGINT) AS m2, CAST(NULL AS DOUBLE) AS frac
+FROM (
+  SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM documents
+  GROUP BY {NORM_SQL.format(c='text')}
+)
+UNION ALL
+SELECT 'span' AS variant, doc_id AS id, n_spans AS m1,
+       n_dup_spans AS m2, dup_span_frac AS frac
+FROM ({duplicated_spans_sql("documents", n=SPAN_N, min_df=2)})
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),

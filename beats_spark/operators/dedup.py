@@ -65,6 +65,120 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup modality
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": exact duplicate ≥50-token substrings across the
+    corpus; ``n`` is the span length in whitespace tokens, small here
+    for the synthetic corpus).  The suffix-array formulation is
+    replaced by the shuffle-friendly fixed-window restatement: every
+    n-token window of the normalized text is a span; a span appearing
+    in ≥ ``min_df`` documents (per-document distinct) is duplicated.
+
+    Per document, returns ``(doc_id, n_spans, n_dup_spans,
+    dup_span_frac)`` — the removal policy (cut the spans, drop the
+    doc, or threshold on the fraction) is the caller's, as in the
+    paper's pipeline.  Documents shorter than ``n`` tokens carry no
+    span and produce no row.
+
+    100-TB shape: Σ(len-n+1) exploded span rows, one shuffle on the
+    span for the document-frequency count, one join back on the same
+    key, one groupBy on the doc id.  At real scale group on
+    ``xxhash64(span)`` first so the shuffle key is fixed-width (the
+    same refinement :func:`exact_dedup_groups` documents); SF is
+    small here so the span text itself is the key, which keeps the
+    DuckDB twin byte-identical.  The span table feeds both the
+    frequency count and the join-back — materialized once
+    (expression-reuse gotcha), disable with ``materialize=False`` on
+    storage-constrained clusters.
+
+    No reference-repo counterpart (training-data extension per the
+    brief)."""
+    toks = df.select(
+        F.col(id_col), words(norm_text(F.col(text_col))).alias("_w")
+    )
+    # the window guard lives INSIDE the expression (when/otherwise,
+    # like shingles()) — a row filter on size("_w") can be evaluated
+    # after projection collapse in a join branch, letting sequence()
+    # run descending into negatives and slice() see start 0
+    spans = (
+        toks.select(
+            id_col,
+            F.when(
+                F.size("_w") >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - n),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_spans"),
+        ).select(id_col, F.explode("_spans").alias("span"))
+    )
+    if materialize:
+        spans = spans.localCheckpoint()
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("span", F.lit(1).alias("_dup"))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
+def duplicated_spans_sql(table: str, n: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (MATERIALIZED CTEs —
+    an inlined span list would re-run regexp_split per element)."""
+    w = WORDS_SQL.format(c=NORM_SQL.format(c="text"))
+    return f"""
+WITH dsp_toks AS MATERIALIZED (
+  SELECT doc_id, {w} AS w FROM {table}
+),
+dsp_spans AS MATERIALIZED (
+  SELECT t.doc_id, u.span
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, len(w) - {n} + 1),
+                         i -> array_to_string(w[i+1:i+{n}], ' '))) AS sp
+    FROM dsp_toks WHERE len(w) >= {n}
+  ) t, UNNEST(t.sp) AS u(span)
+),
+dsp_dup AS (
+  SELECT span FROM dsp_spans GROUP BY span HAVING count(*) >= {min_df}
+)
+SELECT s.doc_id,
+       count(*) AS n_spans,
+       count(d.span) AS n_dup_spans,
+       round(count(d.span) * 1.0 / count(*), 6) AS dup_span_frac
+FROM dsp_spans s LEFT JOIN dsp_dup d ON s.span = d.span
+GROUP BY s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # shingles
 

@@ -127,6 +127,46 @@ class TestDedup:
         assert by_canon[1] == 1
         assert len(groups) == 4
 
+    def test_duplicated_spans(self, spark):
+        from beats_spark.operators.dedup import duplicated_spans
+
+        # docs 0 and 1 share the 3-token span "b c d"; doc 2 shares
+        # nothing; doc 3 is shorter than the window (no row)
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d e"),
+                (1, "x b c d y"),
+                (2, "p q r s t"),
+                (3, "u v"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in duplicated_spans(df, n=3, min_df=2, materialize=False).collect()
+        }
+        assert set(rows) == {0, 1, 2}  # doc 3 too short → absent
+        assert rows[0]["n_spans"] == 3  # "a b c","b c d","c d e"
+        assert rows[0]["n_dup_spans"] == 1 and rows[1]["n_dup_spans"] == 1
+        assert rows[2]["n_dup_spans"] == 0
+        assert rows[0]["dup_span_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_duplicated_spans_within_doc_repeat_counts_once(self, spark):
+        from beats_spark.operators.dedup import duplicated_spans
+
+        # "a b c" occurs twice inside doc 0 — per-document DISTINCT, so
+        # it is not duplicated unless another document carries it too
+        df = spark.createDataFrame(
+            [(0, "a b c a b c"), (1, "z z z z")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in duplicated_spans(df, n=3, min_df=2, materialize=False).collect()
+        }
+        assert rows[0]["n_dup_spans"] == 0
+        assert rows[1]["n_spans"] == 1  # distinct spans of "z z z z"
+
     def test_ngram_jaccard_pairs(self, spark, docs):
         pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
         found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
