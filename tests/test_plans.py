@@ -261,3 +261,23 @@ class TestSourceReaderPlans:
         assert "Exchange" not in plan
         assert "Generate" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDuplicatedSpansPlan:
+    def test_three_exchanges_equi_join_only(self, spark):
+        from beats_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} a b c d e f g h") for i in range(200)],
+            "doc_id long, text string",
+        )
+        plan = _plan(duplicated_spans(df, n=3, min_df=2, materialize=False))
+        # span-keyed lhs exchange + dup-count exchange (the span agg's
+        # partial combine rides the same key) + final doc_id groupBy —
+        # and the frequency join must stay an equi-join on the span
+        # (at 100 TB both sides are big: sort-merge is the right call,
+        # broadcast/nested-loop would be wrong either way)
+        assert plan.count("Exchange hashpartitioning") == 3
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
