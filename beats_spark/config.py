@@ -41,6 +41,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Sequence
 
 from .operators import actions as A
+from .operators import metadata as _Meta
 from .operators.enrich import DnsEnrich
 from .operators.ingest import IngestProcessor
 from .operators.selector import Rule
@@ -70,6 +71,11 @@ _PROCESSORS: dict[str, type] = {
     "truncate_fields": A.TruncateFields,
     "dns": DnsEnrich,
     "ingest_pipeline": IngestProcessor,
+    # metadata enrichers: config carries the inventory rows inline
+    # (containers:/pods:/processes:), materialized as broadcast dims
+    "add_docker_metadata": _Meta.AddDockerMetadata,
+    "add_kubernetes_metadata": _Meta.AddKubernetesMetadata,
+    "add_process_metadata": _Meta.AddProcessMetadata,
 }
 
 

@@ -38,6 +38,47 @@ from .actions import Processor
 #: container.id is a 64-char hex string (matchers.go:74)
 _CID_LEN = 64
 
+#: inline-dim row schemas (config-surface support: the reference's
+#: processors are config-declared; a YAML pipeline can carry the
+#: inventory rows inline instead of handing a DataFrame)
+_DOCKER_DIM_SCHEMA = "id string, name string, image string, labels map<string,string>"
+_DOCKER_DIM_FIELDS = ("id", "name", "image", "labels")
+_PROCESS_DIM_SCHEMA = (
+    "pid long, name string, title string, executable string, "
+    "args array<string>, ppid long, start_time string"
+)
+_PROCESS_DIM_FIELDS = ("pid", "name", "title", "executable", "args", "ppid", "start_time")
+
+
+def _resolve_dim(
+    dim,
+    df: DataFrame,
+    schema: tuple[str, Sequence[str]] | None,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Accept a DataFrame dim directly, or a list of row mappings
+    (the config surface) materialized against the fact df's session."""
+    if isinstance(dim, DataFrame):
+        return dim
+    if dim is None:
+        raise ValueError("metadata enrich needs a dim DataFrame or inline inventory rows")
+    rows = list(dim)
+    if not rows:
+        raise ValueError("metadata dim: empty inventory")
+    spark = df.sparkSession
+    if schema is not None:
+        ddl, fields = schema
+        data = [tuple(r.get(f) for f in fields) for r in rows]
+        return spark.createDataFrame(data, ddl)
+    # uniform string metadata (k8s): key column + whatever flat dotted
+    # metadata names the rows carry
+    cols = list(rows[0].keys())
+    for k in keys:
+        if k not in cols:
+            raise ValueError(f"metadata dim rows need a {k!r} field")
+    data = [tuple(str(r[c]) if r.get(c) is not None else None for c in cols) for r in rows]
+    return spark.createDataFrame(data, ", ".join(f"`{c}` string" for c in cols))
+
 
 def _first_present(df: DataFrame, fields: Sequence[str]) -> Column:
     """The reference's field-resolution loop (GetValue err → continue,
@@ -79,7 +120,7 @@ class AddDockerMetadata(Processor):
     miss leaves all four NULL (the reference leaves the event
     untouched on a cache miss, add_docker_metadata.go:190-192)."""
 
-    dim: DataFrame
+    dim: DataFrame | Sequence | None = None
     source_col: str = "log.file.path"
     source_index: int = 4
     match_fields: Sequence[str] = ()
@@ -87,10 +128,19 @@ class AddDockerMetadata(Processor):
     pid_dim: DataFrame | None = None
     match_short_id: bool = False
     dedot: bool = True
+    #: config-surface alternative to ``dim``: inline inventory rows
+    #: ({id, name, image, labels?}), materialized at apply time
+    containers: Sequence | None = None
 
     def apply(self, df, guard=None):
         if guard is not None:
             raise NotImplementedError("enrich under a when: guard is not supported")
+        dim = _resolve_dim(
+            self.dim if self.dim is not None else self.containers,
+            df,
+            (_DOCKER_DIM_SCHEMA, _DOCKER_DIM_FIELDS),
+            ("id",),
+        )
         tiers: list[Column] = []
         if self.source_col in df.columns:
             parts = F.split(F.col(f"`{self.source_col}`"), "/", -1)
@@ -113,7 +163,7 @@ class AddDockerMetadata(Processor):
         if "_adm_pid_cid" in df.columns:
             df = df.drop("_adm_pid_cid")
 
-        meta = self.dim.select(
+        meta = dim.select(
             F.col("id").alias("_adm_key"),
             F.col("id").alias("container.id"),
             F.col("name").alias("container.name"),
@@ -158,10 +208,13 @@ class AddKubernetesMetadata(Processor):
     Too-short paths and non-matching paths yield no index → row left
     unenriched."""
 
-    dim: DataFrame
+    dim: DataFrame | Sequence | None = None
     logs_path: str = "/var/lib/docker/containers/"
     resource_type: str = "container"
     source_col: str = "log.file.path"
+    #: config-surface alternative to ``dim``: inline rows carrying
+    #: ``key`` plus flat ``kubernetes.*`` metadata strings
+    pods: Sequence | None = None
 
     def _index_expr(self, src: Column) -> Column:
         lp = self.logs_path if self.logs_path.endswith("/") else self.logs_path + "/"
@@ -185,8 +238,11 @@ class AddKubernetesMetadata(Processor):
             raise NotImplementedError("enrich under a when: guard is not supported")
         if self.source_col not in df.columns:
             return df
+        dim = _resolve_dim(
+            self.dim if self.dim is not None else self.pods, df, None, ("key",)
+        )
         df = df.withColumn("_akm_key", self._index_expr(F.col(f"`{self.source_col}`")))
-        meta = self.dim.withColumnRenamed("key", "_akm_dim_key")
+        meta = dim.withColumnRenamed("key", "_akm_dim_key")
         return df.join(
             F.broadcast(meta), df["_akm_key"] == meta["_akm_dim_key"], "left"
         ).drop("_akm_key", "_akm_dim_key")
@@ -214,11 +270,14 @@ class AddProcessMetadata(Processor):
     a target column already exists — the reference errors per event
     (add_process_metadata.go:164-167)."""
 
-    dim: DataFrame
-    match_pids: Sequence[str]
+    dim: DataFrame | Sequence | None = None
+    match_pids: Sequence[str] = ()
     target: str = "process"
     include_fields: Sequence[str] | None = None
     overwrite_keys: bool = False
+    #: config-surface alternative to ``dim``: inline process rows
+    #: ({pid, name, title, executable, args, ppid, start_time})
+    processes: Sequence | None = None
 
     def apply(self, df, guard=None):
         if guard is not None:
@@ -236,11 +295,19 @@ class AddProcessMetadata(Processor):
                     f"add_process_metadata: target fields exist and "
                     f"overwrite_keys is false: {clash}"
                 )
+        if not self.match_pids:
+            raise ValueError("add_process_metadata: match_pids is required")
+        dim = _resolve_dim(
+            self.dim if self.dim is not None else self.processes,
+            df,
+            (_PROCESS_DIM_SCHEMA, _PROCESS_DIM_FIELDS),
+            ("pid",),
+        )
         pid = _first_present(df, self.match_pids).try_cast("long")
         df = df.withColumn("_apm_pid", pid)
-        meta = self.dim.select(
+        meta = dim.select(
             F.col("pid").cast("long").alias("_apm_dim_pid"),
-            *[F.col(f).alias(t) for f, t in zip(fields, targets) if f in self.dim.columns],
+            *[F.col(f).alias(t) for f, t in zip(fields, targets) if f in dim.columns],
         )
         return df.join(
             F.broadcast(meta), df["_apm_pid"] == meta["_apm_dim_pid"], "left"

@@ -192,3 +192,67 @@ class TestAddProcessMetadata:
             AddProcessMetadata(
                 dim=proc_dim, match_pids=["process.pid"], include_fields=["env"]
             ).apply(df)
+
+
+class TestConfigSurface:
+    def test_inline_containers_from_config(self, spark):
+        from beats_spark.config import compile_processor
+
+        proc = compile_processor(
+            {
+                "add_docker_metadata": {
+                    "containers": [
+                        {"id": CID_A, "name": "web-1", "image": "nginx:1.25",
+                         "labels": {"com.example.v": "2"}},
+                        {"id": CID_B, "name": "db-1", "image": "postgres:16"},
+                    ]
+                }
+            }
+        )
+        df = _events(spark, [f"/var/lib/docker/containers/{CID_B}/x.log"])
+        r = _row(proc.apply(df))
+        assert r["container.name"] == "db-1"
+        assert r["container.labels"] is None or r["container.labels"] == {}
+
+    def test_inline_pods_from_config(self, spark):
+        from beats_spark.config import compile_processor
+
+        proc = compile_processor(
+            {
+                "add_kubernetes_metadata": {
+                    "logs_path": "/var/log/containers/",
+                    "pods": [
+                        {"key": CID_A, "kubernetes.pod.name": "web-abc",
+                         "kubernetes.namespace": "default"},
+                    ],
+                }
+            }
+        )
+        df = _events(spark, [f"/var/log/containers/web-abc_default_app-{CID_A}.log"])
+        assert _row(proc.apply(df))["kubernetes.pod.name"] == "web-abc"
+
+    def test_inline_processes_from_config(self, spark):
+        from beats_spark.config import compile_processor
+
+        proc = compile_processor(
+            {
+                "add_process_metadata": {
+                    "match_pids": ["process.pid"],
+                    "target": "proc",
+                    "include_fields": ["name", "executable"],
+                    "processes": [
+                        {"pid": 42, "name": "nginx", "executable": "/usr/sbin/nginx"},
+                    ],
+                }
+            }
+        )
+        df = spark.createDataFrame([(0, 42)], "id int, `process.pid` int")
+        r = _row(proc.apply(df))
+        assert r["proc.name"] == "nginx" and r["proc.executable"] == "/usr/sbin/nginx"
+
+    def test_missing_inventory_rejected(self, spark):
+        from beats_spark.operators.metadata import AddDockerMetadata
+
+        df = _events(spark, ["/x.log"])
+        with pytest.raises(ValueError, match="inline inventory"):
+            AddDockerMetadata().apply(df)
