@@ -569,3 +569,26 @@ def test_golden_sweep(spark, module, fileset, logname, kw):
     kw = dict(kw)
     pipename = kw.pop("pipename", "pipeline.json")
     _golden_case(spark, module, fileset, logname, pipename, **kw)
+
+
+def test_module_ingest_job_end_to_end(spark, tmp_path):
+    """jobs/module_ingest_job.py over the apache access fixture: the
+    deployable module path (harvester semantics → ingest pipeline →
+    parquet), checked through an independent reader."""
+    import duckdb
+
+    from jobs.module_ingest_job import run
+
+    out = str(tmp_path / "mod_out")
+    stats = run(
+        spark,
+        f"{MODULES}/apache/access/ingest/default.json",
+        f"{MODULES}/apache/access/test/test.log",
+        out,
+    )
+    assert stats["rows"] > 0 and stats["errors"] == 0
+    n, codes = duckdb.sql(
+        f"""SELECT count(*), count("http.response.status_code")
+            FROM parquet_scan('{out}/*.parquet')"""
+    ).fetchall()[0]
+    assert n == stats["rows"] and codes == n

@@ -38,3 +38,19 @@ spark-submit \
   --input /root/testdata/sf0.001/documents.parquet \
   --output "${OUT}_curated" 2>/dev/null \
   | grep CURATE_RESULT
+
+# module-ingest surface (optional: needs the reference checkout's
+# apache fixture; skipped silently when absent)
+APACHE_DIR=/root/reference/filebeat/module/apache/access
+if [ -e "$APACHE_DIR/test/test.log" ]; then
+  spark-submit \
+    --master "local[${SPARK_GRAFT_CPUS:-8}]" \
+    --conf spark.sql.shuffle.partitions=16 \
+    --conf spark.ui.enabled=false \
+    --py-files /tmp/beats_spark.zip \
+    jobs/module_ingest_job.py \
+    --pipeline "$APACHE_DIR/ingest/default.json" \
+    --input "$APACHE_DIR/test/test.log" \
+    --output "${OUT}_module" 2>/dev/null \
+    | grep MODULE_INGEST_RESULT
+fi
