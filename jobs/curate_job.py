@@ -9,9 +9,9 @@ a 100-TB pretraining corpus takes through this library.
 
 Stage design is FLAGS-THEN-FILTER, not filter-then-filter: every
 gate (exact-dup canonical, near-dup canonical, quality keep,
-repetition keep, optional CCNet-style LM-perplexity keep,
-decontamination, stratified sample) is computed as
-a boolean COLUMN over the full corpus, so
+repetition keep, optional duplicated-span keep, optional CCNet-style
+LM-perplexity keep, decontamination, stratified sample) is computed
+as a boolean COLUMN over the full corpus, so
 
   * one aggregation pass yields the whole survival funnel (per-gate
     and cumulative counts) without re-running the chain once per
@@ -62,6 +62,7 @@ def curate(
     token_budget: int = 256,
     neardup_threshold: float = 0.6,
     max_perplexity: float | None = None,
+    max_dup_span_frac: float | None = None,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -123,6 +124,25 @@ def curate(
         .join(repetition_keep, "doc_id", "left")
         .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
     )
+    if max_dup_span_frac is not None:
+        # exact duplicated-span gate (Lee et al. 2022 substring dedup,
+        # operators/dedup.py duplicated_spans): drop documents whose
+        # cross-corpus duplicated-span fraction exceeds the ceiling.
+        # Documents shorter than the window carry no span row → keep
+        # (nothing to deduplicate).
+        from beats_spark.operators.dedup import duplicated_spans
+
+        span = duplicated_spans(docs).select(
+            "doc_id",
+            (F.col("dup_span_frac") <= F.lit(max_dup_span_frac)).alias(
+                "span_keep"
+            ),
+        )
+        flags = flags.join(span, "doc_id", "left").withColumn(
+            "span_keep", F.coalesce("span_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("span_keep", F.lit(True))
     if max_perplexity is not None:
         # CCNet-style LM gate (operators/lm.py): keep the low-
         # perplexity head. A document with no scorable tokens has no
@@ -164,6 +184,7 @@ def curate(
         "neardup_keep",
         "quality_keep",
         "repetition_keep",
+        "span_keep",
         "lm_keep",
         "decontam_keep",
         "sample_keep",
@@ -226,6 +247,13 @@ def main(argv: list[str] | None = None) -> int:
         help="CCNet-style LM gate: drop documents whose bigram-LM "
         "perplexity exceeds this (default: gate off)",
     )
+    p.add_argument(
+        "--max-dup-span-frac",
+        type=float,
+        default=None,
+        help="duplicated-span gate: drop documents whose cross-corpus "
+        "duplicated n-token-span fraction exceeds this (default: gate off)",
+    )
     args = p.parse_args(argv)
 
     from beats_spark.session import build_session
@@ -242,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
             token_budget=args.budget,
             neardup_threshold=args.neardup_threshold,
             max_perplexity=args.max_perplexity,
+            max_dup_span_frac=args.max_dup_span_frac,
         )
     finally:
         spark.stop()

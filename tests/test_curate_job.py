@@ -114,6 +114,49 @@ class TestCurateJob:
         assert f["pass_lm_keep"] == expect_pass
         assert 0 < f["pass_lm_keep"] < f["total"]
 
+    def test_duplicated_span_gate(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from beats_spark.operators.clean import clean_text
+        from beats_spark.operators.dedup import duplicated_spans
+
+        out = str(tmp_path / "curated")
+        # cutoff strictly inside the observed dup-fraction range so
+        # the gate provably fires on some docs and passes others;
+        # mirror the job's clean_text pre-stage so fractions line up
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+            "text", clean_text(F.col("text"))
+        )
+        fracs = {
+            r["doc_id"]: r["dup_span_frac"]
+            for r in duplicated_spans(docs).collect()
+        }
+        n_docs = docs.count()
+        positive = sorted(v for v in fracs.values() if v > 0)
+        assert positive, "fixture needs some duplicated spans"
+        cutoff = positive[len(positive) // 2] - 1e-9
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            default_rate=1.0,
+            max_dup_span_frac=cutoff,
+        )
+        f = summary["funnel"]
+        # short docs carry no span row → keep
+        expect_pass = sum(1 for v in fracs.values() if v <= cutoff) + (
+            n_docs - len(fracs)
+        )
+        assert f["pass_span_keep"] == expect_pass
+        assert 0 < f["pass_span_keep"] < f["total"]
+
+    def test_span_gate_off_by_default(self, spark, tmp_path):
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark, f"{SF_DIR}/documents.parquet", out, default_rate=1.0
+        )
+        assert summary["funnel"]["pass_span_keep"] == summary["funnel"]["total"]
+
     def test_lm_gate_off_by_default(self, spark, tmp_path):
         out = str(tmp_path / "curated")
         summary = curate(
