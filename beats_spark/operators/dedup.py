@@ -104,6 +104,13 @@ def duplicated_spans(
     toks = df.select(
         F.col(id_col), words(norm_text(F.col(text_col))).alias("_w")
     )
+    if materialize:
+        # the token array is referenced once per WINDOW by the slice
+        # lambda below; CollapseProject inlines the regexp split into
+        # every reference, turning one tokenization per doc into one
+        # per window (measured 13× on sf0.1). Materialize the array
+        # first, like minhash_signature's shingle table.
+        toks = toks.localCheckpoint()
     # the window guard lives INSIDE the expression (when/otherwise,
     # like shingles()) — a row filter on size("_w") can be evaluated
     # after projection collapse in a join branch, letting sequence()
