@@ -622,12 +622,27 @@ _DIRT = {
 }
 
 
+#: the html-variant dirty lines, shared between the Spark query and
+#: the oracle: (prefix, suffix) around the per-event base string,
+#: keyed on event_id % 4
+_HTML_DIRT: list[tuple[str, str]] = [
+    ("<p>", "</p><script>var x=1;\n2</script>"),
+    ("<div>a &amp;amp; b<br/>", "</div>"),
+    ("<!-- note --><h1>T</h1>", " &lt;tag&gt;"),
+    ('x < 3 &quot;', '&quot; <b>bold</b>&#39;s'),
+]
+
+
 def q_clean_text(spark, sf_dir):
-    """Text normalization / fix-text (operators/clean.py): the synth
-    corpus is ASCII-clean, so — like `pii_redact` — the query renders
-    deterministically dirty lines in-query (NBSP/ZWSP/soft-hyphen/
-    control bytes/CRLF/space runs keyed on event_id % 5) and both
-    engines normalize them with the identical pattern chain."""
+    """Text normalization / fix-text + HTML boilerplate strip
+    (operators/clean.py): the synth corpus is ASCII-clean, so — like
+    `pii_redact` — the query renders deterministically dirty lines
+    in-query and both engines normalize them with the identical
+    pattern chain. Variant 'fix' covers the invisible-character /
+    whitespace chain (NBSP/ZWSP/soft-hyphen/control bytes/CRLF keyed
+    on event_id % 5); variant 'html' covers the raw-crawl extraction
+    chain (script/comment containers, block-tag line breaks, entity
+    decode keyed on event_id % 4)."""
     from .operators.clean import clean_documents
 
     ev = _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -644,7 +659,25 @@ def q_clean_text(spark, sf_dir):
         .otherwise(F.concat(F.lit(d["thin"]), base, F.lit(d["ideo"] + "z")))
     )
     docs = ev.select(F.col("event_id").alias("doc_id"), dirty.alias("text"))
-    return clean_documents(docs)
+    fix = clean_documents(docs).select(F.lit("fix").alias("variant"), "*")
+
+    h = F.pmod("event_id", F.lit(4))
+    markup = F.when(
+        h == 0, F.concat(F.lit(_HTML_DIRT[0][0]), base, F.lit(_HTML_DIRT[0][1]))
+    )
+    for i in (1, 2):
+        markup = markup.when(
+            h == i,
+            F.concat(F.lit(_HTML_DIRT[i][0]), base, F.lit(_HTML_DIRT[i][1])),
+        )
+    markup = markup.otherwise(
+        F.concat(F.lit(_HTML_DIRT[3][0]), base, F.lit(_HTML_DIRT[3][1]))
+    )
+    hdocs = ev.select(F.col("event_id").alias("doc_id"), markup.alias("text"))
+    html = clean_documents(hdocs, html=True).select(
+        F.lit("html").alias("variant"), "*"
+    )
+    return fix.unionByName(html)
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -776,13 +809,23 @@ def _dsir_oracle() -> str:
 
 
 def _clean_text_oracle() -> str:
-    from .operators.clean import clean_text_sql
+    from .operators.clean import clean_text_sql, html_strip_sql
 
     d = _DIRT
     base = "printf('doc %d %s', event_id, event_type)"
     cleaned = clean_text_sql("text")
     nl = chr(10)
     crlf = chr(13) + chr(10)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    harms = [
+        f"WHEN {i} THEN {lit(p)} || {base} || {lit(s)}"
+        for i, (p, s) in enumerate(_HTML_DIRT[:3])
+    ]
+    hp, hs = _HTML_DIRT[3]
+    stripped = html_strip_sql("text")
     return f"""
 WITH dirty AS (
   SELECT event_id AS doc_id,
@@ -794,12 +837,26 @@ WITH dirty AS (
            ELSE '{d["thin"]}' || {base} || '{d["ideo"]}z'
          END AS text
   FROM events
+),
+markup AS (
+  SELECT event_id AS doc_id,
+         CASE event_id % 4
+           {" ".join(harms)}
+           ELSE {lit(hp)} || {base} || {lit(hs)}
+         END AS text
+  FROM events
 )
-SELECT doc_id,
+SELECT 'fix' AS variant, doc_id,
        {cleaned} AS cleaned,
        CAST(length(text) - length({cleaned}) AS BIGINT) AS n_removed,
        text <> {cleaned} AS changed
 FROM dirty
+UNION ALL
+SELECT 'html' AS variant, doc_id,
+       {stripped} AS cleaned,
+       CAST(length(text) - length({stripped}) AS BIGINT) AS n_removed,
+       text <> {stripped} AS changed
+FROM markup
 """
 
 

@@ -9,7 +9,10 @@ differently and skew token statistics.
 
 This is that pass as a pure Column regexp chain (one codegen stage,
 no Python), with a DuckDB twin built from the SAME pattern strings so
-both engines transform identically:
+both engines transform identically. For raw-crawl inputs an optional
+HTML boilerplate strip (C4 §2.1: drop script/style/comments, break on
+block tags, delete remaining tags, decode the common entities) runs
+in front of the same chain (:func:`html_strip`):
 
 1. CRLF / lone CR → LF
 2. delete zero-width + soft-hyphen characters and C0/C1 controls
@@ -71,6 +74,39 @@ CLEAN_STEPS: list[tuple[str, str]] = [
 ]
 
 
+#: HTML → text extraction (C4 §2.1-style boilerplate strip) applied
+#: BEFORE the normalization chain. RE2 (DuckDB) has no backreferences,
+#: so the script/style containers are spelled out instead of using
+#: ``</\1>``; replacements avoid ``$`` and ``\`` so Java's
+#: appendReplacement and RE2's substitution read them identically.
+#: Order matters: containers and comments vanish with their contents,
+#: block-closing tags become line breaks (adjacent cells/paragraphs
+#: must not fuse into one word), remaining tags are deleted, and only
+#: THEN entities decode — so a decoded ``&lt;`` can never be
+#: re-stripped as a tag, and ``&amp;`` decodes LAST so double-escaped
+#: text decodes exactly one level (the HTML5 rule).
+HTML_STEPS: list[tuple[str, str]] = [
+    ("(?is)<script\\b[^>]*>.*?</script\\s*>", ""),
+    ("(?is)<style\\b[^>]*>.*?</style\\s*>", ""),
+    ("(?s)<!--.*?-->", ""),
+    (
+        "(?i)<(?:br|hr)\\s*/?>"
+        "|</(?:p|div|h[1-6]|li|tr|td|th|dd|dt|table|ul|ol|blockquote"
+        "|section|article)\\s*>",
+        "\n",
+    ),
+    # any remaining tag, incl. opening block tags; the [a-zA-Z/!]
+    # guard keeps bare '<' in prose ("a < b") intact
+    ("(?s)<[a-zA-Z/!][^>]*>", ""),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;|&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
 def clean_text(c: Column) -> Column:
     """The normalization chain as one Column expression."""
     out = c
@@ -79,26 +115,49 @@ def clean_text(c: Column) -> Column:
     return out
 
 
-def clean_text_sql(expr: str) -> str:
-    """DuckDB twin of :func:`clean_text` (same pattern strings)."""
+def html_strip(c: Column) -> Column:
+    """HTML boilerplate strip + the normalization chain, one Column
+    expression (still a single codegen stage, no Python)."""
+    out = c
+    for pat, rep in HTML_STEPS + CLEAN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def _steps_sql(expr: str, steps: list[tuple[str, str]]) -> str:
     out = expr
-    for pat, rep in CLEAN_STEPS:
+    for pat, rep in steps:
         p = pat.replace("'", "''")
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out
 
 
+def clean_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_text` (same pattern strings)."""
+    return _steps_sql(expr, CLEAN_STEPS)
+
+
+def html_strip_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_strip` (same pattern strings)."""
+    return _steps_sql(expr, HTML_STEPS + CLEAN_STEPS)
+
+
 def clean_documents(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    html: bool = False,
 ) -> DataFrame:
     """Per-row normalization with audit columns: (id, cleaned,
     n_removed, changed). Map-side only — one codegen stage, no
-    shuffle, nothing leaves the row."""
+    shuffle, nothing leaves the row. ``html=True`` prepends the
+    boilerplate strip for raw-crawl inputs."""
+    fix = html_strip if html else clean_text
     staged = df.select(
         F.col(id_col),
         F.col(text_col).alias("_raw"),
-        clean_text(F.col(text_col)).alias("cleaned"),
+        fix(F.col(text_col)).alias("cleaned"),
     )
     return staged.select(
         id_col,

@@ -63,6 +63,7 @@ def curate(
     neardup_threshold: float = 0.6,
     max_perplexity: float | None = None,
     max_dup_span_frac: float | None = None,
+    html: bool = False,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -85,13 +86,15 @@ def curate(
     )
 
     t0 = time.time()
-    from beats_spark.operators.clean import clean_text
+    from beats_spark.operators.clean import clean_text, html_strip
 
     # -- normalization first (the fix-text pass every real pipeline
     # runs before quality/dedup: otherwise identical documents with
-    # different invisible bytes hash apart) — map-side, no shuffle
+    # different invisible bytes hash apart) — map-side, no shuffle;
+    # --html prepends the raw-crawl boilerplate strip to the chain
+    fix = html_strip if html else clean_text
     docs = spark.read.parquet(input_path).withColumn(
-        "text", clean_text(F.col("text"))
+        "text", fix(F.col("text"))
     )
 
     # -- gate columns over the FULL corpus ------------------------------
@@ -254,6 +257,12 @@ def main(argv: list[str] | None = None) -> int:
         help="duplicated-span gate: drop documents whose cross-corpus "
         "duplicated n-token-span fraction exceeds this (default: gate off)",
     )
+    p.add_argument(
+        "--html",
+        action="store_true",
+        help="input is raw crawl: strip HTML boilerplate (script/style/"
+        "comments, tags, entities) before the fix-text normalization",
+    )
     args = p.parse_args(argv)
 
     from beats_spark.session import build_session
@@ -271,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_threshold=args.neardup_threshold,
             max_perplexity=args.max_perplexity,
             max_dup_span_frac=args.max_dup_span_frac,
+            html=args.html,
         )
     finally:
         spark.stop()

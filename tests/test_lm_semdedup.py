@@ -421,3 +421,67 @@ class TestCleanText:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestHtmlStrip:
+    CASES = [
+        # (raw crawl, expected extracted text)
+        ("<p>hello</p>", "hello"),
+        # container contents vanish, even with tags inside the script
+        (
+            '<p>doc</p><script type="x">var q="</p>";\nmore</script>tail',
+            "doc\ntail",
+        ),
+        ("<STYLE>p{color:red}</STYLE>body", "body"),
+        ("<!-- note\nspans lines -->kept", "kept"),
+        # block closers break lines so cells/paragraphs don't fuse
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        ("<table><tr><td>a</td><td>b</td></tr></table>", "a\nb"),
+        ("line<br/>break<BR>again", "line\nbreak\nagain"),
+        # inline tags are deleted without a break
+        ("a <b>bold</b> word", "a bold word"),
+        # bare '<' in prose survives (no letter after it)
+        ("x < 3 and y <= 4", "x < 3 and y <= 4"),
+        # entities decode AFTER tag removal; &amp; decodes last so
+        # double-escaped text decodes exactly one level
+        ("a &amp;amp; b &lt;tag&gt; &quot;q&quot; it&#39;s", 'a &amp; b <tag> "q" it\'s'),
+        ("&nbsp;&nbsp;lead&apos;", "lead'"),
+        ("no markup", "no markup"),
+    ]
+
+    def test_expected_values_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.clean import html_strip, html_strip_sql
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["out"]
+            for r in df.select(
+                "doc_id", html_strip(F.col("text")).alias("out")
+            ).collect()
+        }
+        con = duckdb.connect()
+        sql = html_strip_sql("text")
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, (i, raw, got[i])
+            duck = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS text)", [raw]
+            ).fetchone()[0]
+            assert got[i] == duck, (i, raw, duck)
+
+    def test_single_stage_no_shuffle(self, spark):
+        from beats_spark.operators.clean import clean_documents
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+        plan = (
+            clean_documents(df, html=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan
