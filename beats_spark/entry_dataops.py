@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.textstats import (
@@ -448,12 +448,19 @@ def q_docker_logs(spark, sf_dir):
     )
 
 
-def q_ann_brute_force(spark, sf_dir):
-    return brute_force_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
-
-
-def q_ann_lsh(spark, sf_dir):
-    return ann_lsh_topk(_embs(spark, sf_dir), ANN_QUERIES, k=ANN_K)
+def q_ann_topk(spark, sf_dir):
+    """Exact + sign-LSH ANN under ONE driver row (method column) —
+    merged r3 from the separate `ann_brute_force` + `ann_lsh` rows to
+    free a slot in the ≤50-row driver window (precedent: ann_ivf).
+    One embeddings read shared; each method keeps its own plan
+    (brute: broadcast query side over the corpus scan; lsh: equi-join
+    on the hyperplane sign bucket)."""
+    embs = _embs(spark, sf_dir)
+    bf = brute_force_topk(embs, ANN_QUERIES, k=ANN_K)
+    lsh = ann_lsh_topk(embs, ANN_QUERIES, k=ANN_K)
+    return bf.select(F.lit("brute").alias("method"), "*").unionByName(
+        lsh.select(F.lit("lsh").alias("method"), "*")
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -680,6 +687,97 @@ def q_clean_text(spark, sf_dir):
     return fix.unionByName(html)
 
 
+#: registrable domains the url_curation fixture blocks (g%5 ∈ {0,3})
+_URL_BLOCKLIST = ("blocked0.co.uk", "blocked3.co.uk")
+
+
+def q_url_curation(spark, sf_dir):
+    """URL curation (operators/urltools.py): canonicalize →
+    registrable domain → keep-first dedup rank → blocklist flag, over
+    deterministically rendered crawl URLs (the synth corpus has no
+    URL column, so the query renders its own — same pattern as
+    pii_redact / clean_text). Events 4g and 4g+1 render DIFFERENT raw
+    strings with the SAME canonical URL (host case, default port,
+    userinfo, tracking params, param order, fragment) so dedup rank 2
+    appears; variant 2 exercises a two-label public suffix +
+    non-default port + query emptied by tracking removal (5 hot
+    canonical groups — deliberate: hot URLs are what the blocklist
+    stage exists for); variant 3 an IPv4 host with empty path."""
+    from .operators.urltools import with_canonical_url
+
+    ev = _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    g = F.floor(F.col("event_id") / 4).cast("long")
+    h = F.pmod("event_id", F.lit(4))
+    u0 = F.format_string(
+        "HTTP://u:pw@WWW.Ex%d.COM:80/Path/%d?utm_source=news&b=2&a=1#frag",
+        g, g,
+    )
+    u1 = F.format_string("http://www.ex%d.com/Path/%d?a=1&utm_campaign=x&b=2", g, g)
+    u2 = F.format_string(
+        "https://Sub.Blocked%d.CO.UK:8443/x?fbclid=a%d", F.pmod(g, F.lit(5)), g
+    )
+    u3 = F.format_string(
+        "http://10.%d.%d.%d:8080?z=9&y=1",
+        F.pmod(g, F.lit(256)),
+        F.pmod(g * 3, F.lit(256)),
+        F.pmod(g * 7, F.lit(256)),
+    )
+    url = F.when(h == 0, u0).when(h == 1, u1).when(h == 2, u2).otherwise(u3)
+    docs = ev.select(F.col("event_id").alias("doc_id"), url.alias("url"))
+    d = with_canonical_url(docs)
+    w = Window.partitionBy("canon_url").orderBy(F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id", "url", "canon_url", "domain",
+            F.col("domain").isin(*_URL_BLOCKLIST).alias("blocked"),
+        )
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("kept", (F.col("dup_rank") == 1) & ~F.col("blocked"))
+    )
+
+
+def _url_curation_oracle() -> str:
+    from .operators.urltools import (
+        canonical_url_sql_ctes,
+        canonical_url_sql_expr,
+        registrable_domain_sql_expr,
+    )
+
+    blk = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""
+WITH g AS (
+  SELECT event_id, event_id // 4 AS g FROM events
+),
+raw AS (
+  SELECT event_id AS doc_id,
+         CASE event_id % 4
+           WHEN 0 THEN printf(
+             'HTTP://u:pw@WWW.Ex%d.COM:80/Path/%d?utm_source=news&b=2&a=1#frag',
+             g, g)
+           WHEN 1 THEN printf('http://www.ex%d.com/Path/%d?a=1&utm_campaign=x&b=2', g, g)
+           WHEN 2 THEN printf('https://Sub.Blocked%d.CO.UK:8443/x?fbclid=a%d', g % 5, g)
+           ELSE printf('http://10.%d.%d.%d:8080?z=9&y=1',
+                       g % 256, (g * 3) % 256, (g * 7) % 256)
+         END AS url
+  FROM g
+),
+{canonical_url_sql_ctes("raw")},
+canon AS MATERIALIZED (
+  SELECT doc_id, url,
+         {canonical_url_sql_expr()} AS canon_url,
+         {registrable_domain_sql_expr()} AS domain
+  FROM _u3
+)
+SELECT doc_id, url, canon_url, domain,
+       domain IN ({blk}) AS blocked,
+       CAST(row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+            AS BIGINT) AS dup_rank,
+       (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+        AND NOT domain IN ({blk})) AS kept
+FROM canon
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/lm.py dsir_weights):
     target-vs-raw bigram-LM likelihood ratio per document, with the
@@ -719,6 +817,9 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # new in r3 (slot freed by merging dedup_simhash +
         # dedup_simhash_hamming into simhash_dedup): fix-text
         "clean_text": q_clean_text,
+        # new in r3 (slot freed by merging ann_brute_force + ann_lsh
+        # into ann_topk): URL canonicalize / dedup / blocklist
+        "url_curation": q_url_curation,
     }
 
 
@@ -728,8 +829,7 @@ def dataops_queries_rest() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "simhash_dedup": q_simhash_dedup,
@@ -958,8 +1058,14 @@ FROM ({duplicated_spans_sql("documents", n=SPAN_N, min_df=2)})
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", MINHASH_T),
-        "ann_brute_force": brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
-        "ann_lsh": ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        "ann_topk": f"""
+SELECT 'brute' AS method, *
+FROM ({brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
+UNION ALL
+SELECT 'lsh' AS method, *
+FROM ({ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
+""",
+        "url_curation": _url_curation_oracle(),
         "ann_ivf": f"""
 SELECT *, CAST(1 AS INTEGER) AS nprobe
 FROM ({ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K)})

@@ -662,6 +662,10 @@ def kmeans_ivf(
     # re-scales the raw embeddings (MLlib's KMeans caches its input
     # for the same reason)
     xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
+    # unpartitioned window — INTENTIONAL and bounded: it ranks only the
+    # k seed rows surviving limit(k) (k≈8–4096), which already live in
+    # one partition; the corpus never flows through it (WindowExec's
+    # single-partition warning here is about these k rows)
     w = Window.orderBy("vid")
     cents = (
         xq.orderBy("vid")
