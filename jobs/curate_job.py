@@ -8,10 +8,11 @@ a 100-TB pretraining corpus takes through this library.
         [--default-rate 0.5] [--budget 256] [--neardup-threshold 0.6]
 
 Stage design is FLAGS-THEN-FILTER, not filter-then-filter: every
-gate (exact-dup canonical, near-dup canonical, quality keep,
-repetition keep, optional duplicated-span keep, optional CCNet-style
-LM-perplexity keep, decontamination, stratified sample) is computed
-as a boolean COLUMN over the full corpus, so
+gate (optional URL keep-first + domain blocklist, exact-dup
+canonical, near-dup canonical, quality keep, repetition keep,
+optional duplicated-span keep, optional CCNet-style LM-perplexity
+keep, decontamination, stratified sample) is computed as a boolean
+COLUMN over the full corpus, so
 
   * one aggregation pass yields the whole survival funnel (per-gate
     and cumulative counts) without re-running the chain once per
@@ -64,6 +65,8 @@ def curate(
     max_perplexity: float | None = None,
     max_dup_span_frac: float | None = None,
     html: bool = False,
+    url_col: str | None = None,
+    blocklist_path: str | None = None,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -98,6 +101,43 @@ def curate(
     )
 
     # -- gate columns over the FULL corpus ------------------------------
+    if url_col is not None:
+        # URL stage FIRST (C4/RefinedWeb order: dedupe by URL and drop
+        # blocklisted domains before any content work): keep-first rank
+        # within each canonical URL (one keyed exchange) + optional
+        # broadcast blocklist; unparseable URLs pass the dedup half but
+        # a NULL domain never matches the blocklist.
+        from pyspark.sql import Window
+
+        from beats_spark.operators.urltools import with_canonical_url
+
+        cu = with_canonical_url(
+            docs.select("doc_id", F.col(url_col).alias("url"))
+        )
+        w = Window.partitionBy("canon_url").orderBy(F.asc("doc_id"))
+        cu = cu.withColumn("_rank", F.row_number().over(w)).select(
+            "doc_id",
+            "domain",
+            (F.col("canon_url").isNull() | (F.col("_rank") == 1)).alias(
+                "_url_first"
+            ),
+        )
+        if blocklist_path is not None:
+            blk = spark.read.parquet(blocklist_path).select(
+                F.col("domain").alias("_blk")
+            )
+            cu = cu.join(
+                F.broadcast(blk), F.col("domain") == F.col("_blk"), "left"
+            ).withColumn("_blocked", F.col("_blk").isNotNull())
+        else:
+            cu = cu.withColumn("_blocked", F.lit(False))
+        url_keep = cu.select(
+            "doc_id",
+            (F.col("_url_first") & ~F.col("_blocked")).alias("url_keep"),
+        )
+    else:
+        url_keep = None
+
     exact_keep = (
         exact_dedup_groups(docs)
         .select(F.col("canonical_id").alias("doc_id"))
@@ -127,6 +167,12 @@ def curate(
         .join(repetition_keep, "doc_id", "left")
         .withColumn("exact_keep", F.coalesce("exact_keep", F.lit(False)))
     )
+    if url_keep is not None:
+        flags = flags.join(url_keep, "doc_id", "left").withColumn(
+            "url_keep", F.coalesce("url_keep", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("url_keep", F.lit(True))
     if max_dup_span_frac is not None:
         # exact duplicated-span gate (Lee et al. 2022 substring dedup,
         # operators/dedup.py duplicated_spans): drop documents whose
@@ -183,6 +229,7 @@ def curate(
     ).withColumn("sample_keep", F.coalesce("sample_keep", F.lit(False)))
 
     gate_order = [
+        "url_keep",
         "exact_keep",
         "neardup_keep",
         "quality_keep",
@@ -258,6 +305,18 @@ def main(argv: list[str] | None = None) -> int:
         "duplicated n-token-span fraction exceeds this (default: gate off)",
     )
     p.add_argument(
+        "--url-col",
+        default=None,
+        help="URL gate: input column holding each document's source "
+        "URL; keep-first per canonical URL (default: gate off)",
+    )
+    p.add_argument(
+        "--blocklist",
+        default=None,
+        help="with --url-col: parquet of blocked registrable domains "
+        "(one 'domain' column), broadcast anti-matched",
+    )
+    p.add_argument(
         "--html",
         action="store_true",
         help="input is raw crawl: strip HTML boilerplate (script/style/"
@@ -281,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
             max_perplexity=args.max_perplexity,
             max_dup_span_frac=args.max_dup_span_frac,
             html=args.html,
+            url_col=args.url_col,
+            blocklist_path=args.blocklist,
         )
     finally:
         spark.stop()

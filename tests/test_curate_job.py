@@ -91,6 +91,64 @@ class TestCurateJob:
         # the benchmark docs themselves (and any 4-gram overlap) fail
         assert f["pass_decontam_keep"] < f["total"]
 
+    def test_url_gate(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        # give every doc a URL: pairs 2g/2g+1 share a canonical URL
+        # (dirty vs clean spelling), and g%10==0 lands on a blocked
+        # domain
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        g = F.floor(F.col("doc_id") / 2).cast("long")
+        url = F.when(
+            F.pmod(g, F.lit(10)) == 0,
+            F.format_string("http://bad%d.example.com/p/%d", g, g),
+        ).otherwise(
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0,
+                F.format_string(
+                    "HTTP://Site%d.COM:80/p/%d?utm_source=x", g, g
+                ),
+            ).otherwise(F.format_string("http://site%d.com/p/%d", g, g))
+        )
+        in_path = str(tmp_path / "docs.parquet")
+        docs.withColumn("url", url).write.parquet(in_path)
+        blk_path = str(tmp_path / "blk.parquet")
+        spark.createDataFrame(
+            [("example.com",)], "domain string"
+        ).write.parquet(blk_path)
+
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark, in_path, out, default_rate=1.0,
+            url_col="url", blocklist_path=blk_path,
+        )
+        f = summary["funnel"]
+        n = f["total"]
+        # expected: blocked docs (both members of a blocked pair) fail;
+        # of the rest, the odd member of each shared-URL pair fails
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        blocked = {i for i in ids if (i // 2) % 10 == 0}
+        losers = set()
+        by_g = {}
+        for i in sorted(ids):
+            if i in blocked:
+                continue
+            key = i // 2
+            if key in by_g:
+                losers.add(i)
+            else:
+                by_g[key] = i
+        assert f["pass_url_keep"] == n - len(blocked) - len(losers)
+        assert 0 < f["pass_url_keep"] < n
+
+    def test_url_gate_off_by_default(self, spark, tmp_path):
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark, f"{SF_DIR}/documents.parquet", out, default_rate=1.0
+        )
+        f = summary["funnel"]
+        assert f["pass_url_keep"] == f["total"]
+
     def test_lm_perplexity_gate(self, spark, tmp_path):
         from beats_spark.operators.lm import bigram_lm_scores
 
