@@ -503,13 +503,53 @@ def q_ann_ivf_trained(spark, sf_dir):
     return kmeans_ivf(_embs(spark, sf_dir), k=8, iters=2)
 
 
+#: PQ driver-row params (shared by the oracle): m subspaces × ks cells
+PQ_M, PQ_KS, PQ_ITERS = 2, 8, 1
+
+
 def q_quantize_embeddings(spark, sf_dir):
-    """int8 scalar quantization fidelity per vector
-    (operators/similarity.py): scale, worst reconstruction error,
-    cosine(original, dequantized)."""
+    """Both quantization families under ONE driver row (variant
+    column, merged r3): 'int8' = scalar quantization fidelity per
+    vector (operators/similarity.py quantization_stats: scale, worst
+    reconstruction error, cosine(original, dequantized)); 'pq' =
+    product quantization (operators/pq.py: per-subspace trained
+    codebooks, packed code + total reconstruction squared error).
+    Columns not applicable to a variant are NULL."""
+    from .operators.pq import pq_encode, pq_train
     from .operators.similarity import quantization_stats
 
-    return quantization_stats(_embs(spark, sf_dir))
+    embs = _embs(spark, sf_dir)
+    nd = F.lit(None).cast("double")
+    int8 = quantization_stats(embs).select(
+        F.lit("int8").alias("variant"),
+        "id",
+        "scale",
+        "max_abs_err",
+        "cos_orig_deq",
+        nd.alias("code"),
+        nd.alias("recon_err"),
+    )
+    books = pq_train(embs, m=PQ_M, ks=PQ_KS, iters=PQ_ITERS)
+    enc = pq_encode(embs, books)
+    # pack the m codes into one base-(ks+1) scalar: cells are 1..ks so
+    # the pack is collision-free and exact in a double
+    packed = sum(
+        (F.col("codes")[j] * F.lit((PQ_KS + 1) ** j) for j in range(1, PQ_M)),
+        F.col("codes")[0],
+    )
+    recon = sum(
+        (F.col("dists")[j] for j in range(1, PQ_M)), F.col("dists")[0]
+    )
+    pq = enc.select(
+        F.lit("pq").alias("variant"),
+        F.col("vec_id").alias("id"),
+        nd.alias("scale"),
+        nd.alias("max_abs_err"),
+        nd.alias("cos_orig_deq"),
+        packed.cast("double").alias("code"),
+        F.round(recon, 6).alias("recon_err"),
+    )
+    return int8.unionByName(pq)
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -885,9 +925,39 @@ def _chunk_oracle() -> str:
 
 
 def _quant_oracle() -> str:
-    from .operators.similarity import quantization_stats_sql
+    from .operators.similarity import kmeans_ivf_sql, quantization_stats_sql
 
-    return quantization_stats_sql("embeddings")
+    d = 64 // PQ_M
+    subs = [
+        kmeans_ivf_sql(
+            f"(SELECT vec_id, list_slice(embedding, {j * d + 1}, "
+            f"{j * d + d}) AS embedding FROM embeddings)",
+            k=PQ_KS,
+            iters=PQ_ITERS,
+        )
+        for j in range(PQ_M)
+    ]
+    packed = " + ".join(
+        f"s{j}.cell * {(PQ_KS + 1) ** j}" if j else "s0.cell"
+        for j in range(PQ_M)
+    )
+    recon = " + ".join(f"s{j}.dist" for j in range(PQ_M))
+    joins = "".join(
+        f"\nJOIN ({subs[j]}) s{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    return f"""
+SELECT 'int8' AS variant, id, scale, max_abs_err, cos_orig_deq,
+       CAST(NULL AS DOUBLE) AS code, CAST(NULL AS DOUBLE) AS recon_err
+FROM ({quantization_stats_sql("embeddings")})
+UNION ALL
+SELECT 'pq' AS variant, s0.vec_id AS id,
+       CAST(NULL AS DOUBLE) AS scale,
+       CAST(NULL AS DOUBLE) AS max_abs_err,
+       CAST(NULL AS DOUBLE) AS cos_orig_deq,
+       CAST({packed} AS DOUBLE) AS code,
+       round({recon}, 6) AS recon_err
+FROM ({subs[0]}) s0{joins}
+"""
 
 
 def _lm_perplexity_oracle() -> str:

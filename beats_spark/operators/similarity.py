@@ -636,6 +636,37 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_train(xq: DataFrame, k: int, iters: int) -> list:
+    """The training half of :func:`kmeans_ivf`: trained centroid rows
+    ``[(cell, cvec doubles), ...]`` from a pre-scaled (vid, xq) frame.
+    Seeds = the k lowest-vid vectors, cells numbered by seed rank.
+    Shared with product quantization (operators/pq.py), which trains
+    one of these per subspace."""
+    # unpartitioned window — INTENTIONAL and bounded: it ranks only the
+    # k seed rows surviving limit(k) (k≈8–4096), which already live in
+    # one partition; the corpus never flows through it (WindowExec's
+    # single-partition warning here is about these k rows)
+    w = Window.orderBy("vid")
+    cents = (
+        xq.orderBy("vid")
+        .limit(k)
+        .select(
+            F.row_number().over(w).alias("cell"),
+            F.transform("xq", lambda v: v.cast("double")).alias("cvec"),
+        )
+    )
+
+    def rows(cdf: DataFrame) -> list:
+        # k×dim doubles to the driver — centroid VALUES, not data;
+        # re-lit as Python floats round-trips IEEE-exactly
+        return [(r["cell"], list(r["cvec"])) for r in cdf.collect()]
+
+    cur = rows(cents)
+    for _ in range(iters):
+        cur = rows(_km_update(_km_assign(xq, cur)))
+    return cur
+
+
 def kmeans_ivf(
     df: DataFrame,
     k: int = 8,
@@ -662,28 +693,7 @@ def kmeans_ivf(
     # re-scales the raw embeddings (MLlib's KMeans caches its input
     # for the same reason)
     xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
-    # unpartitioned window — INTENTIONAL and bounded: it ranks only the
-    # k seed rows surviving limit(k) (k≈8–4096), which already live in
-    # one partition; the corpus never flows through it (WindowExec's
-    # single-partition warning here is about these k rows)
-    w = Window.orderBy("vid")
-    cents = (
-        xq.orderBy("vid")
-        .limit(k)
-        .select(
-            F.row_number().over(w).alias("cell"),
-            F.transform("xq", lambda v: v.cast("double")).alias("cvec"),
-        )
-    )
-
-    def rows(cdf: DataFrame) -> list:
-        # k×dim doubles to the driver — centroid VALUES, not data;
-        # re-lit as Python floats round-trips IEEE-exactly
-        return [(r["cell"], list(r["cvec"])) for r in cdf.collect()]
-
-    for _ in range(iters):
-        cents = _km_update(_km_assign(xq, rows(cents)))
-    final = _km_assign(xq, rows(cents))
+    final = _km_assign(xq, _km_train(xq, k, iters))
     return final.select(
         F.col("vid").alias(id_col),
         F.col("cell").cast("long").alias("cell"),

@@ -1,0 +1,92 @@
+"""Product quantization (operators/pq.py): per-subspace codes match
+the kmeans_ivf assignment run independently on each slice (Spark) AND
+the unrolled DuckDB k-means twin; encode is one map-only stage."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.pq import pq_encode, pq_train
+from beats_spark.operators.similarity import kmeans_ivf, kmeans_ivf_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+M, KS, ITERS = 2, 8, 1
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, embs):
+    books = pq_train(embs, m=M, ks=KS, iters=ITERS)
+    return books, {
+        r["vec_id"]: (list(r["codes"]), list(r["dists"]))
+        for r in pq_encode(embs, books).collect()
+    }
+
+
+class TestPQ:
+    def test_books_shape(self, encoded):
+        books, _ = encoded
+        assert len(books) == M
+        for book in books:
+            assert 1 <= len(book) <= KS  # empty cells may vanish
+            assert all(len(cvec) == 64 // M for _, cvec in book)
+
+    def test_codes_match_per_slice_kmeans(self, spark, embs, encoded):
+        # the operator's one-pass argmin must equal kmeans_ivf run
+        # independently on each subvector slice (same seeds, same
+        # tie-breaks, same rounding)
+        _, got = encoded
+        d = 64 // M
+        for j in range(M):
+            sub = embs.select(
+                "vec_id",
+                F.slice("embedding", j * d + 1, d).alias("embedding"),
+            )
+            ref = {
+                r["vec_id"]: (r["cell"], r["dist"])
+                for r in kmeans_ivf(sub, k=KS, iters=ITERS).collect()
+            }
+            for vid, (codes, dists) in got.items():
+                assert (codes[j], dists[j]) == ref[vid], (j, vid)
+
+    def test_duckdb_parity(self, encoded):
+        _, got = encoded
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF_DIR}/embeddings.parquet'"
+        )
+        d = 64 // M
+        for j in range(M):
+            sql = kmeans_ivf_sql(
+                f"(SELECT vec_id, list_slice(embedding, {j * d + 1}, "
+                f"{j * d + d}) AS embedding FROM embeddings)",
+                k=KS,
+                iters=ITERS,
+            )
+            for vid, cell, dist in con.execute(sql).fetchall():
+                codes, dists = got[vid]
+                assert codes[j] == cell, (j, vid)
+                assert dists[j] == pytest.approx(dist, abs=0), (j, vid)
+
+    def test_encode_is_one_map_stage(self, spark, embs, encoded):
+        books, _ = encoded
+        plan = (
+            pq_encode(embs, books)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
+
+    def test_dim_must_divide(self, embs):
+        with pytest.raises(ValueError):
+            pq_train(embs, m=7)
