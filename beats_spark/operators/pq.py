@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import KMEANS_SCALE, _km_scaled, _km_train
+from .similarity import KMEANS_SCALE, _km_scaled, _km_train, kmeans_ivf_sql
 
 
 def pq_train(
@@ -121,3 +121,183 @@ def pq_encode(
             ]
         ).alias("dists"),
     )
+
+
+# -- ADC search ---------------------------------------------------------------
+
+
+def _sq_fold(vec, cvec: list[float]):
+    """Squared euclidean between a scaled-long slice column and a
+    centroid literal — the `_km_assign` arithmetic."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in cvec]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the IVF-PQ
+    search half: each query precomputes an m×ks lookup table of
+    subspace distances to every codebook centroid, and a candidate's
+    score is just ``sum_j lut[j, code_j]`` — m integer lookups per
+    (query, candidate) pair, never a dim-wide fold. That asymmetry is
+    the whole point of PQ search: at 100 TB the corpus contributes
+    only its m-byte codes (posexplode → broadcast LUT join → partial
+    agg); vectors are never touched after encoding.
+
+    Determinism: every LUT entry snaps to an integer (scaled space —
+    magnitudes ≈1e13, exact in a long), so the per-candidate sum is
+    order-free; final distance divides once and rounds 6 dp; ranking
+    ties break on neighbor id. Returns (q_id, neighbor_id, adc_dist,
+    rank) with adc_dist the squared euclidean to the RECONSTRUCTION —
+    approximate by construction."""
+    m = len(books)
+    d = len(books[0][0][1])
+    scale2 = float(KMEANS_SCALE) ** 2
+
+    codes = pq_encode(df, books).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qxq = _km_scaled(
+        df.where(F.col(id_col).isin(query_ids)), id_col, vec_col
+    )
+    staged = qxq.select(
+        F.col("vid").alias("q_id"),
+        *[F.slice("xq", j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+    )
+    entries = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.lit(int(cell)).alias("cell"),
+                            F.floor(
+                                _sq_fold(F.col(f"_s{j}"), cvec) + F.lit(0.5)
+                            )
+                            .cast("long")
+                            .alias("qdist"),
+                        )
+                        for cell, cvec in book
+                    ]
+                )
+                for j, book in enumerate(books)
+            ]
+        )
+    )
+    lut = staged.select("q_id", F.explode(entries).alias("e")).select(
+        "q_id", "e.j", "e.cell", "e.qdist"
+    )
+
+    ex = codes.select(
+        "neighbor_id", F.posexplode("codes").alias("j", "cell")
+    )
+    scored = (
+        ex.join(F.broadcast(lut), ["j", "cell"])
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum("qdist").cast("double") / F.lit(scale2), 6
+            ).alias("adc_dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    query_ids: list[int],
+    m: int = 2,
+    ks: int = 8,
+    iters: int = 1,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: codes + trained centroids both
+    rebuilt from the data via the unrolled k-means twin, LUT and ADC
+    sum recomputed independently."""
+    d = dim // m
+    ids = ",".join(str(i) for i in query_ids)
+
+    def sub(j: int) -> str:
+        return (
+            f"(SELECT {id_col}, list_slice({vec_col}, {j * d + 1}, "
+            f"{j * d + d}) AS {vec_col} FROM {table})"
+        )
+
+    code_ctes = ",\n".join(
+        f"codes{j} AS ({kmeans_ivf_sql(sub(j), k=ks, iters=iters, id_col=id_col, vec_col=vec_col)})"
+        for j in range(m)
+    )
+    cent_ctes = ",\n".join(
+        f"cents{j} AS ({kmeans_ivf_sql(sub(j), k=ks, iters=iters, id_col=id_col, vec_col=vec_col, emit='centroids')})"
+        for j in range(m)
+    )
+    lut_parts = "\nUNION ALL\n".join(
+        f"""SELECT q.q_id, {j} AS j, c.cell,
+       CAST(floor(list_sum(list_transform(
+              list_zip(list_slice(q.qxq, {j * d + 1}, {j * d + d}), c.cvec),
+              p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2]))) + 0.5)
+            AS BIGINT) AS qdist
+FROM q CROSS JOIN cents{j} c"""
+        for j in range(m)
+    )
+    ex_parts = "\nUNION ALL\n".join(
+        f"SELECT {id_col} AS neighbor_id, {j} AS j, cell FROM codes{j}"
+        for j in range(m)
+    )
+    return f"""
+WITH {code_ctes},
+{cent_ctes},
+q AS (
+  SELECT {id_col} AS q_id,
+         list_transform({vec_col},
+           x -> CAST(floor(x::DOUBLE * {KMEANS_SCALE} + 0.5) AS BIGINT))
+           AS qxq
+  FROM {table} WHERE {id_col} IN ({ids})
+),
+lut AS (
+{lut_parts}
+),
+ex AS (
+{ex_parts}
+),
+scored AS (
+  SELECT q_id, neighbor_id,
+         round(CAST(sum(qdist) AS DOUBLE) / {float(KMEANS_SCALE) ** 2:.1f}, 6)
+           AS adc_dist
+  FROM ex JOIN lut USING (j, cell)
+  WHERE neighbor_id <> q_id
+  GROUP BY q_id, neighbor_id
+)
+SELECT q_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -709,11 +709,16 @@ def kmeans_ivf_sql(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    emit: str = "assign",
 ) -> str:
     """DuckDB twin of :func:`kmeans_ivf` — the Lloyd loop unrolled into
     CTE pairs (aN = assignment, cN = centroid update). Positions come
     from ``len(xq)`` per row, not a dimension parameter, so any
-    embedding width stays lock-step with the Spark side."""
+    embedding width stays lock-step with the Spark side.
+    ``emit='centroids'`` returns the TRAINED (cell, cvec) table
+    instead of the final assignment — the twin of
+    :func:`_km_train`'s driver literals (scaled space), used by the
+    PQ/ADC oracles to rebuild lookup tables independently."""
     def assign(cents: str) -> str:
         return f"""(
   SELECT vid, cell, xq, dist FROM (
@@ -764,6 +769,12 @@ def kmeans_ivf_sql(
         ctes.append(f"a{i} AS {assign(prev)}")
         ctes.append(f"c{i} AS {update(f'a{i}')}")
         prev = f"c{i}"
+    if emit == "centroids":
+        body = ",\n".join(ctes)
+        return f"""
+WITH {body}
+SELECT CAST(cell AS BIGINT) AS cell, cvec FROM {prev}
+"""
     ctes.append(f"af AS {assign(prev)}")
     body = ",\n".join(ctes)
     return f"""

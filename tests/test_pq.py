@@ -90,3 +90,46 @@ class TestPQ:
     def test_dim_must_divide(self, embs):
         with pytest.raises(ValueError):
             pq_train(embs, m=7)
+
+
+QUERY_IDS = [3, 17, 42]
+K = 5
+
+
+class TestADC:
+    @pytest.fixture(scope="class")
+    def topk(self, spark, embs):
+        from beats_spark.operators.pq import pq_topk
+
+        books = pq_train(embs, m=M, ks=KS, iters=ITERS)
+        return [
+            (r["q_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+            for r in pq_topk(embs, books, QUERY_IDS, k=K)
+            .orderBy("q_id", "rank")
+            .collect()
+        ]
+
+    def test_shape_and_monotone(self, topk):
+        by_q = {}
+        for q_id, n_id, dist, rank in topk:
+            assert n_id != q_id
+            by_q.setdefault(q_id, []).append((rank, dist))
+        assert sorted(by_q) == sorted(QUERY_IDS)
+        for q, rows in by_q.items():
+            assert [r for r, _ in rows] == list(range(1, K + 1)), q
+            dists = [d for _, d in rows]
+            assert dists == sorted(dists), q
+
+    def test_duckdb_parity(self, topk):
+        from beats_spark.operators.pq import pq_topk_sql
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF_DIR}/embeddings.parquet'"
+        )
+        sql = pq_topk_sql(
+            "embeddings", QUERY_IDS, m=M, ks=KS, iters=ITERS, k=K
+        )
+        duck = sorted(con.execute(sql).fetchall())
+        assert sorted(topk) == duck
