@@ -227,6 +227,181 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    ivf_iters: int = 2,
+    nprobe: int = 1,
+    m: int = 2,
+    ks: int = 8,
+    pq_iters: int = 1,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ composition: coarse-quantize the
+    corpus into ``n_cells`` trained IVF cells (similarity.kmeans_ivf),
+    PQ-encode every vector, then answer a query by ADC-ranking ONLY
+    the vectors in its ``nprobe`` nearest cells. Approximate on both
+    axes (cell recall × code quantization) — the trade every
+    production vector store makes.
+
+    ``rerank=R`` (R ≥ k) adds the production refine step: the ADC
+    pass keeps its top R candidates per query, and only those q×R
+    rows re-join their ORIGINAL vectors for an exact distance — the
+    fix for PQ's known failure mode (reconstruction error swamps the
+    fine ordering inside a tight neighborhood; measured on clustered
+    fixtures: cluster-recall 1.0 but exact-recall ~0.3 without
+    rerank, ~1.0 with). The corpus-wide pass still never touches
+    vectors; rerank touches exactly q×R.
+
+    Plan: candidate generation is an equi-join on ``cell`` (the r2
+    verdict's ann_ivf fix — never array_contains in a join), scoring
+    is the broadcast-LUT m-lookup sum from :func:`pq_topk`. Each
+    component is oracle-checked on its own driver row; the
+    composition is covered by recall floors in tests/test_pq.py."""
+    from .similarity import kmeans_ivf
+
+    assigned = kmeans_ivf(
+        df, k=n_cells, iters=ivf_iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cell")
+
+    books = pq_train(
+        df, m=m, ks=ks, iters=pq_iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    cand = codes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        "neighbor_id",
+    )
+
+    # queries probe their nprobe nearest IVF cells: rebuild the full
+    # centroids the same way kmeans_ivf trains them, score the (tiny)
+    # query side, explode to (q_id, cell) probe rows
+    xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
+    cents = _km_train(xq, n_cells, ivf_iters)
+    qonly = xq.where(F.col("vid").isin(query_ids))
+    probe_scored = F.array(
+        *[
+            F.struct(
+                _sq_fold(F.col("xq"), cvec).alias("dist"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in cents
+        ]
+    )
+    probes = (
+        qonly.select(
+            F.col("vid").alias("q_id"),
+            F.explode(
+                F.slice(F.array_sort(probe_scored), 1, nprobe)
+            ).alias("p"),
+        ).select("q_id", F.col("p.cell").alias("cell"))
+    )
+
+    d = len(books[0][0][1])
+    staged = xq.where(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("q_id"),
+        *[F.slice("xq", j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+    )
+    entries = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.lit(int(cell)).alias("cell_j"),
+                            F.floor(
+                                _sq_fold(F.col(f"_s{j}"), cvec) + F.lit(0.5)
+                            )
+                            .cast("long")
+                            .alias("qdist"),
+                        )
+                        for cell, cvec in book
+                    ]
+                )
+                for j, book in enumerate(books)
+            ]
+        )
+    )
+    lut = staged.select("q_id", F.explode(entries).alias("e")).select(
+        "q_id", F.col("e.j").alias("j"), F.col("e.cell_j").alias("cell_j"),
+        "e.qdist",
+    )
+
+    # candidates = probed cells only (equi-join on cell), then the ADC
+    # m-lookup sum
+    probed = cand.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("q_id")
+    )
+    ex = probed.select(
+        "q_id", "neighbor_id", F.posexplode("codes").alias("j", "cell_j")
+    )
+    scale2 = float(KMEANS_SCALE) ** 2
+    scored = (
+        ex.join(F.broadcast(lut), ["q_id", "j", "cell_j"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum("qdist").cast("double") / F.lit(scale2), 6
+            ).alias("adc_dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k).select(
+            "q_id", "neighbor_id", "adc_dist", "rank"
+        )
+
+    # refine: exact snapped distance for the surviving q×R rows only
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} < k={k}")
+    cand2 = ranked.where(F.col("rank") <= rerank).select(
+        "q_id", "neighbor_id"
+    )
+    nvec = xq.select(
+        F.col("vid").alias("neighbor_id"), F.col("xq").alias("nxq")
+    )
+    qvec = qonly.select(F.col("vid").alias("q_id"), F.col("xq").alias("qxq"))
+    exact = cand2.join(nvec, "neighbor_id").join(F.broadcast(qvec), "q_id")
+    edist = F.round(
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    "qxq",
+                    "nxq",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(scale2),
+        6,
+    )
+    rescored = exact.select("q_id", "neighbor_id", edist.alias("dist"))
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "dist", "rank")
+    )
+
+
 def pq_topk_sql(
     table: str,
     query_ids: list[int],

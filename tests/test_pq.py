@@ -133,3 +133,98 @@ class TestADC:
         )
         duck = sorted(con.execute(sql).fetchall())
         assert sorted(topk) == duck
+
+
+class TestIvfPqComposition:
+    """FAISS-style IVF-PQ end-to-end on a CLUSTERED fixture (10
+    well-separated centers, tight noise — deterministic seed). The
+    documented behavior: without rerank every returned neighbor is in
+    the query's true cluster but fine ordering is quantized away;
+    with the exact-rerank refine step recall@k against exact
+    euclidean is 1.0."""
+
+    Q = [0, 1, 2, 13, 47]
+    K = 5
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        import random
+
+        random.seed(7)
+        centers = [
+            [random.uniform(-1, 1) * 10 for _ in range(64)]
+            for _ in range(10)
+        ]
+        rows = [
+            (
+                i,
+                [
+                    float(x + random.uniform(-0.1, 0.1))
+                    for x in centers[i % 10]
+                ],
+            )
+            for i in range(500)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    @pytest.fixture(scope="class")
+    def exact_truth(self, clustered):
+        import pandas as pd
+
+        rows, _ = clustered
+        con = duckdb.connect()
+        con.register(
+            "e",
+            pd.DataFrame(
+                {
+                    "vec_id": [r[0] for r in rows],
+                    "embedding": [r[1] for r in rows],
+                }
+            ),
+        )
+        ids = ",".join(map(str, self.Q))
+        return set(
+            con.execute(f"""
+WITH q AS (SELECT vec_id q_id, embedding qv FROM e WHERE vec_id IN ({ids})),
+s AS (SELECT q.q_id, c.vec_id nid,
+        list_sum(list_transform(list_zip(c.embedding, q.qv),
+          p -> (p[1]::DOUBLE - p[2]::DOUBLE)*(p[1]::DOUBLE - p[2]::DOUBLE))) d
+      FROM e c, q WHERE c.vec_id <> q.q_id)
+SELECT q_id, nid FROM (SELECT *, row_number() OVER
+  (PARTITION BY q_id ORDER BY d, nid) rk FROM s) WHERE rk <= {self.K}
+""").fetchall()
+        )
+
+    def test_adc_only_stays_in_cluster(self, clustered):
+        from beats_spark.operators.pq import ivf_pq_topk
+
+        _, embs = clustered
+        got = ivf_pq_topk(
+            embs, self.Q, k=self.K, n_cells=16, nprobe=4,
+            m=8, ks=16, ivf_iters=3,
+        ).collect()
+        assert len(got) == len(self.Q) * self.K
+        for r in got:
+            assert r["q_id"] % 10 == r["neighbor_id"] % 10
+
+    def test_rerank_recovers_exact_topk(self, clustered, exact_truth):
+        from beats_spark.operators.pq import ivf_pq_topk
+
+        _, embs = clustered
+        got = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(
+                embs, self.Q, k=self.K, n_cells=16, nprobe=4,
+                m=8, ks=16, ivf_iters=3, rerank=40,
+            ).collect()
+        }
+        assert len(got & exact_truth) / len(exact_truth) == 1.0
+
+    def test_rerank_must_cover_k(self, clustered):
+        from beats_spark.operators.pq import ivf_pq_topk
+
+        _, embs = clustered
+        with pytest.raises(ValueError):
+            ivf_pq_topk(embs, self.Q, k=5, rerank=3).show()
