@@ -33,10 +33,16 @@ Determinism contract (every float leaves the engine identical):
   doubles.
 
 100-TB shape: the gram table builds once (one explode + local
-aggregation) and is the only corpus-sized object; each GD iteration
-is ONE map-side-combining groupBy over it (weights enter as a
-``n_buckets``-element literal array — no join), and scoring is one
-more. Nothing shuffles the corpus by anything but doc_id.
+aggregation), is hash-partitioned by doc_id ONCE, and is the only
+corpus-sized object; each GD iteration is ONE job over it — the
+per-doc z groupBy reuses the build partitioning and the error join
+back is exchange-free, so the corpus never re-shuffles inside the
+loop (weights enter as a literal array — no weight join; the bias is
+feature ``h = n_buckets``, so its gradient rides the same
+aggregation). Scoring is one more pass. At production scale the
+training slice is a bounded labeled sample (pass ``train_filter``) —
+fastText-style filters train on MBs of labels and score the TBs;
+only the scoring pass is corpus-sized.
 
 No reference-repo counterpart (training-data extension per the
 brief).
@@ -84,11 +90,19 @@ def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _features(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    with_bias: bool = False,
 ) -> DataFrame:
     """(doc_id, h, cnt, n) — hashed gram counts + the doc's total gram
     count. One groupBy (map-side combine); docs with zero grams emit
-    no rows (identically on both engines)."""
+    no rows (identically on both engines). ``with_bias`` appends the
+    intercept as feature ``h = n_buckets`` with ``cnt = n`` (feature
+    value n/n = 1): its gradient term ``floor(e·cnt/n + 0.5)``
+    collapses to the plain error — the bias gradient — so ONE
+    aggregation trains weights and bias together."""
     g = _grams(df, id_col, text_col).select(
         "doc_id",
         F.pmod(word_code(F.col("gram")), F.lit(n_buckets))
@@ -97,7 +111,17 @@ def _features(
     )
     counted = g.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
     totals = counted.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    return counted.join(totals, "doc_id")
+    out = counted.join(totals, "doc_id")
+    if with_bias:
+        out = out.unionByName(
+            totals.select(
+                "doc_id",
+                F.lit(n_buckets).alias("h"),
+                F.col("n").alias("cnt"),
+                "n",
+            )
+        )
+    return out
 
 
 def _fast_sigmoid(z: Column) -> Column:
@@ -121,10 +145,14 @@ def train_logistic(
 ) -> tuple[list[float], float]:
     """Train (weights, bias) by full-batch GD. ``label`` must be a
     0/1-valued integer Column; ``train_filter`` restricts the training
-    slice (default: all rows)."""
+    slice (default: all rows). The bias is feature ``h = n_buckets``
+    (see :func:`_features`), so each iteration is ONE job: the feature
+    table is hash-partitioned by doc_id ONCE at build, the per-doc z
+    groupBy reuses that partitioning, and the errors join back
+    exchange-free — the corpus never re-shuffles inside the loop."""
     base = df if train_filter is None else df.where(train_filter)
     feats = (
-        _features(base, id_col, text_col, n_buckets)
+        _features(base, id_col, text_col, n_buckets, with_bias=True)
         .join(
             base.select(
                 F.col(id_col).alias("doc_id"),
@@ -132,11 +160,11 @@ def train_logistic(
             ),
             "doc_id",
         )
+        .repartition("doc_id")
         .localCheckpoint()
     )
     n_docs = feats.select("doc_id").distinct().count()
-    w = [0.0] * n_buckets
-    b = 0.0
+    w = [0.0] * (n_buckets + 1)
     scale = float(LM_SCALE)
     for it in range(iters):
         # decayed step — tames the fast sigmoid's saturation
@@ -145,31 +173,32 @@ def train_logistic(
         lr_t = lr / (1.0 + it)
         warr = F.array(*[F.lit(x) for x in w])
         # z per doc: integer sum of snapped w[h]·cnt micro-products
+        # (the bias row contributes floor(w_b·n·1e6+0.5)/(n·1e6) ≈ w_b)
         zterm = F.floor(
             F.element_at(warr, F.col("h") + 1)
             * F.col("cnt")
             * F.lit(scale)
             + F.lit(0.5)
         ).cast("long")
-        per_doc = feats.groupBy("doc_id", "n", "y").agg(
-            F.sum(zterm).alias("_zs")
+        per_doc = feats.groupBy("doc_id").agg(
+            F.max("n").alias("n"),
+            F.max("y").alias("y"),
+            F.sum(zterm).alias("_zs"),
         )
-        z = F.col("_zs").cast("double") / (
-            F.col("n") * F.lit(scale)
-        ) + F.lit(b)
+        z = F.col("_zs").cast("double") / (F.col("n") * F.lit(scale))
         emicro = F.floor(
             (_fast_sigmoid(z) - F.col("y")) * F.lit(scale) + F.lit(0.5)
         ).cast("long")
-        errs = per_doc.select("doc_id", "n", emicro.alias("e")).localCheckpoint()
-        gb = errs.agg(F.sum("e").alias("g")).first()["g"]
-        # weight gradient: integer sum of floor(e·cnt/n + 0.5) per (doc,h)
+        errs = per_doc.select("doc_id", emicro.alias("e"))
+        # weight gradient: integer sum of floor(e·cnt/n + 0.5) per
+        # (doc,h); the bias row's term is floor(e + 0.5) = e itself
         gterm = F.floor(
             F.col("e").cast("double") * F.col("cnt") / F.col("n")
             + F.lit(0.5)
         ).cast("long")
         grads = {
             r["h"]: r["g"]
-            for r in feats.join(errs.select("doc_id", "e"), "doc_id")
+            for r in feats.join(errs, "doc_id")
             .groupBy("h")
             .agg(F.sum(gterm).alias("g"))
             .collect()
@@ -177,10 +206,9 @@ def train_logistic(
         # update trees mirrored in the SQL twin: w - lr_t*(g/(N·1e6))
         w = [
             w[h] - lr_t * (grads.get(h, 0) / (n_docs * scale))
-            for h in range(n_buckets)
+            for h in range(n_buckets + 1)
         ]
-        b = b - lr_t * (gb / (n_docs * scale))
-    return w, b
+    return w[:n_buckets], w[n_buckets]
 
 
 def classifier_scores(
@@ -206,15 +234,17 @@ def classifier_scores(
         lr=lr,
         train_filter=F.col(id_col) % train_mod != 0,
     )
-    feats = _features(df, id_col, text_col, n_buckets)
-    warr = F.array(*[F.lit(x) for x in w])
+    feats = _features(df, id_col, text_col, n_buckets, with_bias=True)
+    warr = F.array(*[F.lit(x) for x in w + [b]])
     scale = float(LM_SCALE)
     zterm = F.floor(
         F.element_at(warr, F.col("h") + 1) * F.col("cnt") * F.lit(scale)
         + F.lit(0.5)
     ).cast("long")
-    per_doc = feats.groupBy("doc_id", "n").agg(F.sum(zterm).alias("_zs"))
-    z = F.col("_zs").cast("double") / (F.col("n") * F.lit(scale)) + F.lit(b)
+    per_doc = feats.groupBy("doc_id").agg(
+        F.max("n").alias("n"), F.sum(zterm).alias("_zs")
+    )
+    z = F.col("_zs").cast("double") / (F.col("n") * F.lit(scale))
     scored = per_doc.select(
         "doc_id",
         F.col("n").cast("long").alias("n_grams"),
@@ -248,16 +278,18 @@ def classifier_scores_sql(
     train_mod: int = TRAIN_MOD,
 ) -> str:
     """DuckDB twin of :func:`classifier_scores` — the GD loop unrolled
-    into CTE pairs (eN = per-doc errors, wN/bN = updated parameters),
-    lock-step with the Spark/driver arithmetic: same hashing, same
-    snapped integer sums, same fast sigmoid, same update trees.
+    into CTE pairs (eN = per-doc errors, wN = updated parameters; the
+    bias is weight row ``h = n_buckets``), lock-step with the
+    Spark/driver arithmetic: same hashing, same snapped integer sums,
+    same fast sigmoid, same update trees. Every CTE in the loop chain
+    is MATERIALIZED — DuckDB inlines plain CTEs, and an unrolled
+    recursion re-expands the whole upstream chain per reference.
     ``label_expr`` must evaluate to 0/1."""
     toks = WORDS_SQL.format(c=f"lower({text_col})")
     hname = word_code_sql("gram")
-    sig_of = FAST_SIGMOID_SQL.format(z="z")
 
-    def zs(wtab: str, btab: str, feat: str) -> str:
-        """per-doc z from a weight table + bias table."""
+    def zs(wtab: str, feat: str) -> str:
+        """per-doc z numerator from a weight table (bias row incl.)."""
         return f"""(
   SELECT f.doc_id, f.n, any_value(f.y) AS y,
          CAST(sum(CAST(floor(w.w * f.cnt * {LM_SCALE}.0 + 0.5) AS BIGINT))
@@ -286,12 +318,15 @@ def classifier_scores_sql(
   SELECT doc_id, any_value(y) AS y, h, count(*) AS cnt
   FROM hashed GROUP BY doc_id, h
 )""",
-        """featsall AS MATERIALIZED (
+        """totals AS MATERIALIZED (
+  SELECT doc_id, any_value(y) AS y, CAST(sum(cnt) AS BIGINT) AS n
+  FROM counted GROUP BY doc_id
+)""",
+        f"""featsall AS MATERIALIZED (
   SELECT c.doc_id, c.y, c.h, c.cnt, t.n
-  FROM counted c JOIN (
-    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
-    FROM counted GROUP BY doc_id
-  ) t USING (doc_id)
+  FROM counted c JOIN totals t USING (doc_id)
+  UNION ALL
+  SELECT doc_id, y, {n_buckets} AS h, n AS cnt, n FROM totals
 )""",
         f"""feats AS MATERIALIZED (
   SELECT * FROM featsall WHERE doc_id % {train_mod} <> 0
@@ -299,11 +334,10 @@ def classifier_scores_sql(
         "ndocs AS MATERIALIZED (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM feats)",
         f"""w0 AS MATERIALIZED (
   SELECT i AS h, 0.0::DOUBLE AS w
-  FROM unnest(generate_series(0, {n_buckets - 1})) AS t(i)
+  FROM unnest(generate_series(0, {n_buckets})) AS t(i)
 )""",
-        "b0 AS (SELECT 0.0::DOUBLE AS b)",
     ]
-    prev_w, prev_b = "w0", "b0"
+    prev_w = "w0"
     for i in range(1, iters + 1):
         # repr() round-trips the exact double the Python update used
         lr_t = lr / (1.0 + (i - 1))
@@ -311,9 +345,9 @@ def classifier_scores_sql(
             f"""e{i} AS MATERIALIZED (
   SELECT doc_id, n,
          CAST(floor(({FAST_SIGMOID_SQL.format(
-             z=f'(zs / (n * {LM_SCALE}.0) + b)')} - y)
+             z=f'(zs / (n * {LM_SCALE}.0))')} - y)
               * {LM_SCALE}.0 + 0.5) AS BIGINT) AS e
-  FROM {zs(prev_w, prev_b, 'feats')} CROSS JOIN {prev_b}
+  FROM {zs(prev_w, 'feats')}
 )"""
         )
         ctes.append(
@@ -330,14 +364,7 @@ def classifier_scores_sql(
   CROSS JOIN ndocs
 )"""
         )
-        ctes.append(
-            f"""b{i} AS MATERIALIZED (
-  SELECT b.b - {lr_t!r} * ((SELECT CAST(sum(e) AS BIGINT) FROM e{i})
-                       / (nd * {LM_SCALE}.0)) AS b
-  FROM {prev_b} b CROSS JOIN ndocs
-)"""
-        )
-        prev_w, prev_b = f"w{i}", f"b{i}"
+        prev_w = f"w{i}"
     ctes.append(
         f"""finalz AS MATERIALIZED (
   SELECT f.doc_id, f.n,
@@ -349,7 +376,7 @@ def classifier_scores_sql(
     )
     body = ",\n".join(ctes)
     score = (
-        f"round({FAST_SIGMOID_SQL.format(z=f'(zs / (n * {LM_SCALE}.0) + b)')}"
+        f"round({FAST_SIGMOID_SQL.format(z=f'(zs / (n * {LM_SCALE}.0))')}"
         ", 6)"
     )
     return f"""
@@ -361,6 +388,5 @@ SELECT f.doc_id AS {id_col}, CAST(f.n AS BIGINT) AS n_grams,
        f.doc_id % {train_mod} <> 0 AS is_train,
        ({score} >= 0.5) = CAST(s.y AS BOOLEAN) AS correct
 FROM finalz f
-CROSS JOIN {prev_b}
 JOIN (SELECT DISTINCT doc_id, y FROM seqs) s USING (doc_id)
 """
