@@ -202,18 +202,25 @@ def pack_sequences(
     group_col: str = "source",
     order_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack: stable (group, order)
     sequence, contiguous fill of ``token_budget`` whitespace tokens —
     pack_id = floor(exclusive-prefix-tokens / budget). One window over
     the (group, order) sort the fan-out writer needs anyway; at scale
-    the shuffle keys on the group column exactly like the router."""
+    the shuffle keys on the group column exactly like the router.
+    ``n_tokens_col`` substitutes a precomputed token count (e.g. real
+    BPE counts from operators/bpe.py) for the whitespace estimate."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tok = token_count_ws(F.col(text_col)).cast("long")
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count_ws(F.col(text_col))
+    ).cast("long")
     prefix = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
     return df.select(
         group_col,

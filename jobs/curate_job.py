@@ -67,6 +67,7 @@ def curate(
     html: bool = False,
     url_col: str | None = None,
     blocklist_path: str | None = None,
+    bpe_merges: int = 0,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -263,7 +264,29 @@ def curate(
     kept = flags.where(kept_cond).select(
         "doc_id", "lang", "source", redact_text(F.col("text")).alias("text")
     )
-    packs = pack_sequences(kept, token_budget=token_budget)
+    if bpe_merges:
+        # --bpe-merges N: train a real BPE vocab on the SURVIVING set
+        # and pack on true token counts instead of the whitespace
+        # estimate (training sees only the (word, count) table; the
+        # corpus-side tokenize is a broadcast join — operators/bpe.py)
+        from beats_spark.operators.bpe import (
+            tokenize_documents,
+            train_bpe,
+        )
+
+        merges = train_bpe(kept, n_merges=bpe_merges)
+        counts = tokenize_documents(kept, merges).select(
+            "doc_id", F.col("n_tokens").alias("_bpe_n")
+        )
+        kept = kept.join(counts, "doc_id", "left").withColumn(
+            "_bpe_n", F.coalesce("_bpe_n", F.lit(0)).cast("long")
+        )
+        packs = pack_sequences(
+            kept, token_budget=token_budget, n_tokens_col="_bpe_n"
+        )
+        kept = kept.drop("_bpe_n")
+    else:
+        packs = pack_sequences(kept, token_budget=token_budget)
     packed = kept.join(
         packs.select("doc_id", "n_tokens", "pack_id"), "doc_id"
     )
@@ -305,6 +328,13 @@ def main(argv: list[str] | None = None) -> int:
         "duplicated n-token-span fraction exceeds this (default: gate off)",
     )
     p.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="train a BPE vocab of this many merges on the kept set "
+        "and pack on true token counts (default: whitespace estimate)",
+    )
+    p.add_argument(
         "--url-col",
         default=None,
         help="URL gate: input column holding each document's source "
@@ -342,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
             html=args.html,
             url_col=args.url_col,
             blocklist_path=args.blocklist,
+            bpe_merges=args.bpe_merges,
         )
     finally:
         spark.stop()

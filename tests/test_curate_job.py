@@ -141,6 +141,31 @@ class TestCurateJob:
         assert f["pass_url_keep"] == n - len(blocked) - len(losers)
         assert 0 < f["pass_url_keep"] < n
 
+    def test_bpe_token_packing(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark, f"{SF_DIR}/documents.parquet", out,
+            default_rate=1.0, token_budget=128, bpe_merges=40,
+        )
+        assert summary["kept"] > 0
+        # pack ids reproduce the prefix-floor rule over the BPE counts
+        # the output itself carries (DuckDB recomputes independently);
+        # BPE counts exceed whitespace counts (subword + </w> splits)
+        (mismatch, bpe_ge_ws) = duckdb.sql(
+            "WITH o AS (SELECT source, pack_id, n_tokens, text,"
+            " coalesce(sum(n_tokens) OVER (PARTITION BY source"
+            "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND 1 PRECEDING), 0) AS prefix"
+            f" FROM parquet_scan('{out}/packed/*/*.parquet',"
+            "   hive_partitioning=1))"
+            " SELECT max(abs(pack_id - floor(prefix / 128))),"
+            "  min(CASE WHEN n_tokens >= len(string_split(trim(text), ' '))"
+            "      THEN 1 ELSE 0 END) FROM o"
+        ).fetchone()
+        assert mismatch == 0
+        assert bpe_ge_ws == 1
+
     def test_url_gate_off_by_default(self, spark, tmp_path):
         out = str(tmp_path / "curated")
         summary = curate(
