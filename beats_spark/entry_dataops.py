@@ -102,8 +102,14 @@ def q_dedup_exact(spark, sf_dir):
     duplicated-span detection, the Lee et al. 2022 substring-dedup
     modality as a fixed n-token-window restatement
     (operators/dedup.py duplicated_spans: id=doc_id, m1=n_spans,
-    m2=n_dup_spans, frac=dup_span_frac)."""
-    from .operators.dedup import duplicated_spans
+    m2=n_dup_spans, frac=dup_span_frac); 'para' = Dolma-style
+    paragraph-level dedup (paragraph_stats) over deterministic
+    multi-paragraph documents built from overlapping windows of the
+    single-line corpus (synthetic doc g = source docs {2g, 2g+1,
+    2g+2} joined by newlines, so every even source text ≥ 2 is a
+    provable cross-document duplicated paragraph; id=g, m1=n_paras,
+    m2=n_dup_paras, frac=dup_para_frac)."""
+    from .operators.dedup import duplicated_spans, paragraph_stats
 
     docs = _docs(spark, sf_dir)
     d = exact_dedup_groups(docs).select(
@@ -120,7 +126,31 @@ def q_dedup_exact(spark, sf_dir):
         F.col("n_dup_spans").alias("m2"),
         F.col("dup_span_frac").alias("frac"),
     )
-    return d.unionByName(s)
+    did = F.col("doc_id")
+    gs = F.when(
+        (F.pmod(did, F.lit(2)) == 0) & (did >= 2),
+        F.array(
+            (did / 2 - 1).cast("long"), (did / 2).cast("long")
+        ),
+    ).otherwise(F.array(F.floor(did / 2).cast("long")))
+    mem = docs.select(did.alias("d"), "text", F.explode(gs).alias("g"))
+    synth = mem.groupBy("g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "text"))),
+                lambda st: st["text"],
+            ),
+            "\n",
+        ).alias("text")
+    ).select(F.col("g").alias("doc_id"), "text")
+    p = paragraph_stats(synth, min_df=2).select(
+        F.lit("para").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("n_paras").alias("m1"),
+        F.col("n_dup_paras").alias("m2"),
+        F.col("dup_para_frac").alias("frac"),
+    )
+    return d.unionByName(s).unionByName(p)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -847,6 +877,24 @@ def q_url_curation(spark, sf_dir):
     )
 
 
+def _paragraph_variant_oracle() -> str:
+    from .operators.dedup import paragraph_stats_sql
+
+    synth = """(
+  WITH _mem AS MATERIALIZED (
+    SELECT doc_id AS d, text, CAST(floor(doc_id / 2) AS BIGINT) AS g
+    FROM documents
+    UNION ALL
+    SELECT doc_id, text, CAST(doc_id / 2 - 1 AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id >= 2
+  )
+  SELECT g AS doc_id,
+         array_to_string(list(text ORDER BY d), chr(10)) AS text
+  FROM _mem GROUP BY g
+)"""
+    return paragraph_stats_sql(synth, min_df=2)
+
+
 def _url_curation_oracle() -> str:
     from .operators.urltools import (
         canonical_url_sql_ctes,
@@ -1211,6 +1259,10 @@ UNION ALL
 SELECT 'span' AS variant, doc_id AS id, n_spans AS m1,
        n_dup_spans AS m2, dup_span_frac AS frac
 FROM ({duplicated_spans_sql("documents", n=SPAN_N, min_df=2)})
+UNION ALL
+SELECT 'para' AS variant, doc_id AS id, n_paras AS m1,
+       n_dup_paras AS m2, dup_para_frac AS frac
+FROM ({_paragraph_variant_oracle()})
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),

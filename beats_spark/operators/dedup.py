@@ -894,3 +894,136 @@ def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:
         for b in range(bits)
     )
     return f"(SELECT {terms} FROM (SELECT {codes} AS codes) _sh)"
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma-style)
+
+
+#: paragraph boundary — one or more newlines (same pattern text on
+#: both engines)
+PARA_SPLIT_RE = "\\n+"
+
+
+def _paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, para): trimmed non-empty newline-separated
+    segments, pos = position AMONG KEPT paragraphs (relative order is
+    all the reassembly needs, and it matches the SQL twin's filtered
+    ordering)."""
+    ps = F.filter(
+        F.transform(
+            F.split(F.col(text_col), PARA_SPLIT_RE), lambda p: F.trim(p)
+        ),
+        lambda p: p != F.lit(""),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(ps).alias("pos", "para")
+    )
+
+
+def paragraph_stats(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level duplication stats — the Dolma pipeline's
+    paragraph dedup granularity (Soldaini et al. 2024, "Dolma": exact
+    paragraph dedup between document-level and substring-level): a
+    paragraph (trimmed newline-separated segment) is DUPLICATED when
+    it appears in ≥ ``min_df`` distinct documents.
+
+    Returns (doc_id, n_paras, n_dup_paras, dup_para_frac); documents
+    with no non-empty paragraph emit no row.
+
+    100-TB shape: one explode, one shuffle on the paragraph for the
+    document-frequency count, one join back on the same key, one
+    groupBy on the doc id — the duplicated_spans plan at paragraph
+    granularity (group on a fixed-width hash of the paragraph at real
+    scale, as exact_dedup_groups documents)."""
+    paras = _paragraphs(df, text_col, id_col)
+    dup = (
+        paras.groupBy("para")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("para", F.lit(1).alias("_dup"))
+    )
+    return (
+        paras.join(dup, "para", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count("_dup").alias("n_dup_paras"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "n_dup_paras",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 6).alias(
+                "dup_para_frac"
+            ),
+        )
+    )
+
+
+def drop_duplicated_paragraphs(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal policy to go with :func:`paragraph_stats`:
+    duplicated paragraphs survive only in their OWNER document (the
+    lowest doc id containing them — deterministic keep-first, the
+    exact_dedup_groups convention); unique paragraphs always survive.
+    Returns (doc_id, text) with paragraphs rejoined by single
+    newlines in original relative order; a document whose every
+    paragraph was dropped emits no row (same convention as
+    zero-paragraph inputs)."""
+    paras = _paragraphs(df, text_col, id_col)
+    owner = paras.groupBy("para").agg(
+        F.countDistinct(id_col).alias("_df"),
+        F.min(id_col).alias("_own"),
+    )
+    kept = paras.join(owner, "para").where(
+        (F.col("_df") < min_df) | (F.col(id_col) == F.col("_own"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+
+
+def paragraph_stats_sql(
+    table: str, min_df: int = 2, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`paragraph_stats` (same split pattern,
+    same distinct-document rule)."""
+    return f"""
+WITH _pp AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, trim(ps[i]) AS para
+  FROM (SELECT {id_col}, regexp_split_to_array({text_col},
+                                               '{PARA_SPLIT_RE}') AS ps
+        FROM {table}),
+       unnest(generate_series(1, len(ps))) AS t(i)
+  WHERE trim(ps[i]) <> ''
+),
+_pd AS MATERIALIZED (
+  SELECT para FROM _pp GROUP BY para
+  HAVING count(DISTINCT doc_id) >= {min_df}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN d.para IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_paras,
+       round(sum(CASE WHEN d.para IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_para_frac
+FROM _pp p LEFT JOIN _pd d USING (para)
+GROUP BY doc_id
+"""

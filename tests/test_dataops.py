@@ -424,3 +424,69 @@ class TestQuantization:
         assert rows[2]["s"] == 0.0 and rows[2]["deq"] == [0, 0, 0, 0]
         # max-magnitude component hits ±127 exactly
         assert max(abs(x) for x in rows[0]["q"]) == 127
+
+
+class TestParagraphDedup:
+    ROWS = [
+        (1, "shared intro\nunique one\n\nshared outro"),
+        (2, "shared intro\nunique two"),
+        (3, "unique three\nshared outro"),
+        (4, "   \n\n"),  # whitespace-only → no row
+        (5, "unique five\nunique five"),  # within-doc repeat: NOT dup
+    ]
+
+    def test_paragraph_stats_hand_case(self, spark):
+        from beats_spark.operators.dedup import paragraph_stats
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["dup_para_frac"])
+            for r in paragraph_stats(df).collect()
+        }
+        # 'shared intro' in docs 1,2; 'shared outro' in docs 1,3
+        assert got[1] == (3, 2, round(2 / 3, 6))
+        assert got[2] == (2, 1, 0.5)
+        assert got[3] == (2, 1, 0.5)
+        assert 4 not in got
+        # within-doc repeat is ONE distinct doc → not duplicated
+        assert got[5] == (2, 0, 0.0)
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from beats_spark.operators.dedup import (
+            paragraph_stats,
+            paragraph_stats_sql,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(tuple(r) for r in paragraph_stats(df).collect())
+        con = duckdb.connect()
+        con.register(
+            "pdocs",
+            pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in self.ROWS],
+                    "text": [r[1] for r in self.ROWS],
+                }
+            ),
+        )
+        duck = sorted(con.execute(paragraph_stats_sql("pdocs")).fetchall())
+        assert got == duck
+
+    def test_drop_keeps_owner_and_order(self, spark):
+        from beats_spark.operators.dedup import drop_duplicated_paragraphs
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_duplicated_paragraphs(df).collect()
+        }
+        # doc 1 owns both shared paragraphs (lowest id) → intact,
+        # rejoined with single newlines in original order
+        assert got[1] == "shared intro\nunique one\nshared outro"
+        assert got[2] == "unique two"
+        assert got[3] == "unique three"
+        assert 4 not in got
+        assert got[5] == "unique five\nunique five"
