@@ -28,6 +28,7 @@ from .functions.textstats import (
     token_count_ws,
 )
 from .operators.dedup import (
+    bloom_dedup_sql,
     connected_components_sql,
     duplicated_spans_sql,
     exact_dedup_groups,
@@ -39,13 +40,18 @@ from .operators.dedup import (
     ngram_jaccard_sql,
     norm_text,
     NORM_SQL,
+    select_representatives_sql,
     simhash,
     simhash_df,
     simhash_hamming_pairs_sql,
     simhash_sql,
 )
 from .operators.decontam import ngram_overlap_sql
-from .operators.sampling import pack_sequences_sql, stratified_sample_sql
+from .operators.sampling import (
+    assign_shards_sql,
+    pack_sequences_sql,
+    stratified_sample_sql,
+)
 from .operators.multimodal import (
     extract_features,
     multimodal_features_sql,
@@ -108,8 +114,14 @@ def q_dedup_exact(spark, sf_dir):
     single-line corpus (synthetic doc g = source docs {2g, 2g+1,
     2g+2} joined by newlines, so every even source text ≥ 2 is a
     provable cross-document duplicated paragraph; id=g, m1=n_paras,
-    m2=n_dup_paras, frac=dup_para_frac)."""
-    from .operators.dedup import duplicated_spans, paragraph_stats
+    m2=n_dup_paras, frac=dup_para_frac); 'bloom' = incremental
+    new-batch-vs-historical dedup through a broadcast Bloom bitmap
+    (bloom_dedup_flags: id=doc_id, m1=maybe_dup)."""
+    from .operators.dedup import (
+        bloom_dedup_flags,
+        duplicated_spans,
+        paragraph_stats,
+    )
 
     docs = _docs(spark, sf_dir)
     d = exact_dedup_groups(docs).select(
@@ -150,7 +162,22 @@ def q_dedup_exact(spark, sf_dir):
         F.col("n_dup_paras").alias("m2"),
         F.col("dup_para_frac").alias("frac"),
     )
-    return d.unionByName(s).unionByName(p)
+    # 'bloom' = INCREMENTAL exact dedup: flag new-batch docs (id%5==0)
+    # whose normalized text the historical corpus (the rest) already
+    # holds, via a broadcast-as-literal Bloom bitmap — the historical
+    # side is aggregated once into the filter and never joined
+    # (dedup.py bloom_dedup_flags; m1 = maybe_dup as 0/1)
+    b = bloom_dedup_flags(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0),
+    ).select(
+        F.lit("bloom").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("maybe_dup").cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    return d.unionByName(s).unionByName(p).unionByName(b)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -208,16 +235,18 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    """near-dup CLUSTERS: minhash-LSH pairs → min-label-propagation
-    connected components (dedup.py connected_components); every doc
-    labeled with its canonical (minimum) reachable id + cluster
-    size — the select-one-per-cluster step every dedup pipeline ends
-    with."""
-    from .operators.dedup import connected_components
+    """near-dup CLUSTERS + keep-best: minhash-LSH pairs →
+    min-label-propagation connected components (dedup.py
+    connected_components), then the representative each cluster KEEPS
+    (dedup.py select_representatives: highest quality = longest doc,
+    ties → min id) — the select-one-per-cluster step every dedup
+    pipeline ends with, as rep_id/is_representative columns."""
+    from .operators.dedup import connected_components, select_representatives
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, threshold=MINHASH_T)
-    return connected_components(pairs, docs)
+    comp = connected_components(pairs, docs)
+    return select_representatives(comp, docs)
 
 
 def q_quality_filter(spark, sf_dir):
@@ -313,11 +342,16 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """training-pack assignment (operators/sampling.py): contiguous
-    fill of 256-token packs per source in stable doc order."""
-    from .operators.sampling import pack_sequences
+    """training-output assembly (operators/sampling.py): contiguous
+    256-token pack assignment per source in stable doc order, PLUS
+    the deterministic global-shuffle shard columns (assign_shards:
+    shard = portable-hash mod 8, shard_pos = hash-order rank) the
+    shard writer realizes — packing and shuffling are the two halves
+    of the same write."""
+    from .operators.sampling import assign_shards, pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), token_budget=256)
+    packed = pack_sequences(_docs(spark, sf_dir), token_budget=256)
+    return assign_shards(packed, n_shards=8, key_col="doc_id")
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -1263,6 +1297,14 @@ UNION ALL
 SELECT 'para' AS variant, doc_id AS id, n_paras AS m1,
        n_dup_paras AS m2, dup_para_frac AS frac
 FROM ({_paragraph_variant_oracle()})
+UNION ALL
+SELECT 'bloom' AS variant, doc_id AS id,
+       CAST(maybe_dup AS BIGINT) AS m1,
+       CAST(NULL AS BIGINT) AS m2, CAST(NULL AS DOUBLE) AS frac
+FROM ({bloom_dedup_sql(
+            "SELECT * FROM documents WHERE doc_id % 5 = 0",
+            "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+        )})
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),
@@ -1305,8 +1347,11 @@ SELECT 'hamming' AS variant,
        CAST(hamming AS BIGINT) AS c
 FROM ({simhash_hamming_pairs_sql("documents", max_hamming=3)})
 """,
-        "dedup_components": connected_components_sql(
-            minhash_lsh_pairs_sql("documents", MINHASH_T), "documents"
+        "dedup_components": select_representatives_sql(
+            connected_components_sql(
+                minhash_lsh_pairs_sql("documents", MINHASH_T), "documents"
+            ),
+            "documents",
         ),
         "quality_filter": quality_filter_oracle("documents"),
         "ann_ivf_trained": kmeans_ivf_sql("embeddings", k=8, iters=2),
@@ -1318,7 +1363,11 @@ FROM ({simhash_hamming_pairs_sql("documents", max_hamming=3)})
             threshold=1,
         ),
         "stratified_sample": _sampling_oracle(),
-        "pack_sequences": pack_sequences_sql("documents", token_budget=256),
+        "pack_sequences": assign_shards_sql(
+            f"({pack_sequences_sql('documents', token_budget=256)})",
+            n_shards=8,
+            cols="source, doc_id, n_tokens, pack_id",
+        ),
         "dns_enrich": """
 WITH hosts AS (
   SELECT doc_id, 'host-' || source AS host FROM documents

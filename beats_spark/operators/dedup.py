@@ -726,6 +726,65 @@ SELECT id AS {id_col}, component_id,
 FROM labeled
 """
 
+def select_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Pick the document each near-dup cluster KEEPS: highest quality
+    wins, ties break to the minimum id (deterministic). This is the
+    keep-best policy of Dolma/FineWeb-style dedup — keep-first is the
+    special case of a constant quality. Default quality = whitespace
+    token count (keep the longest duplicate), any deterministic Column
+    over ``docs`` substitutes.
+
+    Input ``components`` is :func:`connected_components` output; the
+    result adds ``rep_id`` (the kept doc) and ``is_representative``
+    per row. 100-TB shape: one join on the doc id + one window keyed
+    on ``component_id`` — the same key the component sizes already
+    grouped on; quality is map-side."""
+    from ..functions.textstats import token_count_ws
+
+    q = (quality if quality is not None else token_count_ws(F.col("text"))).cast(
+        "long"
+    )
+    qdf = docs.select(F.col(id_col), q.alias("_quality"))
+    j = components.join(qdf, id_col)
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("_quality").desc(), F.col(id_col)
+    )
+    rep = F.first(F.col(id_col)).over(w)
+    return j.withColumn("rep_id", rep).withColumn(
+        "is_representative", F.col(id_col) == F.col("rep_id")
+    ).drop("_quality")
+
+
+def select_representatives_sql(
+    components_sql: str, table: str, id_col: str = "doc_id",
+    quality_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`select_representatives` over the
+    :func:`connected_components_sql` labeled output."""
+    from ..functions.textstats import WORDS_SQL
+
+    q = quality_sql or f"CAST(len({WORDS_SQL.format(c='text')}) AS BIGINT)"
+    return f"""
+WITH cc AS ({components_sql}),
+q AS (SELECT {id_col} AS qid, {q} AS _quality FROM {table})
+SELECT {id_col}, component_id, component_size,
+       first_value({id_col}) OVER (
+         PARTITION BY component_id
+         ORDER BY _quality DESC, {id_col}
+       ) AS rep_id,
+       {id_col} = first_value({id_col}) OVER (
+         PARTITION BY component_id
+         ORDER BY _quality DESC, {id_col}
+       ) AS is_representative
+FROM cc JOIN q ON q.qid = cc.{id_col}
+"""
+
+
 SIMHASH_BITS = 32
 
 
@@ -1026,4 +1085,161 @@ SELECT doc_id,
              / count(*), 6) AS dup_para_frac
 FROM _pp p LEFT JOIN _pd d USING (para)
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (new batch vs an already-ingested corpus)
+
+
+BLOOM_M = 1 << 14   #: bits (test default; size ~10 bits/key at scale)
+BLOOM_K = 4         #: probes per key
+
+
+def _bloom_hashes(key: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit codes from one md5 (same split the
+    minhash chain uses) — Kirsch-Mitzenmacher double hashing derives
+    all k probe positions from (h1 + i*h2) without extra digests."""
+    hx = F.md5(key)
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """array<long> of the k probe positions for a key. h1 + i·h2 stays
+    < 2^36 (both halves are 32-bit), so the long arithmetic never
+    overflows and DuckDB reproduces it bit-for-bit."""
+    h1, h2 = _bloom_hashes(key)
+    return F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Build the filter over a corpus' keys; returns the bitmap as
+    m/64 longs (driver-side list — FILTER-sized, never data-sized).
+
+    100-TB shape: explode the k probe positions, fold into (word,
+    mask) and ``bit_or``-aggregate on the word index. The group-key
+    domain is m/64 rows, so hash aggregation collapses each input
+    partition map-side to ≤ m/64 partial rows before the exchange —
+    the corpus is read once and the shuffle carries #partitions ×
+    m/64 tiny rows regardless of corpus size. A 1-billion-key corpus
+    at 10 bits/key is a ~1.2 GB bitmap: broadcastable where the key
+    set itself is not. (Spark's native ``bloom_filter_agg`` builds
+    the same thing JVM-side; this portable md5 construction is used
+    so the DuckDB oracle reproduces membership — including false
+    positives — exactly.)"""
+    n_words = (m + 63) // 64
+    pos = df.select(F.explode(bloom_positions(key, m, k)).alias("pos"))
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # call_function: the Python DSL's shiftleft/shiftright only
+            # take literal ints; the SQL expressions accept a Column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    out = [0] * n_words
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def bloom_maybe_contains(
+    key: Column, bitmap: list[int], m: int = BLOOM_M, k: int = BLOOM_K
+) -> Column:
+    """Membership test against a built bitmap (all k probe bits set).
+    The bitmap rides into the plan as an array literal — the same
+    broadcast-as-literal pattern as the trained k-means centroids
+    (operators/similarity.py); the test is pure Column bit arithmetic,
+    map-side, zero joins."""
+    h1, h2 = _bloom_hashes(key)
+    # explicit per-element long casts: lit() on a mixed int/long list
+    # must not infer array<int> and truncate high words
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    test = None
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m)
+        word = F.element_at(lit_words, ((pos / 64).cast("long") + 1).cast("int"))
+        bit = (
+            F.call_function("shiftright", word, (pos % 64).cast("int"))
+            .bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+        test = bit if test is None else (test & bit)
+    return test
+
+
+def bloom_dedup_flags(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact dedup: flag each NEW document whose
+    normalized text is (probably) already in the HISTORICAL corpus —
+    without ever joining or shuffling the historical corpus against
+    the batch. One filter build over hist (see :func:`bloom_build`),
+    then a map-side membership column over new. ``maybe_dup`` carries
+    Bloom semantics: false positives possible (deterministic given m,
+    k — the oracle reproduces them), false negatives impossible; a
+    pipeline that must be exact re-checks only flagged rows with an
+    (id-bounded) anti-join."""
+    bitmap = bloom_build(hist_df, norm_text(F.col(text_col)), m, k)
+    return new_df.select(
+        F.col(id_col),
+        bloom_maybe_contains(norm_text(F.col(text_col)), bitmap, m, k).alias(
+            "maybe_dup"
+        ),
+    )
+
+
+def bloom_dedup_sql(
+    new_sql: str,
+    hist_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of :func:`bloom_dedup_flags`. Membership in the
+    position SET is definitionally the bitmap test (a bit is set iff
+    some hist key probed it), so the oracle reproduces Bloom behavior
+    exactly — false positives included."""
+    norm = NORM_SQL.format(c=text_col)
+    probes = ", ".join(
+        f"(h1 + {i} * h2) % {m}" for i in range(k)
+    )
+    return f"""
+WITH _bl_hist AS (
+  SELECT ('0x' || substr(md5({norm}), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5({norm}), 9, 8))::BIGINT AS h2
+  FROM ({hist_sql})
+),
+_bl_hp AS (
+  SELECT DISTINCT unnest([{probes}]) AS pos FROM _bl_hist
+),
+_bl_new AS (
+  SELECT {id_col},
+         ('0x' || substr(md5({norm}), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5({norm}), 9, 8))::BIGINT AS h2
+  FROM ({new_sql})
+),
+_bl_np AS (
+  SELECT {id_col}, unnest([{probes}]) AS pos FROM _bl_new
+)
+SELECT {id_col}, bool_and(pos IN (SELECT pos FROM _bl_hp)) AS maybe_dup
+FROM _bl_np GROUP BY {id_col}
 """

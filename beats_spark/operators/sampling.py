@@ -251,3 +251,99 @@ SELECT {group_col}, {order_col}, n_tokens,
             / {token_budget}) AS BIGINT) AS pack_id
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + shard assignment (training output)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    step of a training-data pipeline: examples must reach the trainer
+    in pseudo-random order, split into a fixed number of shard files.
+
+    ``shard = portable-hash(key) mod n_shards`` and the within-shard
+    order key is the hash itself (ties → key): HASH ORDER *is* the
+    random permutation, and unlike ``df.orderBy(rand())`` it is
+    reproducible across engines (DuckDB oracle), across reruns, and
+    across input repartitioning. Adding a salt epoch to the hashed
+    string yields a fresh permutation per training epoch.
+
+    100-TB shape: the shard id is map-side; ``shard_pos`` is one
+    ``row_number`` window keyed on shard — the exact exchange + sort
+    the shard writer (:func:`write_shards`) needs anyway, so the
+    assignment adds ZERO shuffles to the write. Choose ``n_shards``
+    ≫ executor count (real pipelines use thousands) so one shard
+    never exceeds a task's memory.
+    """
+    code = word_code(F.col(key_col).cast("string"))
+    out = df.withColumn(
+        "shard", F.pmod(code, F.lit(n_shards)).cast("int")
+    ).withColumn("shuffle_key", code)
+    if not with_position:
+        return out
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def assign_shards_sql(
+    table: str, n_shards: int, key_col: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`assign_shards` (with_position=True)."""
+    from ..functions.textstats import word_code_sql
+
+    code = word_code_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH coded AS (
+  SELECT {cols}, {code} AS shuffle_key,
+         CAST({code} % {n_shards} AS INTEGER) AS shard
+  FROM {table}
+)
+SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY shuffle_key, {key_col}
+          ) - 1 AS BIGINT) AS shard_pos
+FROM coded
+"""
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    order_cols: tuple[str, ...] = (),
+) -> None:
+    """Write the deterministically-shuffled corpus as one directory
+    per shard (``shard=N/``), rows inside each file in shuffle order.
+
+    One exchange: ``repartition(n_shards, shard)`` co-locates each
+    shard, ``sortWithinPartitions`` realizes the permutation order,
+    and the dynamic-partition write emits ``shard=`` directories —
+    the same single-exchange shape as the fan-out router
+    (operators/router.py). ``order_cols`` break ties when several
+    rows share the shuffle key (e.g. all documents of one training
+    pack sharded by pack key — the pack's internal order must stay
+    deterministic too).
+
+    The sort MUST lead with ``shard``: the dynamic-partition writer
+    requires rows clustered by the partition column and inserts its
+    own (unstable) sort when the incoming order doesn't satisfy it —
+    which would scramble the permutation order inside each file.
+    Leading with the partition column makes our sort satisfy the
+    writer's requirement, so exactly this ordering reaches the files."""
+    out = assign_shards(df, n_shards, key_col=key_col, with_position=False)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", key_col, *order_cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

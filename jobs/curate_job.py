@@ -68,6 +68,7 @@ def curate(
     url_col: str | None = None,
     blocklist_path: str | None = None,
     bpe_merges: int = 0,
+    n_shards: int = 0,
 ):
     """Run the curation pipeline; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -294,11 +295,31 @@ def curate(
         f"{output_root}/packed"
     )
 
+    if n_shards:
+        # trainer-facing output: deterministic global shuffle into
+        # shard files. PACKS are the shuffled unit (a pack's documents
+        # must stay contiguous — they form one training sequence), so
+        # the shard key is the pack key and doc order breaks ties
+        # inside a pack (sampling.write_shards).
+        from beats_spark.operators.sampling import write_shards
+
+        write_shards(
+            packed.withColumn(
+                "_pack_key",
+                F.concat_ws("#", "source", F.col("pack_id").cast("string")),
+            ),
+            f"{output_root}/shards",
+            n_shards,
+            key_col="_pack_key",
+            order_cols=("doc_id",),
+        )
+
     n_packs = packed.select("source", "pack_id").distinct().count()
     return {
         "funnel": funnel,
         "kept": funnel[f"cum_{gate_order[-1]}"],
         "n_packs": n_packs,
+        "n_shards": n_shards,
         "secs": round(time.time() - t0, 3),
         "output": output_root,
     }
@@ -333,6 +354,14 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="train a BPE vocab of this many merges on the kept set "
         "and pack on true token counts (default: whitespace estimate)",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="write a trainer-facing deterministically-shuffled copy "
+        "as this many shard directories (packs stay contiguous; "
+        "default: off)",
     )
     p.add_argument(
         "--url-col",
@@ -373,6 +402,7 @@ def main(argv: list[str] | None = None) -> int:
             url_col=args.url_col,
             blocklist_path=args.blocklist,
             bpe_merges=args.bpe_merges,
+            n_shards=args.shards,
         )
     finally:
         spark.stop()

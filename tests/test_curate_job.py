@@ -251,3 +251,51 @@ class TestCurateJob:
     def test_parse_rates(self):
         assert _parse_rates("en=1.0, de=0.25") == {"en": 1.0, "de": 0.25}
         assert _parse_rates("") == {}
+
+
+class TestShardOutput:
+    def test_shards_written_packs_contiguous(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        out = str(tmp_path / "curated")
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            rates={"en": 1.0, "de": 1.0},
+            default_rate=1.0,
+            token_budget=256,
+            n_shards=4,
+        )
+        assert summary["n_shards"] == 4
+        # every kept row lands in exactly one shard
+        (n,) = duckdb.sql(
+            f"SELECT count(*) FROM parquet_scan('{out}/shards/*/*.parquet',"
+            " hive_partitioning=1)"
+        ).fetchone()
+        assert n == summary["kept"]
+        # a pack never straddles shards (it is one training sequence),
+        # and inside a shard file the pack's docs are contiguous and
+        # in doc order
+        (straddle,) = duckdb.sql(
+            "SELECT count(*) FROM ("
+            "  SELECT source, pack_id FROM parquet_scan("
+            f"   '{out}/shards/*/*.parquet', hive_partitioning=1)"
+            "  GROUP BY source, pack_id HAVING count(DISTINCT shard) > 1)"
+        ).fetchone()
+        assert straddle == 0
+        rows = duckdb.sql(
+            "SELECT shard, _pack_key, doc_id FROM parquet_scan("
+            f"  '{out}/shards/*/*.parquet', hive_partitioning=1,"
+            "   filename=1, file_row_number=1)"
+            " ORDER BY filename, file_row_number"
+        ).fetchall()
+        by_shard: dict[int, list] = {}
+        for shard, pk, did in rows:
+            by_shard.setdefault(shard, []).append((pk, did))
+        for seq in by_shard.values():
+            seen, cur = set(), None
+            for pk, did in seq:
+                if pk != cur:
+                    assert pk not in seen  # contiguous: never revisited
+                    seen.add(pk)
+                    cur = pk

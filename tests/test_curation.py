@@ -480,3 +480,170 @@ class TestRepetition:
         sql = repetition_oracle(f"parquet_scan('{path}/*.parquet')")
         want = {row[0]: tuple(row[1:]) for row in duckdb.sql(sql).fetchall()}
         assert got == want
+
+
+class TestRepresentatives:
+    def test_keep_best_quality_ties_min_id(self, spark):
+        from beats_spark.operators.dedup import select_representatives
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),            # 2 tokens
+                (2, "a b c d e"),      # 5 tokens — cluster {1,2,3} rep
+                (3, "a"),
+                (5, "x y z"),          # ties with 6 at 3 tokens → min id 5
+                (6, "p q r"),
+                (9, "lone doc"),       # singleton: its own rep
+            ],
+            "doc_id long, text string",
+        )
+        comp = connected_components(pairs, docs)
+        out = {
+            r["doc_id"]: (r["rep_id"], r["is_representative"])
+            for r in select_representatives(comp, docs).collect()
+        }
+        assert out[1] == (2, False) and out[2] == (2, True)
+        assert out[3] == (2, False)
+        assert out[5] == (5, True) and out[6] == (5, False)
+        assert out[9] == (9, True)
+
+    def test_custom_quality_column(self, spark):
+        from beats_spark.operators.dedup import select_representatives
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        docs = spark.createDataFrame(
+            [(1, "long long long text", 1), (2, "short", 9)],
+            "doc_id long, text string, score long",
+        )
+        comp = connected_components(pairs, docs)
+        out = {
+            r["doc_id"]: r["rep_id"]
+            for r in select_representatives(
+                comp, docs, quality=F.col("score")
+            ).collect()
+        }
+        assert out[1] == 2 and out[2] == 2  # score beats length
+
+
+class TestShards:
+    def test_assign_deterministic_balanced_positions(self, spark):
+        from beats_spark.operators.sampling import assign_shards
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(2000)], "doc_id long, text string"
+        )
+        out = assign_shards(df, n_shards=8).collect()
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert 0 <= r["shard"] < 8
+            by_shard.setdefault(r["shard"], []).append(r)
+        # hash-uniform balance: each shard within 2x of fair share
+        for rows in by_shard.values():
+            assert 125 <= len(rows) <= 500
+        # positions are 0..n-1 contiguous and follow hash order
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["shard_pos"])
+            assert [r["shard_pos"] for r in rows] == list(range(len(rows)))
+            keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+            assert keys == sorted(keys)
+        # the permutation actually shuffles: within-shard hash order
+        # is not the input doc_id order
+        big = max(by_shard.values(), key=len)
+        assert [r["doc_id"] for r in big] != sorted(r["doc_id"] for r in big)
+        # deterministic across reruns and input partitioning
+        again = {
+            (r["doc_id"], r["shard"], r["shard_pos"])
+            for r in assign_shards(df.repartition(7), n_shards=8).collect()
+        }
+        assert again == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out}
+
+    def test_write_shards_files_in_shuffle_order(self, spark, tmp_path):
+        import duckdb
+
+        from beats_spark.operators.sampling import assign_shards, write_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "shards")
+        write_shards(df, path, n_shards=4)
+        want = {
+            (r["shard"], r["shard_pos"]): r["doc_id"]
+            for r in assign_shards(df, n_shards=4).collect()
+        }
+        # independent reader: every shard directory holds exactly the
+        # assigned docs, physically ordered by the permutation
+        for shard in range(4):
+            rows = duckdb.sql(
+                f"SELECT doc_id, shuffle_key FROM"
+                f" parquet_scan('{path}/shard={shard}/*.parquet',"
+                f"   filename=1, file_row_number=1)"
+                f" ORDER BY filename, file_row_number"
+            ).fetchall()
+            n = len(rows)
+            assert [d for d, _ in rows] == [
+                want[(shard, p)] for p in range(n)
+            ]
+            assert rows == sorted(rows, key=lambda t: (t[1], t[0]))
+
+
+class TestBloomDedup:
+    def test_no_false_negatives_and_oracle_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.dedup import (
+            bloom_dedup_flags,
+            bloom_dedup_sql,
+        )
+
+        hist = spark.createDataFrame(
+            [(i, f"historical doc {i}") for i in range(300)],
+            "doc_id long, text string",
+        )
+        # new batch: 0-49 are re-ingested hist docs (whitespace/case
+        # variants — norm_text must equate them), 1000+ are novel
+        new = spark.createDataFrame(
+            [(1000 + i, f"  Historical DOC {i} ") for i in range(50)]
+            + [(2000 + i, f"genuinely new doc {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in bloom_dedup_flags(new, hist).collect()
+        }
+        # Bloom guarantee: every true duplicate IS flagged
+        assert all(got[1000 + i] for i in range(50))
+        # novel docs are mostly clean (false positives allowed but
+        # must be rare at 16K bits / 300 keys)
+        fp = sum(1 for i in range(50) if got[2000 + i])
+        assert fp <= 2
+        # cross-engine: DuckDB reproduces the flags EXACTLY, false
+        # positives included (position-set membership == bitmap test)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE hist AS SELECT range AS doc_id,"
+            " 'historical doc ' || range AS text FROM range(300)"
+        )
+        con.execute(
+            "CREATE TABLE newb AS "
+            "SELECT 1000 + range AS doc_id,"
+            " '  Historical DOC ' || range || ' ' AS text FROM range(50) "
+            "UNION ALL SELECT 2000 + range,"
+            " 'genuinely new doc ' || range FROM range(50)"
+        )
+        sql = bloom_dedup_sql("SELECT * FROM newb", "SELECT * FROM hist")
+        want = dict(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_bitmap_is_filter_sized(self, spark):
+        from beats_spark.operators.dedup import BLOOM_M, bloom_build, norm_text
+
+        df = spark.createDataFrame(
+            [(i, f"d {i}") for i in range(100)], "doc_id long, text string"
+        )
+        words = bloom_build(df, norm_text(F.col("text")))
+        assert len(words) == BLOOM_M // 64
+        assert any(w != 0 for w in words)

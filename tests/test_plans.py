@@ -281,3 +281,41 @@ class TestDuplicatedSpansPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBloomMembershipPlan:
+    def test_flag_projection_is_map_side_no_join(self, spark):
+        from beats_spark.operators.dedup import bloom_maybe_contains, norm_text
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+        )
+        bitmap = [0] * 256  # filter-sized literal; contents irrelevant to shape
+        plan = _plan(
+            df.select(
+                "doc_id",
+                bloom_maybe_contains(norm_text(F.col("text")), bitmap, m=256 * 64)
+                .alias("maybe_dup"),
+            )
+        )
+        # the bitmap rides as a literal: membership must be a pure
+        # projection — no join against the historical corpus, no
+        # shuffle, no Python
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestShardAssignmentPlan:
+    def test_one_exchange_shared_with_write_sort(self, spark):
+        from beats_spark.operators.sampling import assign_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+        )
+        plan = _plan(assign_shards(df, n_shards=8))
+        # shard id is map-side; shard_pos's row_number window keys its
+        # single exchange on the shard — the same exchange+sort the
+        # shard writer performs, so assignment adds zero extra shuffles
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
