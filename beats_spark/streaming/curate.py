@@ -1,0 +1,232 @@
+"""Streaming INCREMENTAL curation: continuous document ingestion
+against an already-curated corpus (SURVEY.md §2.10 + the Bloom
+incremental-dedup operator).
+
+The batch curate job (jobs/curate_job.py) is the full-corpus pass; a
+production pipeline then runs FOREVER on deltas — a new crawl
+snapshot lands every day and must be cleaned, quality-gated, and
+deduplicated against 100 TB of already-admitted history WITHOUT
+re-shuffling the history. The shape that survives that asymmetry:
+
+  file stream source            ← crawl snapshots landing in a dir
+  foreachBatch                  ← one curation pass per snapshot
+  Bloom bitmap (driver state)   ← the admitted-corpus key set,
+                                  filter-sized (~1.2 GB / 1e9 keys
+                                  at 10 bits/key), membership is
+                                  map-side Column bit math — the
+                                  history is NEVER joined or scanned
+                                  after the one build
+  append sinks                  ← curated/data + curated/stats
+
+Per micro-batch (flags-then-filter, same philosophy as the batch
+job's funnel):
+
+  1. fix-text normalization (map-side),
+  2. ``first_seen``  — within-batch exact keep-first on the
+     normalized text (one micro-batch-sized exchange),
+  3. ``novel``       — NOT bloom_maybe_contains(norm) vs everything
+     admitted so far (map-side; the bitmap rides in as a literal),
+  4. ``quality_keep``— the Gopher-style rule conjunction (map-side),
+
+then one aggregation yields the per-batch funnel row (appended to
+``stats/``), the conjunction's survivors append to ``data/``, and the
+survivors' keys are OR-ed into the bitmap so the NEXT batch dedups
+against them. Bloom semantics are inherited: a false positive drops
+a novel document (probability sized by m/n; deterministic given the
+md5 construction), a true duplicate is NEVER admitted twice.
+
+Restart contract: the bitmap is driver memory, so a restarted job
+rebuilds it from the curated output itself
+(:meth:`IncrementalCurator.from_output`) — the analog of the batch
+manifest's resume. The stream checkpoint guarantees each input file
+is processed once, so bitmap rebuild + checkpoint replay converge to
+the same admitted set.
+
+Reference framing: the shipper keeps a registrar of what it already
+published (filebeat/registrar); this operator keeps a registrar of
+what it already ADMITTED, compressed to a Bloom filter so it stays
+broadcastable at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.clean import clean_text
+from ..operators.dedup import (
+    BLOOM_K,
+    BLOOM_M,
+    bloom_build,
+    bloom_maybe_contains,
+    norm_text,
+)
+
+
+#: stats/ row layout: one funnel row per micro-batch
+STATS_COLS = (
+    "batch_id",
+    "n_in",
+    "n_batch_dup",
+    "n_history_dup",
+    "n_low_quality",
+    "n_admitted",
+)
+
+
+class IncrementalCurator:
+    """Driver-side state (the Bloom bitmap) + the per-batch curation
+    pass. Use :func:`run_incremental_curation` to wire it to a
+    stream; the instance is also directly usable on batch DataFrames
+    (``curator.process_batch(df, batch_id)``) for backfills."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        history_df: DataFrame | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        m: int = BLOOM_M,
+        k: int = BLOOM_K,
+    ) -> None:
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.m, self.k = m, k
+        if history_df is not None:
+            # ONE aggregation over the history, ever (bloom_build:
+            # map-side combine to <= m/64 partial rows per partition)
+            self.bitmap = bloom_build(
+                history_df, norm_text(F.col(text_col)), m, k
+            )
+        else:
+            self.bitmap = [0] * ((m + 63) // 64)
+
+    @classmethod
+    def from_output(
+        cls,
+        spark: SparkSession,
+        output_root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        m: int = BLOOM_M,
+        k: int = BLOOM_K,
+    ) -> "IncrementalCurator":
+        """Restart path: rebuild the admitted-set bitmap from the
+        curated output written by previous runs. Curated text is
+        already fix-text-normalized, and ``norm_text`` is idempotent
+        over it, so the rebuilt keys equal the keys OR-ed in live."""
+        hist = spark.read.parquet(f"{output_root}/data")
+        return cls(spark, hist, text_col=text_col, id_col=id_col, m=m, k=k)
+
+    # -- per-batch pass --------------------------------------------------
+
+    def flag_batch(self, batch_df: DataFrame) -> DataFrame:
+        """The three gate columns over a cleaned batch; no filtering
+        yet (flags-then-filter keeps the funnel one aggregation)."""
+        from ..functions.textstats import quality_features, quality_rules_over
+
+        cleaned = batch_df.withColumn(
+            self.text_col, clean_text(F.col(self.text_col))
+        ).withColumn("_norm", norm_text(F.col(self.text_col)))
+        # within-batch exact keep-first: one exchange keyed on the
+        # normalized text, micro-batch-sized
+        w = Window.partitionBy("_norm").orderBy(F.asc(self.id_col))
+        flagged = cleaned.withColumn(
+            "first_seen", F.row_number().over(w) == 1
+        ).withColumn(
+            # map-side membership vs everything admitted so far — the
+            # bitmap is a literal in the plan, the history is absent
+            "novel",
+            ~bloom_maybe_contains(F.col("_norm"), self.bitmap, self.m, self.k),
+        )
+        # quality rules map-side, features materialized once
+        feats = quality_features(F.col(self.text_col))
+        staged = flagged.select(
+            "*", *[c.alias(f"_qf_{name}") for name, c in feats.items()]
+        )
+        keep = quality_rules_over(
+            {name: F.col(f"_qf_{name}") for name in feats}
+        )["keep"]
+        return staged.withColumn("quality_keep", keep).drop(
+            *[f"_qf_{name}" for name in feats]
+        )
+
+    def process_batch(
+        self, batch_df: DataFrame, batch_id: int, output_root: str
+    ) -> None:
+        flagged = self.flag_batch(batch_df).persist()
+        try:
+            admitted = F.col("first_seen") & F.col("novel") & F.col(
+                "quality_keep"
+            )
+            # one aggregation = the whole funnel (gates attributed in
+            # order: batch-dup, then history-dup, then quality)
+            row = flagged.agg(
+                F.count("*").alias("n_in"),
+                F.sum((~F.col("first_seen")).cast("long")).alias(
+                    "n_batch_dup"
+                ),
+                F.sum(
+                    (F.col("first_seen") & ~F.col("novel")).cast("long")
+                ).alias("n_history_dup"),
+                F.sum(
+                    (
+                        F.col("first_seen")
+                        & F.col("novel")
+                        & ~F.col("quality_keep")
+                    ).cast("long")
+                ).alias("n_low_quality"),
+                F.sum(admitted.cast("long")).alias("n_admitted"),
+            ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            row.select(*STATS_COLS).write.mode("append").parquet(
+                f"{output_root}/stats"
+            )
+            kept = flagged.where(admitted)
+            kept.drop(
+                "_norm", "first_seen", "novel", "quality_keep"
+            ).write.mode("append").parquet(f"{output_root}/data")
+            # fold the admitted keys into the bitmap so the NEXT batch
+            # (and the next snapshot, and tomorrow's run via
+            # from_output) treats them as history
+            delta = bloom_build(kept, F.col("_norm"), self.m, self.k)
+            self.bitmap = [a | b for a, b in zip(self.bitmap, delta)]
+        finally:
+            flagged.unpersist()
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    checkpoint_dir: str,
+    curator: IncrementalCurator | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Wire an :class:`IncrementalCurator` to a parquet-directory
+    stream (new snapshot files discovered per trigger). Returns the
+    started StreamingQuery; with ``available_now`` the query drains
+    the current file set and terminates (foreachBatch carries no
+    processing-time state, so availableNow termination is safe —
+    contrast the stateful-multiline gotcha in CLAUDE.md)."""
+    if curator is None:
+        curator = IncrementalCurator(spark)
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: curator.process_batch(df, bid, output_root)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -319,3 +319,21 @@ class TestShardAssignmentPlan:
         # shard writer performs, so assignment adds zero extra shuffles
         assert plan.count("Exchange hashpartitioning") == 1
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIncrementalCuratePlan:
+    def test_flag_pass_one_window_exchange_no_history_join(self, spark):
+        from beats_spark.streaming.curate import IncrementalCurator
+
+        cur = IncrementalCurator(spark)  # empty bitmap; shape-only
+        df = spark.createDataFrame(
+            [(i, f"doc body {i} with several tokens") for i in range(50)],
+            "doc_id long, text string",
+        )
+        plan = _plan(cur.flag_batch(df))
+        # within-batch keep-first is the ONLY exchange (the window);
+        # the history rides in as the bitmap literal — no join, no
+        # second shuffle, no Python anywhere in the gate pass
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

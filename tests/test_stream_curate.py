@@ -1,0 +1,158 @@
+"""Streaming incremental curation (beats_spark/streaming/curate.py):
+snapshot files arrive as micro-batches; each batch is cleaned,
+quality-gated, deduped within itself and against everything admitted
+before it (Bloom bitmap — the history is never joined); funnel stats
+append per batch; a restart rebuilds the bitmap from the output."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.streaming.curate import (
+    IncrementalCurator,
+    run_incremental_curation,
+)
+
+
+def good(i: int) -> str:
+    """Deterministically passes every quality rule (≥5 tokens, mean
+    token length in [3,12], no punctuation, stopword ratio ≥ 0.01)."""
+    return (
+        "the streaming curator admits the novel documents and drops "
+        f"the duplicate entries for training corpus number {i}"
+    )
+
+
+def _write_batch(path: str, rows: list[tuple[int, str]], mtime: float) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))  # file-source order = mod time
+
+
+class TestIncrementalCuration:
+    def test_three_snapshots(self, spark, tmp_path):
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = str(tmp_path / "curated")
+        ckpt = str(tmp_path / "ckpt")
+
+        t0 = 1_700_000_000.0
+        _write_batch(
+            str(in_dir / "b0.parquet"),
+            [(i, good(i)) for i in range(10)],
+            t0,
+        )
+        # b1: 5 novel; 5 case/whitespace VARIANTS of b0 docs (history
+        # dups through norm_text); one in-batch dup pair; one junk doc
+        _write_batch(
+            str(in_dir / "b1.parquet"),
+            [(100 + i, good(100 + i)) for i in range(5)]
+            + [(105 + i, "  " + good(i).upper() + " ") for i in range(5)]
+            + [(110, good(777)), (111, good(777))]
+            + [(112, "x y z w q v")],  # mean token len 1 → quality drop
+            t0 + 10,
+        )
+        # b2: 4 dups of b1's ADMITTED docs + 5 novel
+        _write_batch(
+            str(in_dir / "b2.parquet"),
+            [(200 + i, good(100 + i)) for i in range(4)]
+            + [(204 + i, good(900 + i)) for i in range(5)],
+            t0 + 20,
+        )
+
+        cur = IncrementalCurator(spark)
+        q = run_incremental_curation(
+            spark,
+            str(in_dir),
+            out,
+            ckpt,
+            curator=cur,
+            schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(180)
+
+        got = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+            ).fetchall()
+        }
+        want = (
+            set(range(10))            # b0: all novel + good
+            | {100, 101, 102, 103, 104}  # b1 novel
+            | {110}                   # in-batch pair: keep-first (min id)
+            | {204, 205, 206, 207, 208}  # b2 novel
+        )
+        assert got == want
+
+        stats = {
+            r[0]: r[1:]
+            for r in duckdb.sql(
+                "SELECT batch_id, n_in, n_batch_dup, n_history_dup,"
+                f" n_low_quality, n_admitted"
+                f" FROM parquet_scan('{out}/stats/*.parquet')"
+            ).fetchall()
+        }
+        assert len(stats) == 3
+        assert stats[0] == (10, 0, 0, 0, 10)
+        assert stats[1] == (13, 1, 5, 1, 6)
+        assert stats[2] == (9, 0, 4, 0, 5)
+
+        # no normalized duplicate ever admitted (the whole point)
+        (ndup,) = duckdb.sql(
+            "SELECT count(*) - count(DISTINCT"
+            " regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+            f" FROM parquet_scan('{out}/data/*.parquet')"
+        ).fetchone()
+        assert ndup == 0
+
+        # -- restart: rebuild the bitmap from the OUTPUT, then run a
+        # backfill batch directly through the batch API — dups of
+        # previously-admitted docs must still drop
+        cur2 = IncrementalCurator.from_output(spark, out)
+        backfill = spark.createDataFrame(
+            [(300, good(904)), (301, good(555))],  # dup of 208, novel
+            "doc_id long, text string",
+        )
+        cur2.process_batch(backfill, 99, out)
+        row = duckdb.sql(
+            "SELECT n_in, n_history_dup, n_admitted FROM"
+            f" parquet_scan('{out}/stats/*.parquet') WHERE batch_id = 99"
+        ).fetchone()
+        assert row == (2, 1, 1)
+        (n301,) = duckdb.sql(
+            f"SELECT count(*) FROM parquet_scan('{out}/data/*.parquet')"
+            " WHERE doc_id = 301"
+        ).fetchone()
+        assert n301 == 1
+
+    def test_seeded_history(self, spark, tmp_path):
+        """Seeding the curator with a historical corpus DataFrame
+        dedups the very first batch against it."""
+        hist = spark.createDataFrame(
+            [(i, good(i)) for i in range(20)], "doc_id long, text string"
+        )
+        cur = IncrementalCurator(spark, history_df=hist)
+        out = str(tmp_path / "o")
+        batch = spark.createDataFrame(
+            [(500, good(3)), (501, good(800))],  # dup-of-history, novel
+            "doc_id long, text string",
+        )
+        cur.process_batch(batch, 0, out)
+        got = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+            ).fetchall()
+        }
+        assert got == {501}
