@@ -262,6 +262,7 @@ def assign_shards(
     n_shards: int,
     key_col: str = "doc_id",
     with_position: bool = True,
+    epoch: int = 0,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the final
     step of a training-data pipeline: examples must reach the trainer
@@ -271,8 +272,9 @@ def assign_shards(
     order key is the hash itself (ties → key): HASH ORDER *is* the
     random permutation, and unlike ``df.orderBy(rand())`` it is
     reproducible across engines (DuckDB oracle), across reruns, and
-    across input repartitioning. Adding a salt epoch to the hashed
-    string yields a fresh permutation per training epoch.
+    across input repartitioning. ``epoch`` salts the hashed string
+    (``key#eN``), yielding a fresh — equally deterministic —
+    permutation per training epoch from the same input.
 
     100-TB shape: the shard id is map-side; ``shard_pos`` is one
     ``row_number`` window keyed on shard — the exact exchange + sort
@@ -281,7 +283,12 @@ def assign_shards(
     ≫ executor count (real pipelines use thousands) so one shard
     never exceeds a task's memory.
     """
-    code = word_code(F.col(key_col).cast("string"))
+    keyed = (
+        F.col(key_col).cast("string")
+        if epoch == 0
+        else F.concat(F.col(key_col).cast("string"), F.lit(f"#e{int(epoch)}"))
+    )
+    code = word_code(keyed)
     out = df.withColumn(
         "shard", F.pmod(code, F.lit(n_shards)).cast("int")
     ).withColumn("shuffle_key", code)
@@ -295,12 +302,17 @@ def assign_shards(
 
 def assign_shards_sql(
     table: str, n_shards: int, key_col: str = "doc_id",
-    cols: str = "*",
+    cols: str = "*", epoch: int = 0,
 ) -> str:
     """DuckDB twin of :func:`assign_shards` (with_position=True)."""
     from ..functions.textstats import word_code_sql
 
-    code = word_code_sql(f"CAST({key_col} AS VARCHAR)")
+    keyed = (
+        f"CAST({key_col} AS VARCHAR)"
+        if epoch == 0
+        else f"CAST({key_col} AS VARCHAR) || '#e{int(epoch)}'"
+    )
+    code = word_code_sql(keyed)
     return f"""
 WITH coded AS (
   SELECT {cols}, {code} AS shuffle_key,
@@ -320,6 +332,7 @@ def write_shards(
     n_shards: int,
     key_col: str = "doc_id",
     order_cols: tuple[str, ...] = (),
+    epoch: int = 0,
 ) -> None:
     """Write the deterministically-shuffled corpus as one directory
     per shard (``shard=N/``), rows inside each file in shuffle order.
@@ -339,7 +352,9 @@ def write_shards(
     which would scramble the permutation order inside each file.
     Leading with the partition column makes our sort satisfy the
     writer's requirement, so exactly this ordering reaches the files."""
-    out = assign_shards(df, n_shards, key_col=key_col, with_position=False)
+    out = assign_shards(
+        df, n_shards, key_col=key_col, with_position=False, epoch=epoch
+    )
     (
         out.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shuffle_key", key_col, *order_cols)

@@ -295,6 +295,33 @@ def curate(
         f"{output_root}/packed"
     )
 
+    # -- dataset card: per-(source, lang) stats of the RELEASED set ------
+    # the composition table every dataset release ships (docs, token
+    # mass, packs, token share of the release). One groupBy whose key
+    # domain is the strata (map-side combine collapses each partition
+    # to <= #strata rows); the share window runs over the strata-sized
+    # result, not the data. Rounded to 6 dp per the cross-engine rule.
+    from pyspark.sql import Window as _W
+
+    card = (
+        packed.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.countDistinct("pack_id").alias("n_packs"),
+        )
+        .withColumn(
+            "token_share",
+            F.round(
+                F.col("n_tokens")
+                / F.sum("n_tokens").over(_W.partitionBy(F.lit(1))),
+                6,
+            ),
+        )
+    )
+    card.write.mode("overwrite").parquet(f"{output_root}/card")
+
     if n_shards:
         # trainer-facing output: deterministic global shuffle into
         # shard files. PACKS are the shuffled unit (a pack's documents

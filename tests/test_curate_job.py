@@ -299,3 +299,42 @@ class TestShardOutput:
                     assert pk not in seen  # contiguous: never revisited
                     seen.add(pk)
                     cur = pk
+
+
+class TestDatasetCard:
+    def test_card_matches_independent_recount(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        out = str(tmp_path / "curated")
+        curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            rates={"en": 1.0, "de": 0.5},
+            default_rate=0.5,
+            token_budget=256,
+        )
+        got = {
+            (r[0], r[1]): r[2:]
+            for r in duckdb.sql(
+                f"SELECT source, lang, n_docs, n_tokens, n_chars, n_packs,"
+                f" token_share FROM parquet_scan('{out}/card/*.parquet')"
+            ).fetchall()
+        }
+        # independent recount straight off the released packed/ output
+        want = {
+            (r[0], r[1]): r[2:]
+            for r in duckdb.sql(
+                "SELECT source, lang, count(*),"
+                " sum(n_tokens), sum(length(text)),"
+                " count(DISTINCT pack_id),"
+                " round(sum(n_tokens) / (SELECT sum(n_tokens) FROM"
+                f"   parquet_scan('{out}/packed/*/*.parquet',"
+                "    hive_partitioning=1)), 6)"
+                f" FROM parquet_scan('{out}/packed/*/*.parquet',"
+                "  hive_partitioning=1)"
+                " GROUP BY 1, 2"
+            ).fetchall()
+        }
+        assert got == want
+        assert len(got) >= 2  # several strata actually present
+        assert abs(sum(v[-1] for v in got.values()) - 1.0) < 1e-4

@@ -590,6 +590,52 @@ class TestShards:
             assert rows == sorted(rows, key=lambda t: (t[1], t[0]))
 
 
+    def test_epoch_salt_fresh_permutation(self, spark, tmp_path):
+        import duckdb
+
+        from beats_spark.operators.sampling import (
+            assign_shards,
+            assign_shards_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(400)], "doc_id long, text string"
+        )
+        e0 = {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in assign_shards(df, n_shards=4, epoch=0).collect()
+        }
+        e1 = {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in assign_shards(df, n_shards=4, epoch=1).collect()
+        }
+        # a genuinely different permutation (most docs move)
+        moved = sum(1 for k in e0 if e0[k] != e1[k])
+        assert moved > 300
+        # but each epoch is itself deterministic
+        again = {
+            r["doc_id"]: (r["shard"], r["shard_pos"])
+            for r in assign_shards(df.repartition(5), n_shards=4, epoch=1)
+            .collect()
+        }
+        assert again == e1
+        # and cross-engine: DuckDB derives the identical epoch-1 layout
+        path = str(tmp_path / "docs")
+        df.write.parquet(path)
+        sql = assign_shards_sql(
+            f"parquet_scan('{path}/*.parquet')", n_shards=4,
+            cols="doc_id, text", epoch=1,
+        )
+        want = {
+            r[0]: (r[3], r[4])
+            for r in duckdb.sql(
+                f"SELECT doc_id, text, shuffle_key, shard, shard_pos"
+                f" FROM ({sql})"
+            ).fetchall()
+        }
+        assert want == e1
+
+
 class TestBloomDedup:
     def test_no_false_negatives_and_oracle_parity(self, spark):
         import duckdb
