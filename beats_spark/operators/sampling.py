@@ -333,6 +333,7 @@ def write_shards(
     key_col: str = "doc_id",
     order_cols: tuple[str, ...] = (),
     epoch: int = 0,
+    fmt: str = "parquet",
 ) -> None:
     """Write the deterministically-shuffled corpus as one directory
     per shard (``shard=N/``), rows inside each file in shuffle order.
@@ -346,6 +347,12 @@ def write_shards(
     pack sharded by pack key — the pack's internal order must stay
     deterministic too).
 
+    ``fmt='jsonl'`` emits gzip'd JSON-lines instead of parquet — the
+    format most training data-loaders stream — by folding each row
+    into ``to_json(struct(<original columns>))`` after the sort (a
+    projection, so the permutation order is untouched); the helper
+    shuffle/shard columns stay out of the payload.
+
     The sort MUST lead with ``shard``: the dynamic-partition writer
     requires rows clustered by the partition column and inserts its
     own (unstable) sort when the incoming order doesn't satisfy it —
@@ -355,10 +362,21 @@ def write_shards(
     out = assign_shards(
         df, n_shards, key_col=key_col, with_position=False, epoch=epoch
     )
-    (
-        out.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shuffle_key", key_col, *order_cols)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
+    sorted_out = out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "shuffle_key", key_col, *order_cols
     )
+    if fmt == "jsonl":
+        (
+            sorted_out.select(
+                "shard",
+                F.to_json(F.struct(*df.columns)).alias("value"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .option("compression", "gzip")
+            .text(path)
+        )
+    elif fmt == "parquet":
+        sorted_out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")

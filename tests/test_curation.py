@@ -636,6 +636,36 @@ class TestShards:
         assert want == e1
 
 
+    def test_write_shards_jsonl_gzip(self, spark, tmp_path):
+        import glob
+        import gzip
+        import json
+
+        from beats_spark.operators.sampling import assign_shards, write_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "jl")
+        write_shards(df, path, n_shards=3, fmt="jsonl")
+        want = {}
+        for r in assign_shards(df, n_shards=3).collect():
+            want.setdefault(r["shard"], []).append((r["shard_pos"], r["doc_id"]))
+        for shard, seq in want.items():
+            rows = []
+            for f in sorted(glob.glob(f"{path}/shard={shard}/*.txt.gz")):
+                with gzip.open(f, "rt") as fh:
+                    rows += [json.loads(line) for line in fh]
+            # payload carries ONLY the original columns, in shuffle order
+            assert all(set(r) == {"doc_id", "text"} for r in rows)
+            assert [r["doc_id"] for r in rows] == [
+                d for _, d in sorted(seq)
+            ]
+
+        with pytest.raises(ValueError):
+            write_shards(df, path, n_shards=3, fmt="orc2")
+
+
 class TestBloomDedup:
     def test_no_false_negatives_and_oracle_parity(self, spark):
         import duckdb
