@@ -156,3 +156,55 @@ class TestIncrementalCuration:
             ).fetchall()
         }
         assert got == {501}
+
+    def test_checkpoint_restart_no_reprocessing(self, spark, tmp_path):
+        """A restarted stream (same checkpoint) must not re-run old
+        snapshot files — only the file that arrived while it was down
+        — and the rebuilt bitmap must dedup the new file against the
+        admitted output of the first run."""
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = str(tmp_path / "curated")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = 1_700_000_000.0
+        _write_batch(
+            str(in_dir / "b0.parquet"),
+            [(i, good(i)) for i in range(6)],
+            t0,
+        )
+        q = run_incremental_curation(
+            spark, str(in_dir), out, ckpt,
+            curator=IncrementalCurator(spark),
+            schema="doc_id long, text string",
+        )
+        assert q.awaitTermination(120)
+
+        # job goes down; a snapshot arrives: one dup of run-1 output,
+        # one novel doc
+        _write_batch(
+            str(in_dir / "b1.parquet"),
+            [(100, good(2)), (101, good(42))],
+            t0 + 10,
+        )
+        q2 = run_incremental_curation(
+            spark, str(in_dir), out, ckpt,
+            curator=IncrementalCurator.from_output(spark, out),
+            schema="doc_id long, text string",
+        )
+        assert q2.awaitTermination(120)
+
+        import duckdb
+
+        got = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+            ).fetchall()
+        )
+        # b0 admitted exactly once (no replay), 100 dropped as a
+        # history dup via the REBUILT bitmap, 101 admitted
+        assert got == [0, 1, 2, 3, 4, 5, 101]
+        n_in_total = duckdb.sql(
+            f"SELECT sum(n_in) FROM parquet_scan('{out}/stats/*.parquet')"
+        ).fetchone()[0]
+        assert n_in_total == 8  # 6 + 2, b0 never re-entered a batch
