@@ -162,22 +162,24 @@ class IncrementalCurator:
             )
             # one aggregation = the whole funnel (gates attributed in
             # order: batch-dup, then history-dup, then quality)
+            # sums coalesced: an EMPTY micro-batch (possible on a
+            # checkpoint-replay restart) must record a zero row, not
+            # NULLs (sum over zero rows is NULL)
+            def _n(c):
+                return F.coalesce(F.sum(c.cast("long")), F.lit(0))
+
             row = flagged.agg(
                 F.count("*").alias("n_in"),
-                F.sum((~F.col("first_seen")).cast("long")).alias(
-                    "n_batch_dup"
+                _n(~F.col("first_seen")).alias("n_batch_dup"),
+                _n(F.col("first_seen") & ~F.col("novel")).alias(
+                    "n_history_dup"
                 ),
-                F.sum(
-                    (F.col("first_seen") & ~F.col("novel")).cast("long")
-                ).alias("n_history_dup"),
-                F.sum(
-                    (
-                        F.col("first_seen")
-                        & F.col("novel")
-                        & ~F.col("quality_keep")
-                    ).cast("long")
+                _n(
+                    F.col("first_seen")
+                    & F.col("novel")
+                    & ~F.col("quality_keep")
                 ).alias("n_low_quality"),
-                F.sum(admitted.cast("long")).alias("n_admitted"),
+                _n(admitted).alias("n_admitted"),
             ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             row.select(*STATS_COLS).write.mode("append").parquet(
                 f"{output_root}/stats"

@@ -208,3 +208,17 @@ class TestIncrementalCuration:
             f"SELECT sum(n_in) FROM parquet_scan('{out}/stats/*.parquet')"
         ).fetchone()[0]
         assert n_in_total == 8  # 6 + 2, b0 never re-entered a batch
+
+    def test_empty_batch_records_zero_row(self, spark, tmp_path):
+        cur = IncrementalCurator(spark)
+        out = str(tmp_path / "o")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        cur.process_batch(empty, 7, out)
+        import duckdb
+
+        row = duckdb.sql(
+            "SELECT n_in, n_batch_dup, n_history_dup, n_low_quality,"
+            f" n_admitted FROM parquet_scan('{out}/stats/*.parquet')"
+            " WHERE batch_id = 7"
+        ).fetchone()
+        assert row == (0, 0, 0, 0, 0)
