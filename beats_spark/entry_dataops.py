@@ -1036,6 +1036,44 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**dataops_queries_front(), **dataops_queries_rest()}
 
 
+#: merged driver rows → their variant-column values. bench.py times
+#: each variant separately into BENCH_DETAIL.json (gate line keeps the
+#: merged-row totals), so a regression in one variant stays visible
+#: without un-merging rows out of the ≤50 driver window.
+_VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
+    "dedup_exact": ("variant", ["doc", "span", "para", "bloom"]),
+    "simhash_dedup": ("variant", ["groups", "hamming"]),
+    "multiline_modes": ("variant", ["combine", "flush"]),
+    "stratified_sample": ("variant", ["fixed", "mix"]),
+    "quantize_embeddings": ("variant", ["int8", "pq"]),
+    "lm_scores": ("variant", ["lm", "dsir"]),
+    "clean_text": ("variant", ["fix", "html"]),
+    "ann_topk": ("method", ["brute", "lsh"]),
+    "ann_ivf": ("nprobe", [1, 2]),
+}
+
+
+def variant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Per-variant callables for the merged rows: the merged query
+    filtered on its variant column. The filter constant-folds the
+    other union branches away (lit('span')='doc' → false →
+    PropagateEmptyRelation drops the branch), so each timing runs
+    only that variant's plan — no separate code path to drift."""
+    all_q = dataops_queries()
+
+    def _one(row: str, col: str, val) -> Callable:
+        def run(spark, sf_dir):
+            return all_q[row](spark, sf_dir).where(F.col(col) == F.lit(val))
+
+        return run
+
+    return {
+        f"{row}/{val}": _one(row, col, val)
+        for row, (col, vals) in _VARIANT_ROWS.items()
+        for val in vals
+    }
+
+
 # ---------------------------------------------------------------------------
 # oracles
 
