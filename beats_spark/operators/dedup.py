@@ -1135,7 +1135,12 @@ def bloom_build(
     so the DuckDB oracle reproduces membership — including false
     positives — exactly.)"""
     n_words = (m + 63) // 64
-    pos = df.select(F.explode(bloom_positions(key, m, k)).alias("pos"))
+    # a NULL key hashes to an array of NULL positions — explode emits
+    # them as NULL rows; drop them (no bits to set) instead of letting
+    # a NULL word index reach the driver fold
+    pos = df.select(
+        F.explode(bloom_positions(key, m, k)).alias("pos")
+    ).where(F.col("pos").isNotNull())
     words = (
         pos.select(
             (F.col("pos") / 64).cast("long").alias("w"),
@@ -1229,7 +1234,12 @@ WITH _bl_hist AS (
   FROM ({hist_sql})
 ),
 _bl_hp AS (
+  -- a NULL hist text yields NULL probe positions; 'pos IN (set with
+  -- NULL)' is NULL, not FALSE, and bool_and skips NULLs — which would
+  -- flag genuinely novel docs. Spark's explode of the NULL-element
+  -- array sets no bits, so the oracle must drop them too.
   SELECT DISTINCT unnest([{probes}]) AS pos FROM _bl_hist
+  WHERE h1 IS NOT NULL
 ),
 _bl_new AS (
   SELECT {id_col},

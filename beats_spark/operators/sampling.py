@@ -369,7 +369,12 @@ def write_shards(
         (
             sorted_out.select(
                 "shard",
-                F.to_json(F.struct(*df.columns)).alias("value"),
+                # keep NULL fields: the default omits them, giving
+                # rows an inconsistent key set across a shard — a
+                # fixed-schema trainer loader breaks on that
+                F.to_json(
+                    F.struct(*df.columns), {"ignoreNullFields": "false"}
+                ).alias("value"),
             )
             .write.mode("overwrite")
             .partitionBy("shard")

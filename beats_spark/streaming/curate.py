@@ -28,19 +28,30 @@ job's funnel):
      admitted so far (map-side; the bitmap rides in as a literal),
   4. ``quality_keep``— the Gopher-style rule conjunction (map-side),
 
-then one aggregation yields the per-batch funnel row (appended to
-``stats/``), the conjunction's survivors append to ``data/``, and the
-survivors' keys are OR-ed into the bitmap so the NEXT batch dedups
-against them. Bloom semantics are inherited: a false positive drops
-a novel document (probability sized by m/n; deterministic given the
-md5 construction), a true duplicate is NEVER admitted twice.
+then one aggregation yields the per-batch funnel row (written to
+``stats/batch_id=N``), the conjunction's survivors land in
+``data/batch_id=N``, and the survivors' keys are OR-ed into the
+bitmap so the NEXT batch dedups against them. Bloom semantics are
+inherited: a false positive drops a novel document (probability sized
+by m/n; deterministic given the md5 construction), a true duplicate
+is NEVER admitted twice.
+
+Delivery contract: foreachBatch is AT-LEAST-ONCE — a crash between
+the sink writes and the checkpoint commit replays the batch with the
+same batch_id on restart. Both sinks are therefore IDEMPOTENT
+per-batch: each write dynamically overwrites only its own
+``batch_id=N`` partition, so a replay rewrites identical bytes
+instead of appending a duplicate funnel row / duplicate documents
+(the standard Structured Streaming exactly-once recipe: deterministic
+batch content + batch_id-keyed overwrite).
 
 Restart contract: the bitmap is driver memory, so a restarted job
 rebuilds it from the curated output itself
-(:meth:`IncrementalCurator.from_output`) — the analog of the batch
-manifest's resume. The stream checkpoint guarantees each input file
-is processed once, so bitmap rebuild + checkpoint replay converge to
-the same admitted set.
+(:meth:`IncrementalCurator.from_output` — the default when the output
+already exists) — the analog of the batch manifest's resume. The
+stream checkpoint skips already-committed files, the batch_id
+overwrite absorbs the one possibly-uncommitted replay, so bitmap
+rebuild + checkpoint replay converge to the same admitted set.
 
 Reference framing: the shipper keeps a registrar of what it already
 published (filebeat/registrar); this operator keeps a registrar of
@@ -181,13 +192,27 @@ class IncrementalCurator:
                 ).alias("n_low_quality"),
                 _n(admitted).alias("n_admitted"),
             ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-            row.select(*STATS_COLS).write.mode("append").parquet(
-                f"{output_root}/stats"
+            # idempotent per-batch sinks: overwrite ONLY this batch's
+            # partition (dynamic mode), so an at-least-once replay of
+            # the same batch_id rewrites rather than duplicates
+            (
+                row.select(*STATS_COLS)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_root}/stats")
             )
             kept = flagged.where(admitted)
-            kept.drop(
-                "_norm", "first_seen", "novel", "quality_keep"
-            ).write.mode("append").parquet(f"{output_root}/data")
+            (
+                kept.drop("_norm", "first_seen", "novel", "quality_keep")
+                .withColumn(
+                    "batch_id", F.lit(int(batch_id)).cast("long")
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_root}/data")
+            )
             # fold the admitted keys into the bitmap so the NEXT batch
             # (and the next snapshot, and tomorrow's run via
             # from_output) treats them as history
@@ -212,9 +237,20 @@ def run_incremental_curation(
     started StreamingQuery; with ``available_now`` the query drains
     the current file set and terminates (foreachBatch carries no
     processing-time state, so availableNow termination is safe —
-    contrast the stateful-multiline gotcha in CLAUDE.md)."""
+    contrast the stateful-multiline gotcha in CLAUDE.md).
+
+    ``curator=None`` resolves against the OUTPUT: if ``data/`` already
+    exists this is a restart and the bitmap is rebuilt from it
+    (:meth:`IncrementalCurator.from_output`) — a fresh empty bitmap
+    here would silently disable history dedup, because the checkpoint
+    skips the old files but knows nothing of what they admitted."""
     if curator is None:
-        curator = IncrementalCurator(spark)
+        from pyspark.errors import AnalysisException
+
+        try:
+            curator = IncrementalCurator.from_output(spark, output_root)
+        except AnalysisException:  # no prior output → genuinely fresh
+            curator = IncrementalCurator(spark)
     if schema is None:
         schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)

@@ -643,8 +643,12 @@ class TestShards:
 
         from beats_spark.operators.sampling import assign_shards, write_shards
 
+        # row 0 carries a NULL text: the jsonl codec must still emit
+        # the key (ignoreNullFields=false) so every line has the same
+        # schema — a fixed-schema trainer loader breaks otherwise
         df = spark.createDataFrame(
-            [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+            [(i, None if i == 0 else f"doc {i}") for i in range(300)],
+            "doc_id long, text string",
         )
         path = str(tmp_path / "jl")
         write_shards(df, path, n_shards=3, fmt="jsonl")

@@ -84,7 +84,7 @@ class TestIncrementalCuration:
         got = {
             r[0]
             for r in duckdb.sql(
-                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*/*.parquet')"
             ).fetchall()
         }
         want = (
@@ -100,7 +100,7 @@ class TestIncrementalCuration:
             for r in duckdb.sql(
                 "SELECT batch_id, n_in, n_batch_dup, n_history_dup,"
                 f" n_low_quality, n_admitted"
-                f" FROM parquet_scan('{out}/stats/*.parquet')"
+                f" FROM parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1)"
             ).fetchall()
         }
         assert len(stats) == 3
@@ -112,7 +112,7 @@ class TestIncrementalCuration:
         (ndup,) = duckdb.sql(
             "SELECT count(*) - count(DISTINCT"
             " regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
-            f" FROM parquet_scan('{out}/data/*.parquet')"
+            f" FROM parquet_scan('{out}/data/*/*.parquet')"
         ).fetchone()
         assert ndup == 0
 
@@ -127,11 +127,11 @@ class TestIncrementalCuration:
         cur2.process_batch(backfill, 99, out)
         row = duckdb.sql(
             "SELECT n_in, n_history_dup, n_admitted FROM"
-            f" parquet_scan('{out}/stats/*.parquet') WHERE batch_id = 99"
+            f" parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1) WHERE batch_id = 99"
         ).fetchone()
         assert row == (2, 1, 1)
         (n301,) = duckdb.sql(
-            f"SELECT count(*) FROM parquet_scan('{out}/data/*.parquet')"
+            f"SELECT count(*) FROM parquet_scan('{out}/data/*/*.parquet')"
             " WHERE doc_id = 301"
         ).fetchone()
         assert n301 == 1
@@ -152,7 +152,7 @@ class TestIncrementalCuration:
         got = {
             r[0]
             for r in duckdb.sql(
-                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*/*.parquet')"
             ).fetchall()
         }
         assert got == {501}
@@ -198,16 +198,85 @@ class TestIncrementalCuration:
         got = sorted(
             r[0]
             for r in duckdb.sql(
-                f"SELECT doc_id FROM parquet_scan('{out}/data/*.parquet')"
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*/*.parquet')"
             ).fetchall()
         )
         # b0 admitted exactly once (no replay), 100 dropped as a
         # history dup via the REBUILT bitmap, 101 admitted
         assert got == [0, 1, 2, 3, 4, 5, 101]
         n_in_total = duckdb.sql(
-            f"SELECT sum(n_in) FROM parquet_scan('{out}/stats/*.parquet')"
+            f"SELECT sum(n_in) FROM parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1)"
         ).fetchone()[0]
         assert n_in_total == 8  # 6 + 2, b0 never re-entered a batch
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the sink
+        writes and the checkpoint commit re-runs the batch with the
+        SAME batch_id. The batch_id-partition overwrite must absorb
+        the replay — one funnel row, no duplicated documents."""
+        out = str(tmp_path / "o")
+        cur = IncrementalCurator(spark)
+        batch = spark.createDataFrame(
+            [(1, good(1)), (2, good(2))], "doc_id long, text string"
+        )
+        cur.process_batch(batch, 0, out)
+        # replay: same batch, same id, fresh curator state (a restart
+        # rebuilds from output, so the replayed batch sees the
+        # pre-crash bitmap — i.e. its own docs as "history")
+        cur2 = IncrementalCurator.from_output(spark, out)
+        cur2.process_batch(batch, 0, out)
+
+        rows = duckdb.sql(
+            "SELECT batch_id, count(*) FROM"
+            f" parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1)"
+            " GROUP BY 1"
+        ).fetchall()
+        assert rows == [(0, 1)]  # exactly one funnel row for batch 0
+        docs = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*/*.parquet')"
+            ).fetchall()
+        )
+        assert docs in ([1, 2], [])  # never [1, 1, 2, 2]
+
+    def test_restart_defaults_to_from_output(self, spark, tmp_path):
+        """curator=None on a restart (output exists) must rebuild the
+        bitmap from the output instead of silently starting empty —
+        otherwise new snapshots re-admit history duplicates."""
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = str(tmp_path / "curated")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = 1_700_000_000.0
+        _write_batch(
+            str(in_dir / "b0.parquet"),
+            [(i, good(i)) for i in range(4)],
+            t0,
+        )
+        q = run_incremental_curation(
+            spark, str(in_dir), out, ckpt,
+            schema="doc_id long, text string",
+        )
+        assert q.awaitTermination(120)
+        _write_batch(
+            str(in_dir / "b1.parquet"),
+            [(100, good(1)), (101, good(50))],  # history dup + novel
+            t0 + 10,
+        )
+        # restart WITHOUT passing a curator
+        q2 = run_incremental_curation(
+            spark, str(in_dir), out, ckpt,
+            schema="doc_id long, text string",
+        )
+        assert q2.awaitTermination(120)
+        got = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM parquet_scan('{out}/data/*/*.parquet')"
+            ).fetchall()
+        )
+        assert got == [0, 1, 2, 3, 101]  # 100 dropped via rebuilt bitmap
 
     def test_empty_batch_records_zero_row(self, spark, tmp_path):
         cur = IncrementalCurator(spark)
@@ -218,7 +287,7 @@ class TestIncrementalCuration:
 
         row = duckdb.sql(
             "SELECT n_in, n_batch_dup, n_history_dup, n_low_quality,"
-            f" n_admitted FROM parquet_scan('{out}/stats/*.parquet')"
+            f" n_admitted FROM parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1)"
             " WHERE batch_id = 7"
         ).fetchone()
         assert row == (0, 0, 0, 0, 0)
