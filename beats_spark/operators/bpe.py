@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import words
+from ..functions.textstats import WORDS_SQL, words
 
 #: end-of-word sentinel symbol (subword-nmt convention)
 EOW = "</w>"
@@ -197,3 +197,139 @@ def tokenize_documents(
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+
+
+# -- DuckDB twin ---------------------------------------------------------------
+
+
+def bpe_tokenize_sql(
+    table: str,
+    n_merges: int,
+    max_words: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`train_bpe` + :func:`tokenize_documents` —
+    the oracle RE-DERIVES the training, hash-for-hash (the classifier-GD
+    / kmeans precedent): the greedy merge loop unrolled into
+    per-iteration CTE triples (``p_i`` weighted overlapping pair
+    counts, ``m_i`` argmax with the Python tie-break ``cnt DESC, a, b``,
+    ``v_i`` the merged vocab state), then the corpus word dim encoded by
+    applying the merges in RANK order — one exhaustive left-to-right
+    fold per merge, provably equal to :func:`encode_word`'s
+    rank-priority loop because a merge's output symbol can only occur
+    in LATER-ranked pairs (during training the pair ``(x, a||b)`` can
+    only be counted after ``(a, b)`` merged). The per-pair fold is
+    itself a fixpoint in ONE pass: the merged symbol ``a||b`` can never
+    reform the pair ``(a, b)`` with a neighbour (``a||b = a`` or
+    ``a||b = b`` would need the other side empty).
+
+    Vocab states ride as space-delimited symbol strings with a leading
+    and trailing space — symbols come from ``\\S+`` words plus ``</w>``,
+    so a space can never occur INSIDE a symbol. The fold accumulates
+    ``' sym1 sym2 '`` and merges when the acc's last symbol is ``a``
+    and the incoming symbol is ``b`` — exactly the Python apply loop's
+    left-to-right ``i += 2`` scan (verified on ``aaaaa`` → ``aa aa a``).
+
+    Every CTE in the chain is ``AS MATERIALIZED`` (CLAUDE.md: DuckDB
+    inlines plain CTEs, and an unrolled loop re-expands the whole
+    upstream chain per reference). Requires the corpus to support
+    ``n_merges`` merges (any natural corpus does; the loop has no
+    early-break unlike the Python trainer)."""
+    toks = WORDS_SQL.format(c=f"lower({text_col})")
+
+    def fold(src_s: str, a: str, b: str) -> str:
+        # one exhaustive left-to-right (a,b)->ab pass over a spaced
+        # symbol string (acc seeded with ' ' via list_prepend)
+        return (
+            f"list_reduce(list_prepend(' ', string_split(trim({src_s}), ' ')), "
+            f"(acc, x) -> CASE WHEN x = {b} AND ends_with(acc, ' ' || {a} || ' ') "
+            f"THEN substr(acc, 1, length(acc) - length({a}) - 1)"
+            f" || {a} || {b} || ' ' "
+            f"ELSE acc || x || ' ' END)"
+        )
+
+    init_s = (
+        "' ' || array_to_string(list_append("
+        "list_transform(generate_series(1, length(word)),"
+        " i -> substr(word, i, 1)),"
+        f" '{EOW}'), ' ') || ' '"
+    )
+    ctes = [
+        f"""bpe_words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({toks}) AS w FROM {table}) q
+  WHERE w <> '' GROUP BY w
+)""",
+        # the deterministic max_words cap (count desc, word asc) —
+        # mirrors train_bpe's driver-literal discipline
+        f"""v0 AS MATERIALIZED (
+  SELECT word, n, {init_s} AS s
+  FROM (SELECT word, n FROM bpe_words ORDER BY n DESC, word
+        LIMIT {max_words}) q
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT l[j] AS a, l[j + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n, string_split(trim(s), ' ') AS l FROM v{i - 1}) q,
+       unnest(generate_series(1, len(l) - 1)) AS t(j)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT a, b FROM p{i}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT word, n, {fold('v.s', 'm.a', 'm.b')} AS s
+  FROM v{i - 1} v, m{i} m
+)"""
+        )
+    # encode the corpus DISTINCT-word dim: merges applied in rank order
+    ctes.append(
+        f"enc0 AS MATERIALIZED (SELECT word, {init_s} AS s FROM bpe_words)"
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""enc{i} AS MATERIALIZED (
+  SELECT word, {fold('e.s', 'm.a', 'm.b')} AS s
+  FROM enc{i - 1} e, m{i} m
+)"""
+        )
+    ctes.append(
+        f"""bpe_dim AS MATERIALIZED (
+  SELECT word, string_split(trim(s), ' ') AS toks FROM enc{n_merges}
+)"""
+    )
+    ctes.append(
+        f"""bpe_ex AS MATERIALIZED (
+  SELECT id, j AS pos, ws[j] AS word
+  FROM (SELECT {id_col} AS id, {toks} AS ws FROM {table}) q,
+       unnest(generate_series(1, len(ws))) AS t(j)
+)"""
+    )
+    ctes.append(
+        """bpe_docs AS (
+  SELECT e.id, flatten(list(d.toks ORDER BY e.pos)) AS toks
+  FROM bpe_ex e JOIN bpe_dim d USING (word)
+  GROUP BY e.id
+)"""
+    )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS variant, CAST({i - 1} AS BIGINT) AS id,"
+        f" CAST(NULL AS BIGINT) AS n_tokens, a || ' ' || b AS tokens"
+        f" FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT 'doc' AS variant, id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS tokens
+FROM bpe_docs
+UNION ALL
+{merge_rows}
+"""

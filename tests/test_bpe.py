@@ -139,3 +139,63 @@ class TestDistributed:
             assert len(r["tokens"]) == sum(
                 len(encode_word(w, ranks)) for w in text.split()
             )
+
+
+class TestBpeOracle:
+    """bpe_tokenize_sql — the DuckDB twin re-derives the TRAINING
+    (unrolled merge loop, classifier-GD precedent) and the encoding
+    (rank-ordered exhaustive folds); both variants of the driver row
+    must match the Spark side value-for-value."""
+
+    def _compare(self, spark, duck_docs, spark_docs, n_merges):
+        import duckdb
+
+        from beats_spark.operators.bpe import bpe_tokenize_sql
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", duck_docs
+        )
+        want = sorted(
+            con.sql(
+                bpe_tokenize_sql("documents", n_merges=n_merges)
+            ).fetchall()
+        )
+        merges = train_bpe(spark_docs, n_merges=n_merges)
+        got = sorted(
+            (
+                "merge",
+                i,
+                None,
+                f"{a} {b}",
+            )
+            for i, (a, b) in enumerate(merges)
+        ) + sorted(
+            ("doc", r["doc_id"], r["n_tokens"], " ".join(r["tokens"]))
+            for r in tokenize_documents(spark_docs, merges).collect()
+        )
+        assert sorted(got) == want
+
+    def test_tricky_fixture_parity(self, spark):
+        # repeated-char runs exercise the left-to-right overlap rule
+        # ("aaaaa" -> aa aa a), multi-char merges the separator logic
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the hat and the cat chat"),
+            (3, "aaaaa aaa the them theme"),
+            (4, "low lower lowest newest newer new"),
+            (5, "the the the cat cat hat"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        self._compare(spark, rows, df, n_merges=8)
+
+    def test_real_corpus_parity(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in docs.select("doc_id", "text").collect()
+        ]
+        self._compare(spark, rows, docs, n_merges=12)
