@@ -1167,7 +1167,10 @@ def bloom_maybe_contains(
     The bitmap rides into the plan as an array literal — the same
     broadcast-as-literal pattern as the trained k-means centroids
     (operators/similarity.py); the test is pure Column bit arithmetic,
-    map-side, zero joins."""
+    map-side, zero joins. This is the ORACLE-CHECKABLE small-m form:
+    past :data:`BLOOM_LITERAL_MAX_BITS` use :func:`bloom_flag_join`,
+    which runs the identical probes against a broadcast words table
+    instead of inlining m/64 literal nodes."""
     h1, h2 = _bloom_hashes(key)
     # explicit per-element long casts: lit() on a mixed int/long list
     # must not infer array<int> and truncate high words
@@ -1183,6 +1186,97 @@ def bloom_maybe_contains(
         )
         test = bit if test is None else (test & bit)
     return test
+
+
+#: above this bit count the bitmap stops riding into the plan as an
+#: array literal (m/64 literal nodes — fine at test sizes, an
+#: expression-tree/driver blowup at the docstring's 1-billion-key
+#: example) and ships as a broadcast (word, bits) table instead
+BLOOM_LITERAL_MAX_BITS = 1 << 20
+
+
+def bloom_words_df(spark, bitmap: list[int]) -> DataFrame:
+    """The broadcastable form of a built filter: one (w, bits) row per
+    NONZERO bitmap word. Row count ≤ m/64 regardless of corpus size —
+    a 2^24-bit filter is ≤ 256k rows (~4 MB), a 2^33-bit one (the
+    1-billion-key example) ≤ 128M rows: past broadcast range the same
+    join degrades gracefully to a shuffled hash join, still never
+    joining the HISTORY itself."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(w, b) for w, b in enumerate(bitmap) if b != 0],
+        columns=["w", "bits"],
+        dtype="int64",
+    )
+    return spark.createDataFrame(pdf, schema="w long, bits long")
+
+
+def bloom_flag_join(
+    df: DataFrame,
+    key: Column,
+    words: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    out_col: str = "maybe_dup",
+) -> DataFrame:
+    """Scale path of :func:`bloom_maybe_contains`: the SAME md5
+    double-hash probes and the SAME bit tests, but the bitmap arrives
+    as k broadcast equi-joins against the (w, bits) words table
+    instead of a plan-literal array — all map-side (k
+    BroadcastHashJoins, zero exchanges on ``df``), so membership at
+    m ≥ 2^24 neither bloats the expression tree nor ships the bitmap
+    per task. Results are bit-identical to the literal path (an absent
+    word row IS a zero word). Returns ``df`` plus ``out_col``."""
+    h1, h2 = _bloom_hashes(key)
+    staged = df.select(
+        "*",
+        *[
+            ((h1 + F.lit(i) * h2) % F.lit(m)).alias(f"_bl_pos{i}")
+            for i in range(k)
+        ],
+    )
+    out = staged.select(
+        "*",
+        *[
+            (F.col(f"_bl_pos{i}") / 64).cast("long").alias(f"_bl_w{i}")
+            for i in range(k)
+        ],
+    )
+    for i in range(k):
+        out = out.join(
+            F.broadcast(
+                words.select(
+                    F.col("w").alias(f"_bl_w{i}"),
+                    F.col("bits").alias(f"_bl_bits{i}"),
+                )
+            ),
+            on=f"_bl_w{i}",
+            how="left",
+        )
+    test = None
+    for i in range(k):
+        bit = (
+            F.call_function(
+                "shiftright",
+                # an absent word row is a zero word — but only when the
+                # probe itself exists (a NULL key must stay NULL, as on
+                # the literal path)
+                F.when(
+                    F.col(f"_bl_pos{i}").isNotNull(),
+                    F.coalesce(F.col(f"_bl_bits{i}"), F.lit(0).cast("long")),
+                ),
+                (F.col(f"_bl_pos{i}") % 64).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+        test = bit if test is None else (test & bit)
+    drop = [
+        c
+        for i in range(k)
+        for c in (f"_bl_pos{i}", f"_bl_w{i}", f"_bl_bits{i}")
+    ]
+    return out.withColumn(out_col, test).drop(*drop)
 
 
 def bloom_dedup_flags(

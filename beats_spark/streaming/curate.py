@@ -67,9 +67,12 @@ from pyspark.sql import functions as F
 from ..operators.clean import clean_text
 from ..operators.dedup import (
     BLOOM_K,
+    BLOOM_LITERAL_MAX_BITS,
     BLOOM_M,
     bloom_build,
+    bloom_flag_join,
     bloom_maybe_contains,
+    bloom_words_df,
     norm_text,
 )
 
@@ -145,12 +148,29 @@ class IncrementalCurator:
         w = Window.partitionBy("_norm").orderBy(F.asc(self.id_col))
         flagged = cleaned.withColumn(
             "first_seen", F.row_number().over(w) == 1
-        ).withColumn(
-            # map-side membership vs everything admitted so far — the
-            # bitmap is a literal in the plan, the history is absent
-            "novel",
-            ~bloom_maybe_contains(F.col("_norm"), self.bitmap, self.m, self.k),
         )
+        # map-side membership vs everything admitted so far — the
+        # history itself is never in the plan. Small filters ride as a
+        # plan-literal array (oracle-parity path); past
+        # BLOOM_LITERAL_MAX_BITS the bitmap ships as a broadcast
+        # (word, bits) table instead (k BroadcastHashJoins, still zero
+        # exchanges on the batch) — same probes, bit-identical flags
+        if self.m <= BLOOM_LITERAL_MAX_BITS:
+            flagged = flagged.withColumn(
+                "novel",
+                ~bloom_maybe_contains(
+                    F.col("_norm"), self.bitmap, self.m, self.k
+                ),
+            )
+        else:
+            flagged = bloom_flag_join(
+                flagged,
+                F.col("_norm"),
+                bloom_words_df(self.spark, self.bitmap),
+                self.m,
+                self.k,
+                out_col="_bl_hit",
+            ).withColumn("novel", ~F.col("_bl_hit")).drop("_bl_hit")
         # quality rules map-side, features materialized once
         feats = quality_features(F.col(self.text_col))
         staged = flagged.select(

@@ -727,3 +727,118 @@ class TestBloomDedup:
         words = bloom_build(df, norm_text(F.col("text")))
         assert len(words) == BLOOM_M // 64
         assert any(w != 0 for w in words)
+
+
+class TestBloomJoinPath:
+    """bloom_flag_join — the scale path for membership: same md5
+    probes as the literal path, but the bitmap arrives as k broadcast
+    equi-joins against the (w, bits) words table, so m >= 2^24 never
+    becomes a plan-literal array."""
+
+    def test_bit_identical_to_literal_path(self, spark):
+        from beats_spark.operators.dedup import (
+            bloom_build,
+            bloom_flag_join,
+            bloom_maybe_contains,
+            bloom_words_df,
+            norm_text,
+        )
+        from pyspark.sql import functions as F
+
+        hist = spark.createDataFrame(
+            [(i, f"historical doc {i}") for i in range(300)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1000 + i, f"historical doc {i}") for i in range(50)]
+            + [(2000 + i, f"new doc {i}") for i in range(50)]
+            + [(3000, None)],  # NULL key stays NULL on both paths
+            "doc_id long, text string",
+        )
+        bitmap = bloom_build(hist, norm_text(F.col("text")))
+        lit = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in new.select(
+                "doc_id",
+                bloom_maybe_contains(norm_text(F.col("text")), bitmap).alias(
+                    "maybe_dup"
+                ),
+            ).collect()
+        }
+        join = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in bloom_flag_join(
+                new,
+                norm_text(F.col("text")),
+                bloom_words_df(spark, bitmap),
+            )
+            .select("doc_id", "maybe_dup")
+            .collect()
+        }
+        assert lit == join
+        assert lit[3000] is None
+
+    def test_big_m_membership_without_plan_literal(self, spark):
+        from beats_spark.operators.dedup import (
+            BLOOM_K,
+            bloom_build,
+            bloom_flag_join,
+            bloom_words_df,
+            norm_text,
+        )
+        from pyspark.sql import functions as F
+
+        m = 1 << 24  # 16M bits: the literal path would inline 262k lits
+        hist = spark.createDataFrame(
+            [(i, f"historical doc {i}") for i in range(2000)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1000_0 + i, f"historical doc {i}") for i in range(200)]
+            + [(2000_0 + i, f"fresh doc {i}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        bitmap = bloom_build(hist, norm_text(F.col("text")), m=m)
+        out = bloom_flag_join(
+            new, norm_text(F.col("text")), bloom_words_df(spark, bitmap), m=m
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the bitmap is NOT a plan literal: k broadcast joins instead,
+        # and zero exchanges on the probe side
+        assert plan.count("BroadcastHashJoin") == BLOOM_K
+        assert "Exchange hashpartitioning" not in plan
+        got = {r["doc_id"]: r["maybe_dup"] for r in out.collect()}
+        assert all(got[1000_0 + i] for i in range(200))  # no false negs
+        # at 16M bits / 2000 keys false positives are ~impossible
+        assert not any(got[2000_0 + i] for i in range(200))
+
+    def test_curator_picks_join_path_past_threshold(self, spark, tmp_path):
+        import duckdb
+
+        from beats_spark.streaming.curate import IncrementalCurator
+
+        def good(i: int) -> str:
+            # passes every quality rule (mirrors test_stream_curate.good)
+            return (
+                "the streaming curator admits the novel documents and "
+                f"drops the duplicate entries for training corpus {i}"
+            )
+
+        m = 1 << 22  # > BLOOM_LITERAL_MAX_BITS -> join path
+        out = str(tmp_path / "o")
+        cur = IncrementalCurator(spark, m=m)
+        b0 = spark.createDataFrame(
+            [(i, good(i)) for i in range(4)], "doc_id long, text string"
+        )
+        cur.process_batch(b0, 0, out)
+        # batch 1 re-sends doc 1's text (history dup) plus a novel doc
+        b1 = spark.createDataFrame(
+            [(100, good(1)), (101, good(50))], "doc_id long, text string"
+        )
+        cur.process_batch(b1, 1, out)
+        row = duckdb.sql(
+            "SELECT n_in, n_history_dup, n_admitted FROM"
+            f" parquet_scan('{out}/stats/*/*.parquet', hive_partitioning=1)"
+            " WHERE batch_id = 1"
+        ).fetchone()
+        assert row == (2, 1, 1)
