@@ -211,6 +211,38 @@ def train_logistic(
     return w[:n_buckets], w[n_buckets]
 
 
+def score_documents(
+    df: DataFrame,
+    w: list[float],
+    b: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score EVERY document with trained ``(w, b)`` — the 100-TB
+    scoring pass: weights ride as plan literals (n_buckets+1 doubles),
+    one corpus scan, one keyed groupBy with map-side combine, zero
+    Python. Returns (doc_id, n_grams, score); zero-gram documents emit
+    no row (no trainable content). Same snapped integer-micro-unit
+    arithmetic as training, so cross-engine scores stay exact."""
+    feats = _features(df, id_col, text_col, n_buckets, with_bias=True)
+    warr = F.array(*[F.lit(x) for x in w + [b]])
+    scale = float(LM_SCALE)
+    zterm = F.floor(
+        F.element_at(warr, F.col("h") + 1) * F.col("cnt") * F.lit(scale)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = feats.groupBy("doc_id").agg(
+        F.max("n").alias("n"), F.sum(zterm).alias("_zs")
+    )
+    z = F.col("_zs").cast("double") / (F.col("n") * F.lit(scale))
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_grams"),
+        F.round(_fast_sigmoid(z), 6).alias("score"),
+    )
+
+
 def classifier_scores(
     df: DataFrame,
     label: Column,
@@ -234,21 +266,8 @@ def classifier_scores(
         lr=lr,
         train_filter=F.col(id_col) % train_mod != 0,
     )
-    feats = _features(df, id_col, text_col, n_buckets, with_bias=True)
-    warr = F.array(*[F.lit(x) for x in w + [b]])
-    scale = float(LM_SCALE)
-    zterm = F.floor(
-        F.element_at(warr, F.col("h") + 1) * F.col("cnt") * F.lit(scale)
-        + F.lit(0.5)
-    ).cast("long")
-    per_doc = feats.groupBy("doc_id").agg(
-        F.max("n").alias("n"), F.sum(zterm).alias("_zs")
-    )
-    z = F.col("_zs").cast("double") / (F.col("n") * F.lit(scale))
-    scored = per_doc.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_grams"),
-        F.round(_fast_sigmoid(z), 6).alias("score"),
+    scored = score_documents(
+        df, w, b, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
     lab = df.select(
         F.col(id_col).alias("doc_id"), label.cast("boolean").alias("label")

@@ -11,8 +11,8 @@ Stage design is FLAGS-THEN-FILTER, not filter-then-filter: every
 gate (optional URL keep-first + domain blocklist, exact-dup
 canonical, near-dup canonical, quality keep, repetition keep,
 optional duplicated-span keep, optional CCNet-style LM-perplexity
-keep, decontamination, stratified sample) is computed as a boolean
-COLUMN over the full corpus, so
+keep, optional trained-classifier keep, decontamination, stratified
+sample) is computed as a boolean COLUMN over the full corpus, so
 
   * one aggregation pass yields the whole survival funnel (per-gate
     and cumulative counts) without re-running the chain once per
@@ -64,6 +64,8 @@ def curate(
     neardup_threshold: float = 0.6,
     max_perplexity: float | None = None,
     max_dup_span_frac: float | None = None,
+    classifier_labels_path: str | None = None,
+    classifier_threshold: float = 0.5,
     html: bool = False,
     url_col: str | None = None,
     blocklist_path: str | None = None,
@@ -210,6 +212,37 @@ def curate(
         )
     else:
         flags = flags.withColumn("lm_keep", F.lit(True))
+    if classifier_labels_path is not None:
+        # trained-classifier gate (the CCNet/LLaMA-1 "reference-like"
+        # filter this pipeline implements): train the fastText-style
+        # logistic classifier ON THE LABELED DIM (a parquet of
+        # doc_id + label — the curation team's seed judgments), score
+        # the WHOLE corpus with the trained weights as plan literals
+        # (operators/classifier.py score_documents: one scan, one
+        # keyed groupBy, zero Python), keep score >= threshold. A
+        # zero-gram document has no score row — no trainable content,
+        # so it drops here (the quality gate fires on it anyway).
+        from beats_spark.operators.classifier import (
+            score_documents,
+            train_logistic,
+        )
+
+        labels = spark.read.parquet(classifier_labels_path).select(
+            "doc_id", F.col("label").cast("int").alias("label")
+        )
+        labeled = docs.join(F.broadcast(labels), "doc_id")
+        w, b = train_logistic(labeled, F.col("label"))
+        clf = score_documents(docs, w, b).select(
+            "doc_id",
+            (F.col("score") >= F.lit(classifier_threshold)).alias(
+                "classifier_keep"
+            ),
+        )
+        flags = flags.join(clf, "doc_id", "left").withColumn(
+            "classifier_keep", F.coalesce("classifier_keep", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("classifier_keep", F.lit(True))
     if benchmark_path is not None:
         bench = spark.read.parquet(benchmark_path)
         flags = flags.join(
@@ -238,6 +271,7 @@ def curate(
         "repetition_keep",
         "span_keep",
         "lm_keep",
+        "classifier_keep",
         "decontam_keep",
         "sample_keep",
     ]
@@ -376,6 +410,20 @@ def main(argv: list[str] | None = None) -> int:
         "duplicated n-token-span fraction exceeds this (default: gate off)",
     )
     p.add_argument(
+        "--classifier-labels",
+        default=None,
+        help="trained-classifier gate: parquet of (doc_id, label) seed "
+        "judgments; trains the in-engine logistic classifier on the "
+        "labeled slice, scores the whole corpus, keeps score >= "
+        "--classifier-threshold (default: gate off)",
+    )
+    p.add_argument(
+        "--classifier-threshold",
+        type=float,
+        default=0.5,
+        help="with --classifier-labels: minimum kept score",
+    )
+    p.add_argument(
         "--bpe-merges",
         type=int,
         default=0,
@@ -425,6 +473,8 @@ def main(argv: list[str] | None = None) -> int:
             neardup_threshold=args.neardup_threshold,
             max_perplexity=args.max_perplexity,
             max_dup_span_frac=args.max_dup_span_frac,
+            classifier_labels_path=args.classifier_labels,
+            classifier_threshold=args.classifier_threshold,
             html=args.html,
             url_col=args.url_col,
             blocklist_path=args.blocklist,

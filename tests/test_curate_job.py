@@ -247,6 +247,74 @@ class TestCurateJob:
         )
         f = summary["funnel"]
         assert f["pass_lm_keep"] == f["total"]
+        assert f["pass_classifier_keep"] == f["total"]
+
+    def test_classifier_gate(self, spark, tmp_path):
+        duckdb = pytest.importorskip("duckdb")
+        from pyspark.sql import functions as F
+
+        from beats_spark.operators.classifier import (
+            score_documents,
+            train_logistic,
+        )
+
+        out = str(tmp_path / "curated")
+        labels_path = str(tmp_path / "labels")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # seed judgments on every 3rd doc: "reference-like" = english —
+        # learnable from the text's grams, so the gate provably splits
+        labels = docs.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("lang") == "en").alias("label")
+        )
+        labels.write.mode("overwrite").parquet(labels_path)
+        # retrain on the same labeled dim outside the job (GD is
+        # deterministic) and pick a cutoff strictly inside the observed
+        # score range so the gate provably fires on some docs and
+        # passes others (the lm-gate test's pattern)
+        from beats_spark.operators.clean import clean_text
+
+        fixed = docs.withColumn("text", clean_text(F.col("text")))
+        w, b = train_logistic(
+            fixed.join(
+                labels.select(
+                    "doc_id", F.col("label").cast("int").alias("label")
+                ),
+                "doc_id",
+            ),
+            F.col("label"),
+        )
+        scores = sorted(
+            r["score"] for r in score_documents(fixed, w, b).collect()
+        )
+        cutoff = scores[len(scores) // 2]
+        summary = curate(
+            spark,
+            f"{SF_DIR}/documents.parquet",
+            out,
+            default_rate=1.0,
+            classifier_labels_path=labels_path,
+            classifier_threshold=cutoff,
+        )
+        f = summary["funnel"]
+        assert 0 < f["pass_classifier_keep"] < f["total"]
+        # the funnel's count IS the trained-scorer's count
+        expect = sum(1 for s in scores if s >= cutoff)
+        assert f["pass_classifier_keep"] == expect
+        # independent reader: the audit table carries the gate and the
+        # full conjunction (classifier included) reproduces kept
+        gates = [
+            "url_keep", "exact_keep", "neardup_keep", "quality_keep",
+            "repetition_keep", "span_keep", "lm_keep",
+            "classifier_keep", "decontam_keep", "sample_keep",
+        ]
+        conj = " AND ".join(gates)
+        n_pass, n_kept = duckdb.sql(
+            "SELECT sum(CASE WHEN classifier_keep THEN 1 ELSE 0 END),"
+            f" sum(CASE WHEN {conj} THEN 1 ELSE 0 END)"
+            f" FROM parquet_scan('{out}/flags/*.parquet')"
+        ).fetchone()
+        assert n_pass == f["pass_classifier_keep"]
+        assert n_kept == summary["kept"]
 
     def test_parse_rates(self):
         assert _parse_rates("en=1.0, de=0.25") == {"en": 1.0, "de": 0.25}
