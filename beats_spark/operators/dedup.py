@@ -495,6 +495,72 @@ SELECT * FROM sig
 """
 
 
+def with_band_keys(
+    df: DataFrame,
+    text: Column,
+    out_col: str = "_band_keys",
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    n: int = 3,
+) -> DataFrame:
+    """``df`` plus an ``array<string>`` of LSH band keys per row — the
+    MAP-SIDE form of :func:`minhash_lsh_pairs`' band table (same
+    two-hash minhash scheme, same ``mh.._mh..`` key encoding with the
+    band index folded in), for membership-style near-dup against an
+    admitted-set Bloom filter where the band table itself must never
+    materialize. Intermediate arrays (shingles, digests, c1/c2) are
+    staged through separate projections (CLAUDE.md expression-reuse
+    gotcha: inlining them into every signature column multiplies the
+    regex+md5 work by k). A shingle-less document (shorter than the
+    window) gets an EMPTY key array — no bands, never a candidate."""
+    staged = (
+        df.select("*", shingles(text, n).alias("_mh_sh"))
+        .select(
+            "*", F.transform("_mh_sh", F.md5).alias("_mh_hx")
+        )
+        .select(
+            "*",
+            F.transform(
+                "_mh_hx",
+                lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long"),
+            ).alias("_mh_c1"),
+            F.transform(
+                "_mh_hx",
+                lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long"),
+            ).alias("_mh_c2"),
+        )
+    )
+    staged = staged.select(
+        "*",
+        *[
+            F.array_min(F.zip_with("_mh_c1", "_mh_c2", _affine(i))).alias(
+                f"_mh{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    n_bands = k // rows_per_band
+    keys = F.when(F.size("_mh_sh") == 0, F.array().cast("array<string>")).otherwise(
+        F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[
+                        F.col(f"_mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    return staged.withColumn(out_col, keys).drop(
+        "_mh_sh", "_mh_hx", "_mh_c1", "_mh_c2",
+        *[f"_mh{i}" for i in range(k)],
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,

@@ -26,6 +26,11 @@ job's funnel):
      normalized text (one micro-batch-sized exchange),
   3. ``novel``       — NOT bloom_maybe_contains(norm) vs everything
      admitted so far (map-side; the bitmap rides in as a literal),
+     optionally AND'd with a NEAR-dup membership (``near_min_hits``):
+     the admitted set's LSH band keys in a second bitmap, a doc
+     dropped when >= near_min_hits of its bands hit (map-side; the
+     hit-count threshold is the verify — one Bloom FP can't drop a
+     novel doc),
   4. ``quality_keep``— the Gopher-style rule conjunction (map-side),
 
 then one aggregation yields the per-batch funnel row (written to
@@ -69,11 +74,14 @@ from ..operators.dedup import (
     BLOOM_K,
     BLOOM_LITERAL_MAX_BITS,
     BLOOM_M,
+    LSH_ROWS_PER_BAND,
+    MINHASH_K,
     bloom_build,
     bloom_flag_join,
     bloom_maybe_contains,
     bloom_words_df,
     norm_text,
+    with_band_keys,
 )
 
 
@@ -102,19 +110,47 @@ class IncrementalCurator:
         id_col: str = "doc_id",
         m: int = BLOOM_M,
         k: int = BLOOM_K,
+        near_min_hits: int = 0,
     ) -> None:
         self.spark = spark
         self.text_col = text_col
         self.id_col = id_col
         self.m, self.k = m, k
+        # near_min_hits > 0 turns on NEAR-dup membership: the admitted
+        # set's LSH band keys (dedup.with_band_keys — same banding as
+        # minhash_lsh_pairs) live in a SECOND Bloom bitmap, and a new
+        # doc is a near-dup when >= near_min_hits of its bands are
+        # already present. The hit-count threshold is the map-side
+        # verify: one Bloom false positive can't drop a novel doc
+        # (needs near_min_hits independent FPs), while a true
+        # paraphrase at jaccard j hits each band w.p. j^rows_per_band
+        # — the history itself still never joins.
+        self.near_min_hits = near_min_hits
         if history_df is not None:
             # ONE aggregation over the history, ever (bloom_build:
             # map-side combine to <= m/64 partial rows per partition)
             self.bitmap = bloom_build(
                 history_df, norm_text(F.col(text_col)), m, k
             )
+            self.near_bitmap = (
+                self._near_delta(history_df)
+                if near_min_hits
+                else [0] * ((m + 63) // 64)
+            )
         else:
             self.bitmap = [0] * ((m + 63) // 64)
+            self.near_bitmap = [0] * ((m + 63) // 64)
+
+    def _near_delta(self, df: DataFrame) -> list[int]:
+        """Band-key Bloom bitmap over ``df`` — nb keys per doc, one
+        map-side-combining bit_or agg (the bloom_build shape)."""
+        keyed = with_band_keys(df, F.col(self.text_col))
+        return bloom_build(
+            keyed.select(F.explode("_band_keys").alias("_bk")),
+            F.col("_bk"),
+            self.m,
+            self.k,
+        )
 
     @classmethod
     def from_output(
@@ -125,13 +161,23 @@ class IncrementalCurator:
         id_col: str = "doc_id",
         m: int = BLOOM_M,
         k: int = BLOOM_K,
+        near_min_hits: int = 0,
     ) -> "IncrementalCurator":
-        """Restart path: rebuild the admitted-set bitmap from the
+        """Restart path: rebuild the admitted-set bitmap(s) from the
         curated output written by previous runs. Curated text is
-        already fix-text-normalized, and ``norm_text`` is idempotent
-        over it, so the rebuilt keys equal the keys OR-ed in live."""
+        already fix-text-normalized, and ``norm_text`` / the band-key
+        chain are idempotent over it, so the rebuilt keys equal the
+        keys OR-ed in live."""
         hist = spark.read.parquet(f"{output_root}/data")
-        return cls(spark, hist, text_col=text_col, id_col=id_col, m=m, k=k)
+        return cls(
+            spark,
+            hist,
+            text_col=text_col,
+            id_col=id_col,
+            m=m,
+            k=k,
+            near_min_hits=near_min_hits,
+        )
 
     # -- per-batch pass --------------------------------------------------
 
@@ -171,6 +217,62 @@ class IncrementalCurator:
                 self.k,
                 out_col="_bl_hit",
             ).withColumn("novel", ~F.col("_bl_hit")).drop("_bl_hit")
+        if self.near_min_hits:
+            # NEAR-dup vs the admitted set: band keys map-side, each
+            # tested against the band bitmap, hit count >= threshold
+            # folds into `novel` (a near-dup IS a history dup for the
+            # funnel). A shingle-less doc has no bands → never a
+            # candidate. Zero extra exchanges: the plan pin holds.
+            keyed = with_band_keys(flagged, F.col(self.text_col))
+            nb = MINHASH_K // LSH_ROWS_PER_BAND
+            if self.m <= BLOOM_LITERAL_MAX_BITS:
+                hit_cols = [
+                    F.coalesce(
+                        bloom_maybe_contains(
+                            F.get("_band_keys", i),
+                            self.near_bitmap,
+                            self.m,
+                            self.k,
+                        ),
+                        F.lit(False),
+                    )
+                    for i in range(nb)
+                ]
+                keyed = keyed.withColumn(
+                    "_near_hits",
+                    sum(
+                        (c.cast("int") for c in hit_cols[1:]),
+                        hit_cols[0].cast("int"),
+                    ),
+                )
+            else:
+                words = bloom_words_df(self.spark, self.near_bitmap)
+                for i in range(nb):
+                    keyed = bloom_flag_join(
+                        keyed.withColumn(f"_bk{i}", F.get("_band_keys", i)),
+                        F.col(f"_bk{i}"),
+                        words,
+                        self.m,
+                        self.k,
+                        out_col=f"_bh{i}",
+                    ).drop(f"_bk{i}")
+                keyed = keyed.withColumn(
+                    "_near_hits",
+                    sum(
+                        (
+                            F.coalesce(F.col(f"_bh{i}"), F.lit(False)).cast(
+                                "int"
+                            )
+                            for i in range(1, nb)
+                        ),
+                        F.coalesce(F.col("_bh0"), F.lit(False)).cast("int"),
+                    ),
+                ).drop(*[f"_bh{i}" for i in range(nb)])
+            flagged = keyed.withColumn(
+                "novel",
+                F.col("novel")
+                & (F.col("_near_hits") < F.lit(self.near_min_hits)),
+            ).drop("_band_keys", "_near_hits")
         # quality rules map-side, features materialized once
         feats = quality_features(F.col(self.text_col))
         staged = flagged.select(
@@ -238,6 +340,11 @@ class IncrementalCurator:
             # from_output) treats them as history
             delta = bloom_build(kept, F.col("_norm"), self.m, self.k)
             self.bitmap = [a | b for a, b in zip(self.bitmap, delta)]
+            if self.near_min_hits:
+                nd = self._near_delta(kept)
+                self.near_bitmap = [
+                    a | b for a, b in zip(self.near_bitmap, nd)
+                ]
         finally:
             flagged.unpersist()
 
