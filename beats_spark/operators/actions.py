@@ -604,6 +604,18 @@ class Script(Processor):
                                   + ", msg_len int")
 
         Script(fn=fn)
+
+    For a LITERAL day-one port of an existing ``process(event)``
+    program — same Get/Put/Delete/Rename/Tag/Cancel API, same
+    semantics, ``register(params)`` included — wrap it with
+    :func:`beats_spark.operators.jsevent.process_event_script`::
+
+        def process(event):
+            if event.Get("event.code") == 1102:
+                event.Put("event.action", "cleared")
+
+        Script(fn=process_event_script(
+            process, added={"event.action": "string"}))
     """
 
     fn: Callable[[DataFrame], DataFrame]
