@@ -34,6 +34,62 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: UTF-16 byte-order marks (encoding/utf16.go:113-118)
+_BOM_BE = bytes([0xFE, 0xFF])
+_BOM_LE = bytes([0xFF, 0xFE])
+
+#: max bytes a substring "to end of blob" can cover
+_MAX_LEN = (1 << 31) - 1
+
+
+def decode_blob(blob: Column, charset: str = "utf-8") -> Column:
+    """Charset-decode a raw connection/file BLOB (binary) to text —
+    the line reader's decode tier
+    (libbeat/reader/readfile/encoding/encoding.go:34-121,
+    utf16.go:86-125) as pure Column work, run AHEAD of
+    :func:`frame_delimited` (the reference frames on the ENCODED
+    newline then decodes each line — readfile/line.go:46-67;
+    decode-then-frame commutes because no UTF-16 code unit of '\\n'
+    can appear inside another character's units).
+
+    Charsets, mirroring the reference's registry semantics:
+
+    - ``plain`` / ``nop`` / ``utf-8``: invalid sequences become U+FFFD
+      (the reference's Replacement-based ``utf8Encoding``,
+      encoding/mixed.go) — conf-free via ``make_valid_utf8``.
+    - ``utf-16le`` / ``utf-16be``: BOM OPTIONAL. A leading BOM decides
+      the endianness and is STRIPPED (utf16.go: the reader keeps its
+      post-BOM offset only when a BOM was found); otherwise the named
+      endianness decodes the whole blob, nothing stripped.
+    - ``utf-16``: BOM REQUIRED (``utf16BOMRequired`` — no fallback).
+      The reference fails the file open; the batch analog yields NULL
+      for the caller to flag/route.
+    - ``iso8859-1`` / ``latin1``: single-byte charmap.
+
+    Spark 4 ANSI gotcha: ``decode()`` ABORTS THE JOB on malformed
+    UTF-16 input. On dirty transports set
+    ``spark.sql.legacy.codingErrorAction=true`` to get the
+    reference's replace-with-U+FFFD behavior (the UTF-8 path never
+    needs it)."""
+    cs = charset.lower().replace("_", "-")
+    if cs in ("plain", "nop", "utf-8", "utf8", "unicode-1-1-utf-8"):
+        return F.call_function("make_valid_utf8", blob.cast("string"))
+    if cs in ("iso8859-1", "iso-8859-1", "latin1"):
+        return F.decode(blob, "ISO-8859-1")
+    if cs in ("utf-16le", "utf-16be", "utf-16"):
+        bom2 = F.substring(blob, 1, 2)
+        rest = F.substring(blob, 3, _MAX_LEN)
+        detected = F.when(
+            bom2 == F.lit(_BOM_BE), F.decode(rest, "UTF-16BE")
+        ).when(bom2 == F.lit(_BOM_LE), F.decode(rest, "UTF-16LE"))
+        if cs == "utf-16be":
+            return detected.otherwise(F.decode(blob, "UTF-16BE"))
+        if cs == "utf-16le":
+            return detected.otherwise(F.decode(blob, "UTF-16LE"))
+        return detected  # BOM required: NULL when absent
+    raise ValueError(f"unsupported charset: {charset}")
+
+
 def frame_delimited(blob: Column, delimiter: str = "\n") -> Column:
     """Split one connection blob into an array of framed messages with
     Go-scanner semantics (scan.go:27-40): empties between back-to-back
@@ -68,15 +124,21 @@ def frame_events(
     delimiter: str = "\n",
     max_message_size: int | None = None,
     out_col: str = "message",
+    charset: str | None = None,
 ) -> DataFrame:
     """Explode connection blobs into one row per framed message, in
     stream order (``frame_idx``). ``frame_too_long`` marks frames past
     ``max_message_size`` — the reference kills the connection there
     (client.go:86-89); a batch job marks and routes instead.
+    ``charset`` set = ``blob_col`` holds RAW BYTES: run the
+    :func:`decode_blob` tier first (BOM strip + endianness fallback).
     """
+    blob = F.col(blob_col)
+    if charset is not None:
+        blob = decode_blob(blob, charset)
     framed = df.select(
         "*",
-        F.posexplode(frame_delimited(F.col(blob_col), delimiter)).alias(
+        F.posexplode(frame_delimited(blob, delimiter)).alias(
             "frame_idx", out_col
         ),
     ).drop(blob_col)

@@ -74,3 +74,102 @@ def test_frame_datagrams_truncates(spark):
     )
     out = frame_datagrams(df, max_message_size=8).collect()
     assert sorted(r.message for r in out) == ["d" * 8, "ok"]
+
+
+class TestDecodeBlob:
+    """decode_blob — the line reader's charset tier
+    (libbeat/reader/readfile/encoding/): UTF-16 BOM detect + strip
+    with endianness fallback, Replacement-semantics UTF-8, latin-1.
+    Goldens are Python's codecs (same Unicode behavior Go x/text
+    implements) plus explicit BOM-offset cases from utf16.go:86-125."""
+
+    def _dec(self, spark, payload: bytes, charset: str):
+        from beats_spark.functions.framing import decode_blob
+
+        df = spark.createDataFrame([(payload,)], "b binary")
+        return df.select(decode_blob(F.col("b"), charset).alias("s")).first()["s"]
+
+    def test_utf16le_with_and_without_bom(self, spark):
+        text = "héllo\nwörld"
+        # BOM present: detected, STRIPPED (the reader keeps the
+        # post-BOM offset — utf16.go:120-125)
+        assert self._dec(
+            spark, b"\xff\xfe" + text.encode("utf-16-le"), "utf-16le"
+        ) == text
+        # BOM absent: fall back to the configured endianness
+        assert self._dec(
+            spark, text.encode("utf-16-le"), "utf-16le"
+        ) == text
+        # OPPOSITE BOM wins over the fallback
+        assert self._dec(
+            spark, b"\xfe\xff" + text.encode("utf-16-be"), "utf-16le"
+        ) == text
+
+    def test_utf16be_with_and_without_bom(self, spark):
+        text = "log line α"
+        assert self._dec(
+            spark, b"\xfe\xff" + text.encode("utf-16-be"), "utf-16be"
+        ) == text
+        assert self._dec(
+            spark, text.encode("utf-16-be"), "utf-16be"
+        ) == text
+
+    def test_utf16_bom_required(self, spark):
+        text = "x"
+        # utf16BOMRequired: no fallback — the reference refuses the
+        # source; the batch analog is NULL
+        assert self._dec(spark, text.encode("utf-16-le"), "utf-16") is None
+        assert self._dec(
+            spark, b"\xff\xfe" + text.encode("utf-16-le"), "utf-16"
+        ) == text
+
+    def test_utf8_replacement_semantics(self, spark):
+        # encoding/mixed.go: invalid UTF-8 bytes become U+FFFD, the
+        # rest is copied — never a job abort
+        assert self._dec(spark, b"a\xffb", "utf-8") == "a�b"
+        # a UTF-8 BOM is NOT stripped (no BOM handling in the utf8
+        # codec — it decodes to U+FEFF like Go's Replacement path)
+        assert self._dec(spark, b"\xef\xbb\xbfhi", "plain") == "﻿hi"
+
+    def test_latin1(self, spark):
+        assert self._dec(spark, bytes([0xE9, 0x20, 0x61]), "latin1") == "\xe9 a"
+
+    def test_unsupported_charset_raises(self, spark):
+        from beats_spark.functions.framing import decode_blob
+
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_blob(F.col("b"), "koi8-r")
+
+    def test_frame_events_charset_tier(self, spark):
+        # raw UTF-16LE connection blob with BOM → decode, then the Go
+        # scanner framing over the DECODED text (line.go frames on the
+        # encoded newline then decodes — same frames either way)
+        from beats_spark.functions.framing import frame_events
+
+        blob = b"\xff\xfe" + "first\nsecond\n".encode("utf-16-le")
+        df = spark.createDataFrame([(1, blob)], "conn long, blob binary")
+        rows = frame_events(df, charset="utf-16le").orderBy("frame_idx").collect()
+        assert [(r["frame_idx"], r["message"]) for r in rows] == [
+            (0, "first"),
+            (1, "second"),
+        ]
+        # still map-side: no exchange in the framing pass
+        plan = (
+            frame_events(df, charset="utf-16le")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_malformed_utf16_with_replace_conf(self, spark):
+        # Spark 4 ANSI decode aborts on malformed input; the
+        # documented conf restores the reference's replace behavior
+        spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+        try:
+            got = self._dec(
+                spark, "hi".encode("utf-16-be") + b"\x00", "utf-16be"
+            )
+            assert got == "hi�"
+        finally:
+            spark.conf.unset("spark.sql.legacy.codingErrorAction")
