@@ -55,7 +55,8 @@ from .operators.sampling import (
 )
 from .operators.multimodal import (
     extract_features,
-    multimodal_features_sql,
+    frame_sample,
+    resize_payload,
     with_binary_payload,
 )
 from .operators.similarity import (
@@ -757,9 +758,48 @@ def q_bpe_tokenize(spark, sf_dir):
     return doc_rows.unionByName(merge_rows)
 
 
+#: multimodal variant params (merged r4: resize + frame-sample ride
+#: the `multimodal_features` row — the brief's four media ops are
+#: decode / feature-extract / RESIZE / FRAME-SAMPLE; decode stays the
+#: stubbed tier, the other three are oracle-checked here)
+MM_RESIZE_BYTES = 8
+MM_FRAME_BYTES = 4
+MM_FRAME_STRIDE = 2
+
+
 def q_multimodal_features(spark, sf_dir):
+    """Three variants over the fake binary payload (md5(text) bytes):
+    'feat' = decode/feature-extract (n_bytes + header hex), 'resize' =
+    nearest-neighbor byte resample to MM_RESIZE_BYTES, 'frame' = one
+    row per stride-sampled MM_FRAME_BYTES-byte frame. All three are
+    scan-aligned mapInPandas passes — payload bytes never shuffle."""
     docs = with_binary_payload(_docs(spark, sf_dir))
-    return extract_features(docs)
+    ni = F.lit(None).cast("long")
+    feat = extract_features(docs).select(
+        F.lit("feat").alias("variant"),
+        "doc_id",
+        "modality",
+        ni.alias("idx"),
+        F.col("n_bytes"),
+        F.col("header_hex").alias("payload_hex"),
+    )
+    rez = resize_payload(docs, MM_RESIZE_BYTES).select(
+        F.lit("resize").alias("variant"),
+        "doc_id",
+        "modality",
+        ni.alias("idx"),
+        F.col("n_bytes_in").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+    frm = frame_sample(docs, MM_FRAME_BYTES, MM_FRAME_STRIDE).select(
+        F.lit("frame").alias("variant"),
+        "doc_id",
+        "modality",
+        F.col("frame_idx").alias("idx"),
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.lower(F.hex("frame")).alias("payload_hex"),
+    )
+    return feat.unionByName(rez).unionByName(frm)
 
 
 def q_lm_scores(spark, sf_dir):
@@ -1208,6 +1248,39 @@ FROM ({subs[0]}) s0{joins}
 """
 
 
+def _multimodal_oracle() -> str:
+    """DuckDB twin of the three-variant multimodal row. The fake
+    payload is md5(text) bytes (16), so every transform is a static
+    hex-slice recomposition: feature hex = first 8 chars; resized
+    byte i = hex pair floor(i*16/out)+1 (unrolled concat); frame fi =
+    chars [2*fi*fb+1, 2*fb]."""
+    rz = ", ".join(
+        f"substr(h, {2 * ((i * 16) // MM_RESIZE_BYTES) + 1}, 2)"
+        for i in range(MM_RESIZE_BYTES)
+    )
+    n_frames = (16 + MM_FRAME_BYTES - 1) // MM_FRAME_BYTES
+    frames = "\nUNION ALL\n".join(
+        f"""SELECT 'frame' AS variant, doc_id, 'fake' AS modality,
+       CAST({fi} AS BIGINT) AS idx, CAST({MM_FRAME_BYTES} AS BIGINT) AS n_bytes,
+       substr(md5(text), {2 * fi * MM_FRAME_BYTES + 1}, {2 * MM_FRAME_BYTES}) AS payload_hex
+FROM documents"""
+        for fi in range(0, n_frames, MM_FRAME_STRIDE)
+    )
+    return f"""
+SELECT 'feat' AS variant, doc_id, 'fake' AS modality,
+       CAST(NULL AS BIGINT) AS idx, CAST(16 AS BIGINT) AS n_bytes,
+       substr(md5(text), 1, 8) AS payload_hex
+FROM documents
+UNION ALL
+SELECT 'resize' AS variant, doc_id, 'fake' AS modality,
+       CAST(NULL AS BIGINT) AS idx, CAST(16 AS BIGINT) AS n_bytes,
+       concat({rz}) AS payload_hex
+FROM (SELECT doc_id, md5(text) AS h FROM documents)
+UNION ALL
+{frames}
+"""
+
+
 def _lm_scores_oracle() -> str:
     from .operators.lm import bigram_lm_sql, dsir_weights_sql
 
@@ -1533,7 +1606,7 @@ FROM documents GROUP BY lang, pred_lang
         "bpe_tokenize": bpe_tokenize_sql(
             "documents", n_merges=BPE_MERGES, max_words=BPE_MAX_WORDS
         ),
-        "multimodal_features": multimodal_features_sql("documents"),
+        "multimodal_features": _multimodal_oracle(),
         "lm_scores": _lm_scores_oracle(),
         "semdedup": _semdedup_oracle(),
         "quality_classifier": _quality_classifier_oracle(),

@@ -104,3 +104,144 @@ SELECT doc_id,
        substr(md5({text_col}), 1, 8) AS header_hex
 FROM {table}
 """
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame, out_bytes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The brief's media RESIZE step as real Spark plumbing: a
+    partition-preserving, Arrow-batched ``mapInPandas`` that maps each
+    binary payload to a fixed ``out_bytes``-byte payload by
+    nearest-neighbor 1-D resampling (out[i] = in[floor(i*n/out)]) —
+    the byte-level shape of an image downscale with the pixel decode
+    stubbed (codec libs aren't in this container; a real decoder
+    slots in via DECODERS without touching the plumbing). Payload
+    bytes never shuffle; only the resized payload continues.
+
+    Reference analog: beats carries opaque event payloads untouched —
+    media transforms are an extension op per the training-data brief.
+    """
+    if out_bytes <= 0:
+        raise ValueError("out_bytes must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = len(b)
+                resized.append(
+                    bytes(b[(i * n) // out_bytes] for i in range(out_bytes))
+                    if n
+                    else b""
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "modality": pdf["modality"],
+                    "n_bytes_in": pd.Series(
+                        [len(bytes(p)) for p in pdf["payload"]], dtype="int64"
+                    ),
+                    "payload": resized,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int,
+    stride: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The brief's video FRAME-SAMPLE step: split each payload into
+    consecutive ``frame_bytes``-byte frames (a fixed-size raw-frame
+    container; the codec decode is the stubbed tier) and keep every
+    ``stride``-th frame, exploded to one output row per kept frame.
+    ``mapInPandas`` again — Arrow-batched, scan-aligned, no shuffle;
+    a 100-TB video corpus pays one pass and emits only the sampled
+    frames. A trailing partial frame is kept as-is (its bytes are
+    data, not padding)."""
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError("frame_bytes and stride must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, mods, idxs, frames = [], [], [], []
+            for did, mod, p in zip(
+                pdf[id_col], pdf["modality"], pdf["payload"]
+            ):
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    ids.append(int(did))
+                    mods.append(mod)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "modality": pd.Series(mods, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload_sql(
+    table: str, out_bytes: int, text_col: str = "text"
+) -> str:
+    """Oracle for resize over the fake payload (md5 bytes, n=16):
+    byte i of the resized payload is hex pair floor(i*16/out)+1 of
+    the md5 hex string — unrolled into a concat of substrs."""
+    pairs = ", ".join(
+        f"substr(h, {2 * ((i * 16) // out_bytes) + 1}, 2)"
+        for i in range(out_bytes)
+    )
+    return f"""
+SELECT doc_id, 'fake' AS modality, CAST(16 AS BIGINT) AS n_bytes_in,
+       concat({pairs}) AS payload_hex
+FROM (SELECT doc_id, md5({text_col}) AS h FROM {table})
+"""
+
+
+def frame_sample_sql(
+    table: str, frame_bytes: int, stride: int, text_col: str = "text"
+) -> str:
+    """Oracle for frame-sample over the 16-byte fake payload: frames
+    are fixed hex slices, sampled indices known statically."""
+    n_frames = (16 + frame_bytes - 1) // frame_bytes
+    selects = [
+        f"""SELECT doc_id, 'fake' AS modality, CAST({fi} AS BIGINT) AS frame_idx,
+       substr(md5({text_col}), {2 * fi * frame_bytes + 1}, {2 * frame_bytes}) AS frame_hex
+FROM {table}"""
+        for fi in range(0, n_frames, stride)
+    ]
+    return "\nUNION ALL\n".join(selects)

@@ -394,6 +394,58 @@ class TestMultimodal:
         with pytest.raises(Exception):
             extract_features(with_binary_payload(docs), decoder="image").collect()
 
+    def test_resize_nearest_neighbor(self, spark, docs):
+        from beats_spark.operators.multimodal import resize_payload
+
+        out = {
+            r["doc_id"]: r
+            for r in resize_payload(with_binary_payload(docs), 8).collect()
+        }
+        for doc_id, text in DOCS:
+            b = hashlib.md5(text.encode()).digest()
+            want = bytes(b[(i * 16) // 8] for i in range(8))
+            assert out[doc_id]["n_bytes_in"] == 16
+            assert bytes(out[doc_id]["payload"]) == want
+
+    def test_resize_upsample_and_empty(self, spark):
+        from beats_spark.operators.multimodal import resize_payload
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x01\x02"), "fake"), (2, bytearray(b""), "fake")],
+            "doc_id long, payload binary, modality string",
+        )
+        got = {r["doc_id"]: bytes(r["payload"]) for r in resize_payload(df, 4).collect()}
+        # upsample repeats source bytes nearest-neighbor; empty stays empty
+        assert got[1] == b"\x01\x01\x02\x02"
+        assert got[2] == b""
+
+    def test_frame_sample_stride(self, spark, docs):
+        from beats_spark.operators.multimodal import frame_sample
+
+        rows = frame_sample(with_binary_payload(docs), 4, stride=2).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+        for doc_id, text in DOCS:
+            b = hashlib.md5(text.encode()).digest()
+            # 16 bytes / 4 per frame = frames 0..3; stride 2 keeps 0 and 2
+            assert sorted(by_doc[doc_id]) == [0, 2]
+            assert by_doc[doc_id][0] == b[0:4]
+            assert by_doc[doc_id][2] == b[8:12]
+
+    def test_frame_sample_trailing_partial(self, spark):
+        from beats_spark.operators.multimodal import frame_sample
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x01\x02\x03\x04\x05"), "fake")],
+            "doc_id long, payload binary, modality string",
+        )
+        got = {
+            r["frame_idx"]: bytes(r["frame"])
+            for r in frame_sample(df, 2, stride=1).collect()
+        }
+        assert got == {0: b"\x01\x02", 1: b"\x03\x04", 2: b"\x05"}
+
 
 class TestQuantization:
     def test_roundtrip_error_bounded(self, spark):
