@@ -291,15 +291,38 @@ def q_pii_redact(spark, sf_dir):
 
 
 def q_decontaminate(spark, sf_dir):
-    """benchmark decontamination (operators/decontam.py): docs sharing
-    a 4-gram with the held-out set (doc_id % 97 == 0) are flagged;
+    """benchmark decontamination (operators/decontam.py), both rules
+    under one driver row (variant column, merged r4): 'exact' = any
+    shared 4-gram flags (threshold count ≥ 1); 'frac' = the
+    GPT-3/PaLM-style fractional rule — ≥ 1/4 of a doc's DISTINCT
+    4-grams seen in the benchmark, threshold compared by exact
+    integer cross-multiplication. Held-out set = doc_id % 97 == 0;
     benchmark n-grams broadcast, corpus never shuffles by gram."""
-    from .operators.decontam import ngram_overlap
+    from .operators.decontam import ngram_overlap, ngram_overlap_frac
 
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return ngram_overlap(corpus, bench, n=4, threshold=1)
+    nl = F.lit(None).cast("long")
+    exact = ngram_overlap(corpus, bench, n=4, threshold=1).select(
+        F.lit("exact").alias("variant"),
+        "doc_id",
+        "n_overlap",
+        nl.alias("n_total"),
+        F.lit(None).cast("double").alias("frac"),
+        "contaminated",
+    )
+    frac = ngram_overlap_frac(
+        corpus, bench, n=4, frac_num=1, frac_den=4
+    ).select(
+        F.lit("frac").alias("variant"),
+        "doc_id",
+        "n_overlap",
+        "n_total",
+        "frac",
+        "contaminated",
+    )
+    return exact.unionByName(frac)
 
 
 #: data-mixing rates for the stratified-sample query (keep all rare
@@ -309,6 +332,9 @@ SAMPLE_RATES = {"en": 0.25, "es": 1.0, "de": 1.0, "fr": 1.0, "zh": 0.1}
 #: get fractional rates, every other source weight 0 (dropped)
 MIX_WEIGHTS = {"src1": 0.6, "src2": 0.3, "src3": 0.1}
 MIX_BUDGET = 4000
+#: temperature-mix token budget (small enough that no stratum clips
+#: to 1.0, so the alpha-weighting is actually visible in the rates)
+TMIX_BUDGET = 6000
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -320,8 +346,15 @@ def q_stratified_sample(spark, sf_dir):
     stratum and zero-weight drops. Row-level kept sets on both sides:
     the exact membership is what the oracle hashes. The keep-decision
     is a pure md5 function of doc_id, reproducible across engines,
-    runs, and repartitioning."""
-    from .operators.sampling import domain_mix, stratified_sample
+    runs, and repartitioning. Third variant (r4) 'tmix' =
+    temperature-based mixing (rates DERIVED from observed token mass,
+    p_s ∝ n_s^0.5 via repeated correctly-rounded sqrt + integer
+    micro-unit normalization — the XLM-R-style alpha-sampling rule)."""
+    from .operators.sampling import (
+        domain_mix,
+        stratified_sample,
+        temperature_mix,
+    )
 
     docs = _docs(spark, sf_dir)
     fixed = stratified_sample(
@@ -340,7 +373,14 @@ def q_stratified_sample(spark, sf_dir):
         "doc_id",
         F.col("source").alias("stratum"),
     )
-    return fixed.unionByName(mix)
+    tmix = temperature_mix(
+        docs, TMIX_BUDGET, alpha=0.5, strata_col="source"
+    ).select(
+        F.lit("tmix").alias("variant"),
+        "doc_id",
+        F.col("source").alias("stratum"),
+    )
+    return fixed.unionByName(mix).unionByName(tmix)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1248,6 +1288,27 @@ FROM ({subs[0]}) s0{joins}
 """
 
 
+def _decontaminate_oracle() -> str:
+    from .operators.decontam import ngram_overlap_frac_sql
+
+    corpus = "SELECT * FROM documents WHERE doc_id % 97 <> 0"
+    bench = "SELECT * FROM documents WHERE doc_id % 97 = 0"
+    exact = ngram_overlap_sql(corpus, bench, n=4, threshold=1)
+    frac = ngram_overlap_frac_sql(
+        corpus, bench, n=4, frac_num=1, frac_den=4
+    )
+    return f"""
+SELECT 'exact' AS variant, doc_id, n_overlap,
+       CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS DOUBLE) AS frac,
+       contaminated
+FROM ({exact})
+UNION ALL
+SELECT 'frac' AS variant, doc_id, n_overlap, n_total, frac,
+       contaminated
+FROM ({frac})
+"""
+
+
 def _multimodal_oracle() -> str:
     """DuckDB twin of the three-variant multimodal row. The fake
     payload is md5(text) bytes (16), so every transform is a static
@@ -1375,7 +1436,7 @@ FROM markup
 
 
 def _sampling_oracle() -> str:
-    from .operators.sampling import domain_mix_sql
+    from .operators.sampling import domain_mix_sql, temperature_mix_sql
 
     fixed = stratified_sample_sql(
         "(SELECT doc_id, lang FROM documents)",
@@ -1385,10 +1446,15 @@ def _sampling_oracle() -> str:
     mix = domain_mix_sql(
         "documents", MIX_WEIGHTS, MIX_BUDGET, strata_col="source"
     )
+    tmix = temperature_mix_sql(
+        "documents", TMIX_BUDGET, alpha=0.5, strata_col="source"
+    )
     return f"""
 SELECT 'fixed' AS variant, doc_id, lang AS stratum FROM ({fixed})
 UNION ALL
 SELECT 'mix' AS variant, doc_id, source AS stratum FROM ({mix})
+UNION ALL
+SELECT 'tmix' AS variant, doc_id, source AS stratum FROM ({tmix})
 """
 
 
@@ -1531,12 +1597,7 @@ FROM ({simhash_hamming_pairs_sql("documents", max_hamming=3)})
         "quality_filter": quality_filter_oracle("documents"),
         "ann_ivf_trained": kmeans_ivf_sql("embeddings", k=8, iters=2),
         "pii_redact": _pii_redact_oracle(),
-        "decontaminate": ngram_overlap_sql(
-            "SELECT * FROM documents WHERE doc_id % 97 <> 0",
-            "SELECT * FROM documents WHERE doc_id % 97 = 0",
-            n=4,
-            threshold=1,
-        ),
+        "decontaminate": _decontaminate_oracle(),
         "stratified_sample": _sampling_oracle(),
         "pack_sequences": assign_shards_sql(
             f"({pack_sequences_sql('documents', token_budget=256)})",

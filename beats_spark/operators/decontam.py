@@ -87,3 +87,104 @@ SELECT c.{id_col},
        coalesce(h.n_overlap, 0) >= {threshold} AS contaminated
 FROM corpus c LEFT JOIN hits h ON h.id = c.{id_col}
 """
+
+
+def ngram_overlap_frac(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fractional contamination (the GPT-3/PaLM-style rule): a doc is
+    contaminated when ≥ frac_num/frac_den of its DISTINCT word
+    n-grams appear in the benchmark set. Counts are distinct-gram
+    counts (the occurrence-count variant is :func:`ngram_overlap`);
+    the threshold compare is exact integer cross-multiplication
+    (n_overlap·den ≥ num·n_total) — no float boundary to disagree on.
+    ``frac`` is reported informationally, rounded to 6 dp (one
+    correctly-rounded division → identical on every engine).
+
+    Same 100-TB shape: benchmark grams broadcast, corpus grams
+    dedup'd per doc map-side by the distinct, one keyed aggregation.
+    Short/empty docs get ONE whole-text shingle (the shingles()
+    contract, lock-step with the SQL twin), so n_total ≥ 1 for every
+    doc that reaches the aggregation; the n_total > 0 guard covers
+    only docs dropped before it (NULL-text left-join misses)."""
+    grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    bench = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    stats = grams.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
+    ).groupBy("id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
+    )
+    frac = F.when(
+        F.col("n_total") > 0,
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("n_total"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.coalesce("n_total", F.lit(0)).cast("long").alias("n_total"),
+            F.coalesce(frac, F.lit(0.0)).alias("frac"),
+            (
+                (
+                    F.coalesce("n_overlap", F.lit(0)) * F.lit(frac_den)
+                    >= F.lit(frac_num) * F.coalesce("n_total", F.lit(0))
+                )
+                & (F.coalesce("n_total", F.lit(0)) > 0)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def ngram_overlap_frac_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    n: int = 4,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`ngram_overlap_frac`."""
+    sh = shingles_sql(text_col, n)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+benchmark AS ({benchmark_sql}),
+grams AS (
+  SELECT DISTINCT {id_col} AS id, unnest({sh}) AS g FROM corpus
+),
+bench AS (
+  SELECT DISTINCT unnest({sh}) AS g FROM benchmark
+),
+stats AS (
+  SELECT id, count(*) AS n_total,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM grams LEFT JOIN bench b USING (g)
+  GROUP BY id
+)
+SELECT c.{id_col},
+       CAST(coalesce(s.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(s.n_total, 0) AS BIGINT) AS n_total,
+       coalesce(CASE WHEN s.n_total > 0
+                     THEN round(CAST(s.n_overlap AS DOUBLE) / s.n_total, 6)
+                     ELSE 0.0 END, 0.0) AS frac,
+       coalesce(s.n_overlap, 0) * {frac_den}
+         >= {frac_num} * coalesce(s.n_total, 0)
+       AND coalesce(s.n_total, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN stats s ON s.id = c.{id_col}
+"""

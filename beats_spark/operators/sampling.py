@@ -196,6 +196,146 @@ WHERE {code} % {SAMPLE_MOD} <
 """
 
 
+#: micro-unit scale for temperature weights (the lm.py integer-sum
+#: discipline: snap each per-stratum term to an integer BEFORE the
+#: cross-stratum sum so the sum is order-free on every engine)
+TEMP_UNIT = 1_000_000
+
+
+def _sqrt_depth(alpha: float) -> int:
+    """alpha must be 1/2^k (k ≥ 0): k correctly-rounded sqrt
+    applications compute n^alpha DETERMINISTICALLY on every engine —
+    IEEE does not require correctly-rounded pow() (CLAUDE.md: a
+    last-ulp engine difference can flip a rounding), but sqrt IS
+    correctly rounded, and a fixed composition of correctly-rounded
+    ops is bit-identical everywhere."""
+    k = 0
+    a = float(alpha)
+    while a < 1.0 and k < 16:
+        a *= 2.0
+        k += 1
+    if a != 1.0:
+        raise ValueError(
+            f"alpha must be 1/2^k (1.0, 0.5, 0.25, ...), got {alpha!r}"
+        )
+    return k
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-LM /
+    XLM-R-style sampling rule): target weight of stratum ``s`` is
+    p_s ∝ n_s^alpha — alpha 1.0 keeps the natural distribution,
+    alpha → 0 flattens toward uniform, 0.5/0.25 are the published
+    sweet spots — then the same clipped token-budget rate rule as
+    :func:`domain_mix_rates`: rate_s = min(1, p_s·budget / n_s).
+
+    Unlike ``domain_mix`` the mixture is DERIVED from the corpus, not
+    supplied: one map-side-combining token-mass aggregation, then
+    arithmetic on the strata-bounded frame. Cross-engine determinism:
+    n_s^alpha is computed as ``alpha = 1/2^k`` repeated sqrt (see
+    :func:`_sqrt_depth`), snapped to integer micro-units before the
+    normalizing sum (order-free), and every remaining op is a
+    correctly-rounded +,*,/ on exact integers."""
+    k = _sqrt_depth(alpha)
+    counts = df.groupBy(strata_col).agg(
+        F.sum(token_count_ws(F.col(text_col)).cast("long")).alias("n_tokens")
+    )
+    term = F.col("n_tokens").cast("double")
+    for _ in range(k):
+        term = F.sqrt(term)
+    units = F.floor(term * F.lit(float(TEMP_UNIT))).cast("long")
+    scored = counts.select(strata_col, "n_tokens", units.alias("units"))
+    total = scored.agg(F.sum("units").alias("total_units"))
+    joined = scored.crossJoin(F.broadcast(total))
+    rate = F.when(
+        (F.col("n_tokens") > 0) & (F.col("total_units") > 0),
+        F.least(
+            F.lit(1.0),
+            (F.col("units").cast("double") / F.col("total_units"))
+            * F.lit(float(budget))
+            / F.col("n_tokens"),
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        strata_col, "n_tokens", "units", rate.alias("rate")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministically sample the corpus to the alpha-temperature
+    token mixture. Same 100-TB shape as :func:`domain_mix`: one
+    counting aggregation, broadcast of the strata-bounded rate table,
+    map-side portable-hash keep filter — the corpus never shuffles."""
+    rates = temperature_mix_rates(
+        df, budget, alpha=alpha, strata_col=strata_col, text_col=text_col
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    keep = F.pmod(
+        word_code(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD)
+    ) < F.floor(F.col("rate") * SAMPLE_MOD).cast("long")
+    return joined.where(keep).select(key_col, strata_col)
+
+
+def temperature_mix_sql(
+    table: str,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` (lock-step sqrt depth,
+    micro-unit snap, integer normalizing sum)."""
+    from ..functions.textstats import WORDS_SQL, word_code_sql
+
+    k = _sqrt_depth(alpha)
+    toks = WORDS_SQL.format(c=text_col)
+    term = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(k):
+        term = f"sqrt({term})"
+    code = word_code_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {strata_col},
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+scored AS (
+  SELECT {strata_col}, n_tokens,
+         CAST(floor({term} * {float(TEMP_UNIT)}) AS BIGINT) AS units
+  FROM counts
+),
+rates AS (
+  SELECT {strata_col},
+         CASE WHEN n_tokens > 0
+                   AND (SELECT sum(units) FROM scored) > 0
+              THEN least(1.0,
+                         (CAST(units AS DOUBLE)
+                          / (SELECT sum(units) FROM scored))
+                         * {float(budget)} / n_tokens)
+              ELSE 0.0 END AS rate
+  FROM scored
+)
+SELECT d.{key_col}, d.{strata_col}
+FROM {table} d JOIN rates USING ({strata_col})
+WHERE {code} % {SAMPLE_MOD} <
+      CAST(floor(rate * {SAMPLE_MOD}) AS BIGINT)
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int = 256,

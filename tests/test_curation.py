@@ -201,6 +201,121 @@ class TestDecontam:
         assert out[1][0] >= 2 and out[1][1] is True
         assert out[2] == (0, False)
 
+    def test_frac_rule_hand_computed(self, spark):
+        from beats_spark.operators.decontam import ngram_overlap_frac
+
+        # corpus doc 1: tokens a b c d e -> 2-grams {a b, b c, c d, d e}
+        # bench shares exactly one of them ("c d") -> frac = 1/4
+        bench = spark.createDataFrame(
+            [(100, "x c d y")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "p q r s"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in ngram_overlap_frac(
+                corpus, bench, n=2, frac_num=1, frac_den=4
+            ).collect()
+        }
+        assert out[1]["n_total"] == 4 and out[1]["n_overlap"] == 1
+        assert out[1]["frac"] == 0.25 and out[1]["contaminated"] is True
+        assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] is False
+        # empty text: shingles() yields ONE whole-text shingle ("") for
+        # short docs (lock-step with the SQL twin), so n_total is 1 and
+        # the doc is clean unless the bench holds that same shingle
+        assert out[3]["n_total"] == 1 and out[3]["n_overlap"] == 0
+        assert out[3]["contaminated"] is False
+        # stricter threshold (1/2) un-flags doc 1; integer cross-multiply
+        strict = {
+            r["doc_id"]: r["contaminated"]
+            for r in ngram_overlap_frac(
+                corpus, bench, n=2, frac_num=1, frac_den=2
+            ).collect()
+        }
+        assert strict[1] is False
+
+    def test_frac_counts_distinct_grams(self, spark):
+        from beats_spark.operators.decontam import ngram_overlap_frac
+
+        # repeated gram "a b" counts ONCE in both total and overlap
+        bench = spark.createDataFrame(
+            [(9, "a b")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string"
+        )
+        row = ngram_overlap_frac(corpus, bench, n=2).collect()[0]
+        # 2-grams of 'a b a b a b': {a b, b a} distinct
+        assert row["n_total"] == 2 and row["n_overlap"] == 1
+
+
+class TestTemperatureMix:
+    def test_units_and_rates_alpha_half(self, spark):
+        from beats_spark.operators.sampling import (
+            TEMP_UNIT,
+            temperature_mix_rates,
+        )
+
+        # strata token masses: big=16 tokens over 4 docs, small=4 over 2
+        rows = [(i, "big", "t t t t") for i in range(4)]
+        rows += [(10 + i, "small", "t t") for i in range(2)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        rates = {
+            r["source"]: r
+            for r in temperature_mix_rates(
+                df, budget=10, alpha=0.5, strata_col="source"
+            ).collect()
+        }
+        import math
+
+        u_big = math.floor(math.sqrt(16.0) * TEMP_UNIT)
+        u_small = math.floor(math.sqrt(4.0) * TEMP_UNIT)
+        assert rates["big"]["units"] == u_big
+        assert rates["small"]["units"] == u_small
+        tot = u_big + u_small
+        assert rates["big"]["rate"] == min(1.0, (u_big / tot) * 10.0 / 16)
+        assert rates["small"]["rate"] == min(1.0, (u_small / tot) * 10.0 / 4)
+        # temperature flattens: small stratum's rate exceeds big's
+        assert rates["small"]["rate"] > rates["big"]["rate"]
+
+    def test_alpha_one_is_natural_and_invalid_alpha_raises(self, spark):
+        import pytest as _pytest
+
+        from beats_spark.operators.sampling import (
+            temperature_mix_rates,
+        )
+
+        rows = [(i, "a", "t t t") for i in range(3)]
+        rows += [(10 + i, "b", "t") for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        rates = {
+            r["source"]: r["rate"]
+            for r in temperature_mix_rates(
+                df, budget=6, alpha=1.0, strata_col="source"
+            ).collect()
+        }
+        # alpha=1: rate = (n_s/N)*budget/n_s = budget/N, equal everywhere
+        assert rates["a"] == rates["b"]
+        with _pytest.raises(ValueError):
+            temperature_mix_rates(df, budget=6, alpha=0.3)
+
+    def test_mix_membership_deterministic(self, spark):
+        from beats_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "s%d" % (i % 3), "w " * (1 + i % 7)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        a = sorted(
+            (r["doc_id"], r["source"])
+            for r in temperature_mix(df, budget=40).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["source"])
+            for r in temperature_mix(df.repartition(7), budget=40).collect()
+        )
+        assert a == b and 0 < len(a) < 60
+
 
 class TestSamplingPacking:
     def test_stratified_rates_and_determinism(self, spark):
