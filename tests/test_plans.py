@@ -337,3 +337,59 @@ class TestIncrementalCuratePlan:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestR4OperatorPlans:
+    """100-TB shape guards for the round-4 additions."""
+
+    def test_temperature_mix_corpus_never_shuffles(self, spark):
+        from beats_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", "tok " * (1 + i % 5)) for i in range(60)],
+            "doc_id long, source string, text string",
+        )
+        plan = _plan(temperature_mix(df, budget=40))
+        # the rate table is strata-bounded and must BROADCAST back onto
+        # the corpus; the keep-decision is then a map-side filter — the
+        # corpus itself is never hash-partitioned by anything
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the only exchanges feed the tiny aggregations (counts /
+        # normalizing sum), never re-key the corpus by doc
+        assert "hashpartitioning(doc_id" not in plan
+
+    def test_decontam_frac_bench_join_is_broadcast(self, spark):
+        from beats_spark.operators.decontam import ngram_overlap_frac
+
+        docs = spark.createDataFrame(
+            [(i, f"some text body number {i} with words") for i in range(50)],
+            "doc_id long, text string",
+        )
+        plan = _plan(ngram_overlap_frac(docs, docs.limit(5), n=3))
+        # same contract as ngram_overlap: benchmark grams broadcast;
+        # the corpus keys only on the doc id (distinct + final agg),
+        # never on the gram itself
+        assert "BroadcastHashJoin" in plan
+        assert "hashpartitioning(g" not in plan
+
+    def test_multimodal_transforms_are_scan_aligned(self, spark):
+        from beats_spark.operators.multimodal import (
+            frame_sample,
+            resize_payload,
+            with_binary_payload,
+        )
+
+        df = with_binary_payload(
+            spark.createDataFrame(
+                [(i, f"payload text {i}") for i in range(20)],
+                "doc_id long, text string",
+            )
+        )
+        for out in (resize_payload(df, 8), frame_sample(df, 4, 2)):
+            plan = _plan(out)
+            # one Arrow-batched python stage, zero exchanges: payload
+            # bytes never shuffle — the 100-TB media contract
+            assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+            assert "Exchange" not in plan
+            assert "Join" not in plan
