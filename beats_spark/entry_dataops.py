@@ -955,6 +955,28 @@ _HTML_DIRT: list[tuple[str, str]] = [
 ]
 
 
+#: c4line-variant fixture lines, shared between the Spark query and
+#: the oracle. L1 is always present (kept: terminal '.', >=3 words);
+#: L2 keyed on event_id % 6 (0/1/2/4 dropped: no terminal punct /
+#: javascript / <3 words / no terminal punct; 3/5 kept); L3 keyed on
+#: event_id % 7 (0 → lorem-ipsum page kill, 1 → curly-brace page
+#: kill, else empty line, dropped).
+_C4_L1 = "Document %d describes a %s event in detail."
+_C4_L2: list[str] = [
+    "Home | About | Contact",
+    "Please enable JavaScript to continue.",
+    "Too short.",
+    "A second well formed sentence about item %d follows!",
+    "Copyright 2024",
+    "Is this the end? Yes, indeed it is.",
+]
+_C4_L3_LOREM = "He said Lorem Ipsum dolor sit amet."
+_C4_L3_BRACE = "var config = { debug: true };"
+#: fixture pages are 2-3 sentences, so the page gate uses 2 (C4's
+#: production value is 5); both page_kept outcomes appear
+_C4_MIN_SENTENCES = 2
+
+
 def q_clean_text(spark, sf_dir):
     """Text normalization / fix-text + HTML boilerplate strip
     (operators/clean.py): the synth corpus is ASCII-clean, so — like
@@ -964,8 +986,12 @@ def q_clean_text(spark, sf_dir):
     whitespace chain (NBSP/ZWSP/soft-hyphen/control bytes/CRLF keyed
     on event_id % 5); variant 'html' covers the raw-crawl extraction
     chain (script/comment containers, block-tag line breaks, entity
-    decode keyed on event_id % 4)."""
-    from .operators.clean import clean_documents
+    decode keyed on event_id % 4); variant 'c4line' covers C4 §2.2's
+    line-level filter (terminal punctuation, >=3 words, javascript
+    lines, lorem-ipsum / curly-brace / sentence-count page gates)
+    over multi-line pages keyed on event_id % 6 and % 7 — n_kept and
+    page_kept are NULL on the other two variants."""
+    from .operators.clean import c4_line_filter, clean_documents
 
     ev = _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     base = F.format_string(
@@ -981,7 +1007,11 @@ def q_clean_text(spark, sf_dir):
         .otherwise(F.concat(F.lit(d["thin"]), base, F.lit(d["ideo"] + "z")))
     )
     docs = ev.select(F.col("event_id").alias("doc_id"), dirty.alias("text"))
-    fix = clean_documents(docs).select(F.lit("fix").alias("variant"), "*")
+    nk = F.lit(None).cast("long").alias("n_kept")
+    pk = F.lit(None).cast("boolean").alias("page_kept")
+    fix = clean_documents(docs).select(
+        F.lit("fix").alias("variant"), "*", nk, pk
+    )
 
     h = F.pmod("event_id", F.lit(4))
     markup = F.when(
@@ -997,9 +1027,35 @@ def q_clean_text(spark, sf_dir):
     )
     hdocs = ev.select(F.col("event_id").alias("doc_id"), markup.alias("text"))
     html = clean_documents(hdocs, html=True).select(
-        F.lit("html").alias("variant"), "*"
+        F.lit("html").alias("variant"), "*", nk, pk
     )
-    return fix.unionByName(html)
+
+    m6 = F.pmod("event_id", F.lit(6))
+    l2 = (
+        F.when(m6 == 3, F.format_string(_C4_L2[3], F.col("event_id")))
+        .when(m6 == 0, F.lit(_C4_L2[0]))
+        .when(m6 == 1, F.lit(_C4_L2[1]))
+        .when(m6 == 2, F.lit(_C4_L2[2]))
+        .when(m6 == 4, F.lit(_C4_L2[4]))
+        .otherwise(F.lit(_C4_L2[5]))
+    )
+    m7 = F.pmod("event_id", F.lit(7))
+    l3 = (
+        F.when(m7 == 0, F.lit(_C4_L3_LOREM))
+        .when(m7 == 1, F.lit(_C4_L3_BRACE))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat_ws(
+        "\n",
+        F.format_string(_C4_L1, F.col("event_id"), F.col("event_type")),
+        l2,
+        l3,
+    )
+    cdocs = ev.select(F.col("event_id").alias("doc_id"), page.alias("text"))
+    c4 = c4_line_filter(cdocs, min_sentences=_C4_MIN_SENTENCES).select(
+        F.lit("c4line").alias("variant"), "*"
+    )
+    return fix.unionByName(html).unionByName(c4)
 
 
 #: registrable domains the url_curation fixture blocks (g%5 ∈ {0,3})
@@ -1188,10 +1244,10 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "dedup_exact": ("variant", ["doc", "span", "para", "bloom"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
     "multiline_modes": ("variant", ["combine", "flush"]),
-    "stratified_sample": ("variant", ["fixed", "mix"]),
+    "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
     "quantize_embeddings": ("variant", ["int8", "pq"]),
     "lm_scores": ("variant", ["lm", "dsir"]),
-    "clean_text": ("variant", ["fix", "html"]),
+    "clean_text": ("variant", ["fix", "html", "c4line"]),
     "ann_topk": ("method", ["brute", "lsh"]),
     "ann_ivf": ("nprobe", [1, 2]),
 }
@@ -1384,7 +1440,11 @@ def _semdedup_oracle() -> str:
 
 
 def _clean_text_oracle() -> str:
-    from .operators.clean import clean_text_sql, html_strip_sql
+    from .operators.clean import (
+        c4_line_filter_sql,
+        clean_text_sql,
+        html_strip_sql,
+    )
 
     d = _DIRT
     base = "printf('doc %d %s', event_id, event_type)"
@@ -1401,6 +1461,23 @@ def _clean_text_oracle() -> str:
     ]
     hp, hs = _HTML_DIRT[3]
     stripped = html_strip_sql("text")
+    l2_arms = []
+    for i, s in enumerate(_C4_L2):
+        if "%d" in s:
+            l2_arms.append(f"WHEN {i} THEN printf({lit(s)}, event_id)")
+        else:
+            l2_arms.append(f"WHEN {i} THEN {lit(s)}")
+    c4_page = (
+        f"printf({lit(_C4_L1)}, event_id, event_type)"
+        f" || chr(10) || CASE event_id % 6 {' '.join(l2_arms)} END"
+        f" || chr(10) || CASE event_id % 7"
+        f" WHEN 0 THEN {lit(_C4_L3_LOREM)}"
+        f" WHEN 1 THEN {lit(_C4_L3_BRACE)} ELSE '' END"
+    )
+    c4 = c4_line_filter_sql(
+        f"(SELECT event_id AS doc_id, {c4_page} AS text FROM events)",
+        min_sentences=_C4_MIN_SENTENCES,
+    )
     return f"""
 WITH dirty AS (
   SELECT event_id AS doc_id,
@@ -1424,14 +1501,20 @@ markup AS (
 SELECT 'fix' AS variant, doc_id,
        {cleaned} AS cleaned,
        CAST(length(text) - length({cleaned}) AS BIGINT) AS n_removed,
-       text <> {cleaned} AS changed
+       text <> {cleaned} AS changed,
+       CAST(NULL AS BIGINT) AS n_kept,
+       CAST(NULL AS BOOLEAN) AS page_kept
 FROM dirty
 UNION ALL
 SELECT 'html' AS variant, doc_id,
        {stripped} AS cleaned,
        CAST(length(text) - length({stripped}) AS BIGINT) AS n_removed,
-       text <> {stripped} AS changed
+       text <> {stripped} AS changed,
+       CAST(NULL AS BIGINT) AS n_kept,
+       CAST(NULL AS BOOLEAN) AS page_kept
 FROM markup
+UNION ALL
+SELECT 'c4line' AS variant, * FROM ({c4})
 """
 
 

@@ -167,3 +167,140 @@ def clean_documents(
         ),
         (F.col("_raw") != F.col("cleaned")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filter (Raffel et al. 2020 §2.2)
+
+#: a retained line must end in a terminal punctuation mark
+C4_TERMINAL_RE = '[.!?"]$'
+#: page-level kill terms (C4 drops the whole page on sight)
+C4_PAGE_LOREM = "lorem ipsum"
+C4_PAGE_BRACE = "{"
+#: line-level kill term, case-insensitive ("any line with the word
+#: Javascript" — C4 §2.2)
+C4_LINE_JS = "javascript"
+
+
+def _c4_line_ok(min_words: int):
+    """Closure factory (lambda-arity gotcha: no default args in
+    higher-order-function lambdas): keep a line iff it ends in
+    terminal punctuation, has >= min_words whitespace-separated
+    words, and does not mention javascript."""
+
+    def ok(line: Column) -> Column:
+        t = F.trim(line)
+        n_words = F.size(
+            F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+        )
+        return (
+            t.rlike(C4_TERMINAL_RE)
+            & (n_words >= F.lit(min_words))
+            & ~F.lower(t).contains(C4_LINE_JS)
+        )
+
+    return ok
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4's line-level cleaning (§2.2) as pure Column work — the stage
+    every C4-derived corpus runs between HTML extraction and dedup.
+
+    Line rules (each line judged independently): keep iff it ends in
+    terminal punctuation (. ! ? "), has >= ``min_words`` words, and
+    does not contain "javascript" (case-insensitive). Page rules:
+    ``page_kept`` is False when the RAW page mentions "lorem ipsum"
+    (any case) or a curly bracket, or when the KEPT text has fewer
+    than ``min_sentences`` sentence terminators — C4 discards those
+    pages outright; here the flag is a funnel column so the audit
+    table can count the gate (the curate-job contract).
+
+    Output: (id, cleaned, n_removed, changed, n_kept, page_kept).
+    Map-side only — split/filter/join per row, no shuffle, no Python.
+    The kept-lines array and the joined text are materialized in
+    their own select() steps (expression-reuse gotcha: a Column
+    reused in k outputs is recomputed k times).
+
+    No reference-repo counterpart (training-data extension per the
+    brief; closest beats concept is exclude_lines filtering,
+    filebeat/harvester.go:403-421 — there a line filter drops whole
+    events, here it edits the document).
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), _c4_line_ok(min_words)
+        ).alias("_kept"),
+    )
+    joined = staged.select(
+        id_col,
+        "_raw",
+        F.array_join("_kept", "\n").alias("cleaned"),
+        F.size("_kept").cast("long").alias("n_kept"),
+    )
+    n_sent = F.regexp_count(F.col("cleaned"), F.lit("[.!?]"))
+    page_ok = (
+        ~F.lower("_raw").contains(C4_PAGE_LOREM)
+        & ~F.col("_raw").contains(C4_PAGE_BRACE)
+        & (n_sent >= F.lit(min_sentences))
+    )
+    return joined.select(
+        id_col,
+        "cleaned",
+        (F.length("_raw") - F.length("cleaned")).cast("long").alias(
+            "n_removed"
+        ),
+        (F.col("_raw") != F.col("cleaned")).alias("changed"),
+        "n_kept",
+        page_ok.alias("page_kept"),
+    )
+
+
+def c4_line_filter_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> str:
+    """DuckDB twin of :func:`c4_line_filter` (same predicate strings).
+    ``array_to_string([],sep)`` is NULL in DuckDB where Spark's
+    array_join is '' — coalesced (the urltools gotcha). The joined
+    text is staged through a MATERIALIZED CTE (DuckDB re-runs inlined
+    expressions per reference, the repetition_oracle gotcha)."""
+    pred = (
+        f"regexp_matches(trim(l), '{C4_TERMINAL_RE}') AND "
+        "len(list_filter(string_split(trim(l), ' '), w -> w <> ''))"
+        f" >= {min_words} AND "
+        f"NOT contains(lower(trim(l)), '{C4_LINE_JS}')"
+    )
+    return f"""
+WITH _c4k AS MATERIALIZED (
+  SELECT {id_col}, {text_col} AS _raw,
+         list_filter(string_split({text_col}, chr(10)), l -> {pred})
+           AS _kept
+  FROM {table}
+),
+_c4j AS MATERIALIZED (
+  SELECT {id_col}, _raw,
+         coalesce(array_to_string(_kept, chr(10)), '') AS cleaned,
+         CAST(len(_kept) AS BIGINT) AS n_kept
+  FROM _c4k
+)
+SELECT {id_col}, cleaned,
+       CAST(length(_raw) - length(cleaned) AS BIGINT) AS n_removed,
+       _raw <> cleaned AS changed,
+       n_kept,
+       (NOT contains(lower(_raw), '{C4_PAGE_LOREM}')
+        AND NOT contains(_raw, '{C4_PAGE_BRACE}')
+        AND len(regexp_extract_all(cleaned, '[.!?]'))
+            >= {min_sentences}) AS page_kept
+FROM _c4j
+"""

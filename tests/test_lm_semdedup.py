@@ -485,3 +485,97 @@ class TestHtmlStrip:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestC4LineFilter:
+    """C4 §2.2 line-level filter (operators/clean.py c4_line_filter):
+    hand-derived expected pages + DuckDB-twin parity + plan shape."""
+
+    # (raw page, expected cleaned, expected n_kept, expected page_kept
+    #  at min_sentences=2)
+    CASES = [
+        # good page: two kept sentences
+        (
+            "This sentence is properly formed.\nAnd so is this one!",
+            "This sentence is properly formed.\nAnd so is this one!",
+            2,
+            True,
+        ),
+        # no terminal punctuation -> line dropped
+        ("Home | About | Contact\nReal sentence stays right here.",
+         "Real sentence stays right here.", 1, False),
+        # javascript line dropped even though well-formed
+        (
+            "Please enable JavaScript to view.\nA real line survives"
+            " here today. Twice.",
+            "A real line survives here today. Twice.",
+            1,
+            True,
+        ),
+        # < 3 words dropped; trailing-quote terminal kept
+        ('Too short.\nShe said "stop right there."',
+         'She said "stop right there."', 1, False),
+        # lorem ipsum kills the page even when lines are fine
+        (
+            "Lorem ipsum dolor sit amet sentence.\nAnother good line"
+            " is here.",
+            "Lorem ipsum dolor sit amet sentence.\nAnother good line"
+            " is here.",
+            2,
+            False,
+        ),
+        # curly brace kills the page; brace line itself also dropped
+        ("function f() { return 1; }\nKept line with three words.",
+         "Kept line with three words.", 1, False),
+        # question marks count as sentences
+        ("Is this kept? Yes it is kept.", "Is this kept? Yes it is kept.",
+         1, True),
+        # everything dropped -> empty string (Spark array_join('')
+        # vs DuckDB NULL gotcha)
+        ("menu\nfooter\n2024", "", 0, False),
+    ]
+
+    def test_expected_values_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.clean import (
+            c4_line_filter,
+            c4_line_filter_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _, _, _) in enumerate(self.CASES)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in c4_line_filter(df, min_sentences=2).collect()
+        }
+        con = duckdb.connect()
+        for i, (raw, want, n_kept, page_kept) in enumerate(self.CASES):
+            assert got[i]["cleaned"] == want, (i, raw, got[i]["cleaned"])
+            assert got[i]["n_kept"] == n_kept, (i, raw)
+            assert got[i]["page_kept"] == page_kept, (i, raw)
+            assert got[i]["n_removed"] == len(raw) - len(want), i
+            sql = c4_line_filter_sql(
+                "(SELECT 0 AS doc_id, ? AS text)", min_sentences=2
+            )
+            duck = con.execute(
+                f"SELECT cleaned, n_kept, page_kept FROM ({sql})", [raw]
+            ).fetchone()
+            assert duck == (want, n_kept, page_kept), (i, raw, duck)
+
+    def test_single_stage_no_shuffle(self, spark):
+        from beats_spark.operators.clean import c4_line_filter
+
+        df = spark.createDataFrame(
+            [(1, "a.\nb.")], "doc_id long, text string"
+        )
+        plan = (
+            c4_line_filter(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan
