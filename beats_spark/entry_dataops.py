@@ -46,6 +46,7 @@ from .operators.dedup import (
     simhash_hamming_pairs_sql,
     simhash_sql,
 )
+from .operators.bm25 import bm25_topk_sql
 from .operators.bpe import bpe_tokenize_sql
 from .operators.decontam import ngram_overlap_sql
 from .operators.sampling import (
@@ -554,19 +555,42 @@ def q_docker_logs(spark, sf_dir):
     )
 
 
+#: BM25 fixture queries over the synth `documents` vocabulary —
+#: mixed common/rare terms so idf spread is real; shared with the
+#: oracle builder
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "join"],
+    1: ["window", "sort", "batch"],
+    2: ["customer", "vector"],
+    3: ["dup"],
+    4: ["merge", "slow", "filter"],
+}
+
+
 def q_ann_topk(spark, sf_dir):
-    """Exact + sign-LSH ANN under ONE driver row (method column) —
-    merged r3 from the separate `ann_brute_force` + `ann_lsh` rows to
-    free a slot in the ≤50-row driver window (precedent: ann_ivf).
-    One embeddings read shared; each method keeps its own plan
-    (brute: broadcast query side over the corpus scan; lsh: equi-join
-    on the hyperplane sign bucket)."""
+    """Exact + sign-LSH ANN + BM25 lexical retrieval under ONE driver
+    row (method column) — merged r3 from the separate
+    `ann_brute_force` + `ann_lsh` rows (precedent: ann_ivf); 'bm25'
+    joined r4 (operators/bm25.py) so lexical and embedding top-k share
+    the retrieval contract (q_id, neighbor_id, score, rank). The
+    embedding methods share one embeddings read; bm25 reads
+    `documents` postings-style (query-term filter ahead of the first
+    exchange). `score` is cosine for brute/lsh, Okapi BM25 for bm25."""
+    from .operators.bm25 import bm25_topk
+
     embs = _embs(spark, sf_dir)
     bf = brute_force_topk(embs, ANN_QUERIES, k=ANN_K)
     lsh = ann_lsh_topk(embs, ANN_QUERIES, k=ANN_K)
-    return bf.select(F.lit("brute").alias("method"), "*").unionByName(
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bm = bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+    out = bf.select(F.lit("brute").alias("method"), "*").unionByName(
         lsh.select(F.lit("lsh").alias("method"), "*")
     )
+    out = out.select(
+        "method", "q_id", "neighbor_id",
+        F.col("cos_sim").alias("score"), "rank",
+    )
+    return out.unionByName(bm.select(F.lit("bm25").alias("method"), "*"))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1248,7 +1272,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "quantize_embeddings": ("variant", ["int8", "pq"]),
     "lm_scores": ("variant", ["lm", "dsir"]),
     "clean_text": ("variant", ["fix", "html", "c4line"]),
-    "ann_topk": ("method", ["brute", "lsh"]),
+    "ann_topk": ("method", ["brute", "lsh", "bm25"]),
     "ann_ivf": ("nprobe", [1, 2]),
 }
 
@@ -1634,11 +1658,14 @@ FROM ({bloom_dedup_sql(
         "minhash_signature": minhash_signature_sql("documents"),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", MINHASH_T),
         "ann_topk": f"""
-SELECT 'brute' AS method, *
+SELECT 'brute' AS method, q_id, neighbor_id, cos_sim AS score, rank
 FROM ({brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
 UNION ALL
-SELECT 'lsh' AS method, *
+SELECT 'lsh' AS method, q_id, neighbor_id, cos_sim AS score, rank
 FROM ({ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
+UNION ALL
+SELECT 'bm25' AS method, q_id, neighbor_id, score, rank
+FROM ({bm25_topk_sql("documents", BM25_QUERIES, ANN_K)})
 """,
         "url_curation": _url_curation_oracle(),
         "ann_ivf": f"""

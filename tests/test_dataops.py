@@ -542,3 +542,101 @@ class TestParagraphDedup:
         assert got[3] == "unique three"
         assert 4 not in got
         assert got[5] == "unique five\nunique five"
+
+
+class TestBM25:
+    """BM25 lexical top-k (operators/bm25.py): hand-computed scores,
+    DuckDB-twin parity, and the postings-extraction plan shape."""
+
+    DOCS = [
+        (0, "spark join spark merge"),       # dl=4, tf(spark)=2
+        (1, "the quick brown fox jumps"),    # dl=5, no query terms
+        (2, "spark Spark SPARK spark"),      # dl=4, tf(spark)=4 (case-fold)
+        (3, "join the big table join"),      # dl=5, tf(join)=2
+        (4, "merge, sort; merge!"),          # dl=3 (punct split), tf(merge)=2
+    ]
+
+    def _expect(self, queries, k1=1.2, b=0.75):
+        import math
+
+        toks = {
+            i: [t for t in __import__("re").split(r"[^a-z0-9]+", s.lower()) if t]
+            for i, s in self.DOCS
+        }
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        out = {}
+        for q, terms in queries.items():
+            scores = {}
+            for d, ts in toks.items():
+                micro = 0
+                for t in set(terms):
+                    tf = ts.count(t)
+                    if not tf:
+                        continue
+                    df = sum(1 for v in toks.values() if t in v)
+                    idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+                    w = idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * len(ts) / avgdl)
+                    )
+                    micro += int(round(w * 1_000_000))
+                if micro:
+                    scores[d] = micro / 1_000_000
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            out[q] = [(d, s, r + 1) for r, (d, s) in enumerate(ranked)]
+        return out
+
+    def test_hand_scores_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.bm25 import bm25_topk, bm25_topk_sql
+
+        q = {0: ["spark"], 1: ["join", "merge"], 2: ["absentterm"]}
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = sorted(
+            (r["q_id"], r["neighbor_id"], r["score"], r["rank"])
+            for r in bm25_topk(df, q, k=10).collect()
+        )
+        want_map = self._expect(q)
+        want = sorted(
+            (qid, d, s, r)
+            for qid, rows in want_map.items()
+            for (d, s, r) in rows
+        )
+        assert got == want
+        # tf saturation + case folding: doc 2 (tf=4) outranks doc 0
+        # (tf=2) but by less than 2x
+        by_doc = {d: s for (qid, d, s, r) in got if qid == 0}
+        assert by_doc[2] > by_doc[0] > by_doc[2] / 2
+        # absent term -> no rows for q 2
+        assert not [r for r in got if r[0] == 2]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{s}')" for i, s in self.DOCS)
+            + ") t(doc_id, text)"
+        )
+        duck = sorted(
+            tuple(r)
+            for r in con.execute(bm25_topk_sql("documents", q)).fetchall()
+        )
+        assert got == duck
+
+    def test_plan_shape_postings_extraction(self, spark):
+        # the query-term filter must run BEFORE the first exchange
+        # (postings extraction), and the corpus must be scanned at
+        # most twice (tf postings + corpus stats) with no Python
+        from beats_spark.operators.bm25 import bm25_topk
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            bm25_topk(df, {0: ["spark"]})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") <= 2
+        assert "Python" not in plan
+        pre_exchange = plan.split("Exchange")[-1]
+        assert "INSET" in pre_exchange or "term" in pre_exchange
