@@ -48,6 +48,7 @@ from .operators.dedup import (
 )
 from .operators.bm25 import bm25_topk_sql
 from .operators.bpe import bpe_tokenize_sql
+from .operators.hybrid import hybrid_rrf_sql
 from .operators.decontam import ngram_overlap_sql
 from .operators.sampling import (
     assign_shards_sql,
@@ -571,18 +572,23 @@ def q_ann_topk(spark, sf_dir):
     """Exact + sign-LSH ANN + BM25 lexical retrieval under ONE driver
     row (method column) — merged r3 from the separate
     `ann_brute_force` + `ann_lsh` rows (precedent: ann_ivf); 'bm25'
-    joined r4 (operators/bm25.py) so lexical and embedding top-k share
-    the retrieval contract (q_id, neighbor_id, score, rank). The
-    embedding methods share one embeddings read; bm25 reads
-    `documents` postings-style (query-term filter ahead of the first
-    exchange). `score` is cosine for brute/lsh, Okapi BM25 for bm25."""
+    and 'rrf' joined r4 (operators/bm25.py, operators/hybrid.py) so
+    lexical, embedding, and HYBRID top-k share the retrieval contract
+    (q_id, neighbor_id, score, rank). The embedding methods share one
+    embeddings read; bm25 reads `documents` postings-style
+    (query-term filter ahead of the first exchange); rrf fuses
+    depth-3k cosine + BM25 lists by reciprocal-rank (integer
+    nano-unit contributions). `score` is cosine for brute/lsh, Okapi
+    BM25 for bm25, the RRF sum for rrf."""
     from .operators.bm25 import bm25_topk
+    from .operators.hybrid import hybrid_rrf_topk
 
     embs = _embs(spark, sf_dir)
     bf = brute_force_topk(embs, ANN_QUERIES, k=ANN_K)
     lsh = ann_lsh_topk(embs, ANN_QUERIES, k=ANN_K)
     docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     bm = bm25_topk(docs, BM25_QUERIES, k=ANN_K)
+    rrf = hybrid_rrf_topk(embs, docs, ANN_QUERIES, BM25_QUERIES, k=ANN_K)
     out = bf.select(F.lit("brute").alias("method"), "*").unionByName(
         lsh.select(F.lit("lsh").alias("method"), "*")
     )
@@ -590,7 +596,9 @@ def q_ann_topk(spark, sf_dir):
         "method", "q_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank",
     )
-    return out.unionByName(bm.select(F.lit("bm25").alias("method"), "*"))
+    return out.unionByName(
+        bm.select(F.lit("bm25").alias("method"), "*")
+    ).unionByName(rrf.select(F.lit("rrf").alias("method"), "*"))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1272,7 +1280,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "quantize_embeddings": ("variant", ["int8", "pq"]),
     "lm_scores": ("variant", ["lm", "dsir"]),
     "clean_text": ("variant", ["fix", "html", "c4line"]),
-    "ann_topk": ("method", ["brute", "lsh", "bm25"]),
+    "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
     "ann_ivf": ("nprobe", [1, 2]),
 }
 
@@ -1666,6 +1674,10 @@ FROM ({ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K)})
 UNION ALL
 SELECT 'bm25' AS method, q_id, neighbor_id, score, rank
 FROM ({bm25_topk_sql("documents", BM25_QUERIES, ANN_K)})
+UNION ALL
+SELECT 'rrf' AS method, q_id, neighbor_id, score, rank
+FROM ({hybrid_rrf_sql(
+        "embeddings", "documents", ANN_QUERIES, BM25_QUERIES, ANN_K)})
 """,
         "url_curation": _url_curation_oracle(),
         "ann_ivf": f"""

@@ -640,3 +640,67 @@ class TestBM25:
         assert "Python" not in plan
         pre_exchange = plan.split("Exchange")[-1]
         assert "INSET" in pre_exchange or "term" in pre_exchange
+
+
+class TestHybridRRF:
+    """Reciprocal-rank fusion (operators/hybrid.py): hand-derived
+    fusion arithmetic + DuckDB parity of the composed hybrid query."""
+
+    def test_rrf_hand_case(self, spark):
+        from beats_spark.operators.hybrid import rrf_fuse
+
+        # ranker A: doc 1 first, doc 2 second; ranker B: doc 2 first,
+        # doc 3 second. RRF: doc2 = 1/62+1/61 > doc1 = 1/61 > doc3 = 1/62
+        a = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 2)], "q_id long, neighbor_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(0, 2, 1), (0, 3, 2)], "q_id long, neighbor_id long, rank int"
+        )
+        got = [
+            (r["neighbor_id"], r["score"], r["rank"])
+            for r in rrf_fuse([a, b], k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        nano = lambda r: round(1e9 / (60 + r))
+        exp2 = (nano(2) + nano(1)) / 1e9
+        exp1 = nano(1) / 1e9
+        exp3 = nano(2) / 1e9
+        assert got == [(2, exp2, 1), (1, exp1, 2), (3, exp3, 3)]
+
+    def test_hybrid_duckdb_parity_on_corpus(self, spark):
+        import duckdb
+
+        from beats_spark.operators.hybrid import (
+            hybrid_rrf_sql,
+            hybrid_rrf_topk,
+        )
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        terms = {0: ["spark", "join"], 1: ["sort", "window"]}
+        got = sorted(
+            (r["q_id"], r["neighbor_id"], r["score"], r["rank"])
+            for r in hybrid_rrf_topk(embs, docs, [0, 1], terms, k=5).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "parquet_scan('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "parquet_scan('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                hybrid_rrf_sql("embeddings", "documents", [0, 1], terms, 5)
+            ).fetchall()
+        )
+        assert got == want
+        assert len(got) == 10
+        # fusion actually mixes modalities: some fused winner carries
+        # contributions from both lists (score > max single contribution)
+        assert any(s > (round(1e9 / 61) / 1e9) + 1e-12 for _, _, s, _ in got)
