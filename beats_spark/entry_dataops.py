@@ -298,20 +298,32 @@ def q_decontaminate(spark, sf_dir):
     shared 4-gram flags (threshold count ≥ 1); 'frac' = the
     GPT-3/PaLM-style fractional rule — ≥ 1/4 of a doc's DISTINCT
     4-grams seen in the benchmark, threshold compared by exact
-    integer cross-multiplication. Held-out set = doc_id % 97 == 0;
+    integer cross-multiplication; 'fuzzy' (r4) = minhash-LSH band
+    membership vs the benchmark's band-key set (a paraphrased eval
+    item shares few exact 4-grams but most of its shingle set) —
+    candidate-level, benchmark keys broadcast, corpus keys map-side,
+    FPs deterministic so the oracle reproduces them exactly. The
+    fuzzy corpus additionally carries rendered near-copies of the
+    benchmark (text + ' tail', doc_id + 10^6) so contamination is
+    guaranteed present at every SF. Held-out set = doc_id % 97 == 0;
     benchmark n-grams broadcast, corpus never shuffles by gram."""
-    from .operators.decontam import ngram_overlap, ngram_overlap_frac
+    from .operators.decontam import (
+        fuzzy_contamination,
+        ngram_overlap,
+        ngram_overlap_frac,
+    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
     exact = ngram_overlap(corpus, bench, n=4, threshold=1).select(
         F.lit("exact").alias("variant"),
         "doc_id",
         "n_overlap",
         nl.alias("n_total"),
-        F.lit(None).cast("double").alias("frac"),
+        nd.alias("frac"),
         "contaminated",
     )
     frac = ngram_overlap_frac(
@@ -324,7 +336,21 @@ def q_decontaminate(spark, sf_dir):
         "frac",
         "contaminated",
     )
-    return exact.unionByName(frac)
+    fz_corpus = corpus.select("doc_id", "text").unionByName(
+        bench.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    fuzzy = fuzzy_contamination(fz_corpus, bench).select(
+        F.lit("fuzzy").alias("variant"),
+        "doc_id",
+        F.col("n_band_hits").alias("n_overlap"),
+        nl.alias("n_total"),
+        nd.alias("frac"),
+        "contaminated",
+    )
+    return exact.unionByName(frac).unionByName(fuzzy)
 
 
 #: data-mixing rates for the stratified-sample query (keep all rare
@@ -1282,6 +1308,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "clean_text": ("variant", ["fix", "html", "c4line"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
     "ann_ivf": ("nprobe", [1, 2]),
+    "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
 }
 
 
@@ -1377,7 +1404,10 @@ FROM ({subs[0]}) s0{joins}
 
 
 def _decontaminate_oracle() -> str:
-    from .operators.decontam import ngram_overlap_frac_sql
+    from .operators.decontam import (
+        fuzzy_contamination_sql,
+        ngram_overlap_frac_sql,
+    )
 
     corpus = "SELECT * FROM documents WHERE doc_id % 97 <> 0"
     bench = "SELECT * FROM documents WHERE doc_id % 97 = 0"
@@ -1385,6 +1415,13 @@ def _decontaminate_oracle() -> str:
     frac = ngram_overlap_frac_sql(
         corpus, bench, n=4, frac_num=1, frac_den=4
     )
+    fz_corpus = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, "
+        "text || ' tail' AS text FROM documents WHERE doc_id % 97 = 0"
+    )
+    fz_bench = "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+    fuzzy = fuzzy_contamination_sql(fz_corpus, fz_bench)
     return f"""
 SELECT 'exact' AS variant, doc_id, n_overlap,
        CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS DOUBLE) AS frac,
@@ -1394,6 +1431,12 @@ UNION ALL
 SELECT 'frac' AS variant, doc_id, n_overlap, n_total, frac,
        contaminated
 FROM ({frac})
+UNION ALL
+SELECT 'fuzzy' AS variant, doc_id,
+       n_band_hits AS n_overlap,
+       CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS DOUBLE) AS frac,
+       contaminated
+FROM ({fuzzy})
 """
 
 

@@ -188,3 +188,131 @@ SELECT c.{id_col},
        AND coalesce(s.n_total, 0) > 0 AS contaminated
 FROM corpus c LEFT JOIN stats s ON s.id = c.{id_col}
 """
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_hits: int = 1,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY decontamination: flag corpus docs that are minhash-LSH
+    near-duplicates of any benchmark item — the Dolma/LLaMA-style
+    complement to exact n-gram overlap (a lightly paraphrased eval
+    question shares few exact 4-grams but most of its shingle set).
+
+    Candidate-level by design (the streaming curator's membership
+    rule, dedup.with_band_keys): a doc is contaminated when ≥
+    ``min_hits`` of its LSH band keys appear in the benchmark's band
+    key set. No verify join — band FPs are deterministic (same
+    two-hash minhash both engines) so the DuckDB twin reproduces
+    them exactly, and at benchmark scale (MBs vs TBs) a band FP
+    costs an over-drop, never a hot reducer.
+
+    Scale shape: benchmark band keys are DISTINCT and BROADCAST; the
+    corpus computes its keys map-side (`with_band_keys`) and only the
+    per-doc hit count shuffles — the corpus is never re-keyed by band.
+    """
+    from .dedup import with_band_keys
+
+    bkeys = (
+        with_band_keys(
+            benchmark.select(F.col(text_col)),
+            F.col(text_col),
+            k=k,
+            rows_per_band=rows_per_band,
+            n=n,
+        )
+        .select(F.explode("_band_keys").alias("bk"))
+        .distinct()
+    )
+    ckeys = with_band_keys(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col)),
+        F.col(text_col),
+        k=k,
+        rows_per_band=rows_per_band,
+        n=n,
+    ).select("id", F.explode("_band_keys").alias("bk"))
+    hits = (
+        ckeys.join(F.broadcast(bkeys), "bk")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_band_hits", F.lit(0)).cast("long").alias(
+                "n_band_hits"
+            ),
+            (F.coalesce("n_band_hits", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def fuzzy_contamination_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    min_hits: int = 1,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`fuzzy_contamination`. Band keys are the
+    same ``band || '_' || mh.. || '_' || mh..`` encoding as
+    dedup.with_band_keys; a shingle-less doc's NULL minhash makes the
+    key NULL, which joins to nothing — matching Spark's empty key
+    array. Signature tables stage through MATERIALIZED CTEs."""
+    from .dedup import minhash_signature_sql
+
+    n_bands = k // rows_per_band
+
+    def keys_select(src: str, with_id: bool) -> str:
+        idc = "id, " if with_id else ""
+        arms = "\nUNION ALL\n".join(
+            "SELECT {i}'{b}_' || {parts} AS bk FROM {src}".format(
+                i=idc,
+                b=b,
+                parts=" || '_' || ".join(
+                    f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+                    for r in range(rows_per_band)
+                ),
+                src=src,
+            )
+            for b in range(n_bands)
+        )
+        return arms
+
+    csig = minhash_signature_sql(
+        f"({corpus_sql})", k=k, n=n, text_col=text_col, id_col=id_col
+    )
+    bsig = minhash_signature_sql(
+        f"({benchmark_sql})", k=k, n=n, text_col=text_col, id_col=id_col
+    )
+    return f"""
+WITH _fz_cs AS MATERIALIZED ({csig}),
+_fz_bs AS MATERIALIZED ({bsig}),
+_fz_ck AS MATERIALIZED ({keys_select("_fz_cs", True)}),
+_fz_bk AS MATERIALIZED (
+  SELECT DISTINCT bk FROM ({keys_select("_fz_bs", False)})
+  WHERE bk IS NOT NULL
+),
+_fz_hits AS (
+  SELECT id, count(*) AS n_band_hits
+  FROM _fz_ck JOIN _fz_bk USING (bk)
+  GROUP BY id
+)
+SELECT c.{id_col},
+       CAST(coalesce(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+       coalesce(h.n_band_hits, 0) >= {min_hits} AS contaminated
+FROM ({corpus_sql}) c LEFT JOIN _fz_hits h ON h.id = c.{id_col}
+"""

@@ -250,6 +250,52 @@ class TestDecontam:
         # 2-grams of 'a b a b a b': {a b, b a} distinct
         assert row["n_total"] == 2 and row["n_overlap"] == 1
 
+    def test_fuzzy_flags_paraphrase_not_exact_grams(self, spark):
+        """A lightly edited benchmark copy shares most shingles (so it
+        LSH-collides) while a genuinely different doc never does."""
+        from beats_spark.operators.decontam import fuzzy_contamination
+
+        bench_text = (
+            "what is the boiling point of water at sea level in celsius"
+        )
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                # near-copy: one appended word — shingle sets almost equal
+                (1, bench_text + " today"),
+                (2, "entirely unrelated prose about medieval castle sieges"
+                    " and trebuchet engineering practices"),
+                (3, ""),  # shingle-less: empty band-key array, never hits
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in fuzzy_contamination(corpus, bench).collect()
+        }
+        assert out[1]["contaminated"] is True and out[1]["n_band_hits"] >= 1
+        assert out[2] is not None and out[2]["contaminated"] is False
+        assert out[3]["n_band_hits"] == 0 and out[3]["contaminated"] is False
+
+    def test_fuzzy_benchmark_side_broadcast(self, spark):
+        """Plan shape: the benchmark band-key set must broadcast — the
+        corpus is never re-keyed by band key in an exchange."""
+        from beats_spark.operators.decontam import fuzzy_contamination
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta")],
+            "doc_id long, text string",
+        )
+        plan = fuzzy_contamination(corpus, bench)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
 
 class TestTemperatureMix:
     def test_units_and_rates_alpha_half(self, spark):
