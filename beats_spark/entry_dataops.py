@@ -412,16 +412,49 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """training-output assembly (operators/sampling.py): contiguous
-    256-token pack assignment per source in stable doc order, PLUS
-    the deterministic global-shuffle shard columns (assign_shards:
-    shard = portable-hash mod 8, shard_pos = hash-order rank) the
-    shard writer realizes — packing and shuffling are the two halves
-    of the same write."""
-    from .operators.sampling import assign_shards, pack_sequences
+    """training-output assembly (operators/sampling.py). 'contig' =
+    GPT-style concat-and-chunk: contiguous 256-token pack assignment
+    per source in stable doc order, PLUS the deterministic
+    global-shuffle shard columns (assign_shards: shard =
+    portable-hash mod 8, shard_pos = hash-order rank) the shard
+    writer realizes — packing and shuffling are the two halves of
+    the same write. 'hist' (r4) = NO-SPLIT packing: Next-Fit-
+    Decreasing solved on the length histogram (Kosec et al. 2021
+    SPFHP shape — driver fold over ≤budget histogram rows, broadcast
+    slot table, one rank window), every doc whole in one pack, no
+    pack over budget."""
+    from .operators.sampling import (
+        assign_shards,
+        histogram_pack,
+        pack_sequences,
+    )
 
-    packed = pack_sequences(_docs(spark, sf_dir), token_budget=256)
-    return assign_shards(packed, n_shards=8, key_col="doc_id")
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, token_budget=256)
+    contig = assign_shards(packed, n_shards=8, key_col="doc_id").select(
+        F.lit("contig").alias("variant"),
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("long").alias("eff_len"),
+        "pack_id",
+        "shard",
+        "shuffle_key",
+        "shard_pos",
+    )
+    nl = F.lit(None)
+    hist = histogram_pack(docs, token_budget=256).select(
+        F.lit("hist").alias("variant"),
+        nl.cast("string").alias("source"),
+        "doc_id",
+        "n_tokens",
+        "eff_len",
+        "pack_id",
+        nl.cast("int").alias("shard"),
+        nl.cast("long").alias("shuffle_key"),
+        nl.cast("long").alias("shard_pos"),
+    )
+    return contig.unionByName(hist)
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -1309,6 +1342,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
+    "pack_sequences": ("variant", ["contig", "hist"]),
 }
 
 
@@ -1437,6 +1471,29 @@ SELECT 'fuzzy' AS variant, doc_id,
        CAST(NULL AS BIGINT) AS n_total, CAST(NULL AS DOUBLE) AS frac,
        contaminated
 FROM ({fuzzy})
+"""
+
+
+def _pack_sequences_oracle() -> str:
+    from .operators.sampling import histogram_pack_sql
+
+    contig = assign_shards_sql(
+        f"({pack_sequences_sql('documents', token_budget=256)})",
+        n_shards=8,
+        cols="source, doc_id, n_tokens, pack_id",
+    )
+    hist = histogram_pack_sql("documents", token_budget=256)
+    return f"""
+SELECT 'contig' AS variant, source, doc_id, n_tokens,
+       CAST(NULL AS BIGINT) AS eff_len, pack_id,
+       shard, shuffle_key, shard_pos
+FROM ({contig})
+UNION ALL
+SELECT 'hist' AS variant, CAST(NULL AS VARCHAR) AS source,
+       doc_id, n_tokens, eff_len, pack_id,
+       CAST(NULL AS INTEGER) AS shard, CAST(NULL AS BIGINT) AS shuffle_key,
+       CAST(NULL AS BIGINT) AS shard_pos
+FROM ({hist})
 """
 
 
@@ -1764,11 +1821,7 @@ FROM ({simhash_hamming_pairs_sql("documents", max_hamming=3)})
         "pii_redact": _pii_redact_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "stratified_sample": _sampling_oracle(),
-        "pack_sequences": assign_shards_sql(
-            f"({pack_sequences_sql('documents', token_budget=256)})",
-            n_shards=8,
-            cols="source, doc_id, n_tokens, pack_id",
-        ),
+        "pack_sequences": _pack_sequences_oracle(),
         "dns_enrich": """
 WITH hosts AS (
   SELECT doc_id, 'host-' || source AS host FROM documents

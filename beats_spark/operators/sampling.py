@@ -394,6 +394,211 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# no-split histogram packing (NFD over the length histogram)
+
+
+def _nfd_fold(hist: list[tuple[int, int]], budget: int) -> list[dict]:
+    """Next-Fit-Decreasing solved on the LENGTH HISTOGRAM — the
+    driver-side half of :func:`histogram_pack` (shared verbatim with
+    its DuckDB twin, which runs the identical fold as a WITH RECURSIVE
+    over the same ordered histogram).
+
+    One closed-form state transition per distinct length (state =
+    the open pack's id/remaining space + the next fresh pack id), so
+    the solve costs O(#distinct lengths) ≤ budget regardless of corpus
+    size — the histogram-packing insight of Kosec et al. 2021
+    ("Efficient Sequence Packing without Cross-contamination",
+    SPFHP §4.2): pack assignment needs only per-length slot ranges,
+    never a per-document scan on the driver."""
+    out: list[dict] = []
+    open_id, open_rem, next_id = -1, 0, 0
+    for ln, cnt in sorted(hist, key=lambda t: -t[0]):
+        fit_open = min(cnt, open_rem // ln) if open_id >= 0 else 0
+        open_rem -= fit_open * ln
+        c2 = cnt - fit_open
+        per_full = budget // ln
+        n_new = -(-c2 // per_full) if c2 > 0 else 0
+        first_new = next_id
+        rec = {
+            "len": ln,
+            "prev_open_id": open_id if fit_open > 0 else -1,
+            "fit_open": fit_open,
+            "per_full": per_full,
+            "first_new_id": first_new,
+        }
+        if c2 > 0:
+            last_fill = c2 - (n_new - 1) * per_full
+            open_id = first_new + n_new - 1
+            open_rem = budget - last_fill * ln
+            next_id += n_new
+        out.append(rec)
+    return out
+
+
+def histogram_pack(
+    df: DataFrame,
+    token_budget: int = 256,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """NO-SPLIT sequence packing: every document lands whole in
+    exactly one pack and no pack exceeds ``token_budget`` — the
+    packing family trainers use when examples must not
+    cross-contaminate attention (Kosec et al. 2021), complementing
+    :func:`pack_sequences`' GPT-style concat-and-chunk fill.
+
+    Next-Fit-Decreasing, solved on the length HISTOGRAM: one
+    map-side-combining ``groupBy(eff_len).count()`` (≤ budget rows —
+    collected driver-side like the k-means centroids), a closed-form
+    fold per distinct length (:func:`_nfd_fold`), then assignment is
+    a broadcast join on eff_len + one rank window + integer math:
+    rank r < fit_open rides the previously open pack, the rest go
+    ``first_new_id + (r - fit_open) // per_full``. Documents longer
+    than the budget are clamped to it (truncation is the chunking
+    stage's concern); empty docs count as length 1.
+
+    100-TB shape: the corpus shuffles ONCE, keyed by eff_len for the
+    rank window. Common lengths are hot keys at extreme scale — the
+    documented mitigation is two-level ranking (per-partition counts
+    → broadcast offsets → map-side rank), same state, same formula."""
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count_ws(F.col(text_col))
+    ).cast("long")
+    t = df.select(
+        order_col,
+        n_tok.alias("n_tokens"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(n_tok, F.lit(int(token_budget)).cast("long")),
+        ).alias("eff_len"),
+    )
+    hist = [
+        (r["eff_len"], r["cnt"])
+        for r in t.groupBy("eff_len").agg(F.count("*").alias("cnt")).collect()
+    ]
+    slots = _nfd_fold(hist, token_budget)
+    spark = df.sparkSession
+    slot_df = spark.createDataFrame(
+        [
+            (
+                s["len"],
+                s["prev_open_id"],
+                s["fit_open"],
+                s["per_full"],
+                s["first_new_id"],
+            )
+            for s in slots
+        ],
+        "eff_len long, prev_open_id long, fit_open long, "
+        "per_full long, first_new_id long",
+    )
+    w = Window.partitionBy("eff_len").orderBy(order_col)
+    ranked = t.withColumn("r", (F.row_number().over(w) - 1).cast("long"))
+    pack = F.when(F.col("r") < F.col("fit_open"), F.col("prev_open_id")).otherwise(
+        F.col("first_new_id")
+        + F.floor((F.col("r") - F.col("fit_open")) / F.col("per_full")).cast(
+            "long"
+        )
+    )
+    return ranked.join(F.broadcast(slot_df), "eff_len").select(
+        order_col,
+        "n_tokens",
+        "eff_len",
+        pack.cast("long").alias("pack_id"),
+    )
+
+
+def histogram_pack_sql(
+    table: str,
+    token_budget: int = 256,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`histogram_pack`: the driver fold becomes
+    a WITH RECURSIVE over the ordered histogram (≤ budget iterations,
+    scalar state threaded through the recursive arm — the unrolled-
+    loop precedent, but with real recursion since DuckDB has it),
+    then the identical join + rank + integer assignment."""
+    b = int(token_budget)
+    from ..functions.textstats import WORDS_SQL
+
+    toks = f"CAST(len({WORDS_SQL.format(c=text_col)}) AS BIGINT)"
+    return f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT {order_col}, {toks} AS n_tokens,
+         greatest(1, least({toks}, {b})) AS eff_len
+  FROM {table}
+),
+hist AS MATERIALIZED (
+  SELECT eff_len AS ln, count(*) AS cnt,
+         row_number() OVER (ORDER BY eff_len DESC) AS i
+  FROM t GROUP BY 1
+),
+fold AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ln,
+         CAST(-1 AS BIGINT) AS prev_open_id,
+         CAST(0 AS BIGINT) AS fit_open,
+         CAST(1 AS BIGINT) AS per_full,
+         CAST(0 AS BIGINT) AS first_new_id,
+         CAST(-1 AS BIGINT) AS open_id,
+         CAST(0 AS BIGINT) AS open_rem,
+         CAST(0 AS BIGINT) AS next_id
+  UNION ALL
+  SELECT h.i, h.ln,
+         CASE WHEN f.open_id >= 0
+                   AND least(h.cnt, f.open_rem // h.ln) > 0
+              THEN f.open_id ELSE -1 END,
+         CASE WHEN f.open_id >= 0
+              THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END,
+         {b} // h.ln,
+         f.next_id,
+         CASE WHEN h.cnt - (CASE WHEN f.open_id >= 0
+                 THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END) > 0
+              THEN f.next_id
+                   + CAST(ceil((h.cnt - (CASE WHEN f.open_id >= 0
+                       THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END))
+                       / CAST({b} // h.ln AS DOUBLE)) AS BIGINT) - 1
+              ELSE f.open_id END,
+         CASE WHEN h.cnt - (CASE WHEN f.open_id >= 0
+                 THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END) > 0
+              THEN {b} - ((h.cnt - (CASE WHEN f.open_id >= 0
+                       THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END))
+                   - (CAST(ceil((h.cnt - (CASE WHEN f.open_id >= 0
+                       THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END))
+                       / CAST({b} // h.ln AS DOUBLE)) AS BIGINT) - 1)
+                     * ({b} // h.ln)) * h.ln
+              ELSE f.open_rem - (CASE WHEN f.open_id >= 0
+                 THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END) * h.ln END,
+         CASE WHEN h.cnt - (CASE WHEN f.open_id >= 0
+                 THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END) > 0
+              THEN f.next_id
+                   + CAST(ceil((h.cnt - (CASE WHEN f.open_id >= 0
+                       THEN least(h.cnt, f.open_rem // h.ln) ELSE 0 END))
+                       / CAST({b} // h.ln AS DOUBLE)) AS BIGINT)
+              ELSE f.next_id END
+  FROM fold f JOIN hist h ON h.i = f.i + 1
+),
+slots AS MATERIALIZED (
+  SELECT ln AS eff_len, prev_open_id, fit_open, per_full, first_new_id
+  FROM fold WHERE i > 0
+),
+ranked AS (
+  SELECT t.*, row_number() OVER (
+           PARTITION BY eff_len ORDER BY {order_col}) - 1 AS r
+  FROM t
+)
+SELECT {order_col}, n_tokens, eff_len,
+       CAST(CASE WHEN r < fit_open THEN prev_open_id
+            ELSE first_new_id + (r - fit_open) // per_full END
+            AS BIGINT) AS pack_id
+FROM ranked JOIN slots USING (eff_len)
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic global shuffle + shard assignment (training output)
 
 

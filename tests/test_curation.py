@@ -449,6 +449,85 @@ class TestSamplingPacking:
         assert out[("s1", 3)] == 1
         assert out[("s2", 0)] == 0
 
+    def test_histogram_pack_no_split_invariants(self, spark):
+        """NFD histogram packing: no pack over budget, every doc in
+        exactly one pack, ids dense from 0, and a doc longer than the
+        budget is clamped to a full pack of its own."""
+        import random
+
+        from beats_spark.operators.sampling import histogram_pack
+
+        random.seed(5)
+        rows = [(i, "w " * random.randint(0, 50)) for i in range(300)]
+        rows.append((300, "w " * 99))  # over budget -> clamped to 32
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = histogram_pack(df, token_budget=32).collect()
+        assert len(out) == 301 and len({r["doc_id"] for r in out}) == 301
+        fills: dict[int, int] = {}
+        for r in out:
+            fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["eff_len"]
+        assert max(fills.values()) <= 32
+        assert sorted(fills) == list(range(len(fills)))
+        over = next(r for r in out if r["doc_id"] == 300)
+        assert over["n_tokens"] == 99 and over["eff_len"] == 32
+        assert fills[over["pack_id"]] == 32
+
+    def test_histogram_pack_hand_case_and_fold(self, spark):
+        """B=6, lengths [5,5,3,2,2,1] -> packs [5],[5],[3,2],[2,1]
+        (hand-derived NFD), and the driver fold emits the matching
+        per-length slot table."""
+        from beats_spark.operators.sampling import _nfd_fold, histogram_pack
+
+        assert _nfd_fold([(5, 2), (3, 1), (2, 2), (1, 1)], 6) == [
+            {"len": 5, "prev_open_id": -1, "fit_open": 0,
+             "per_full": 1, "first_new_id": 0},
+            {"len": 3, "prev_open_id": -1, "fit_open": 0,
+             "per_full": 2, "first_new_id": 2},
+            {"len": 2, "prev_open_id": 2, "fit_open": 1,
+             "per_full": 3, "first_new_id": 3},
+            {"len": 1, "prev_open_id": 3, "fit_open": 1,
+             "per_full": 6, "first_new_id": 4},
+        ]
+        lens = [5, 5, 3, 2, 2, 1]
+        df = spark.createDataFrame(
+            [(i, "w " * ln) for i, ln in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["pack_id"]
+               for r in histogram_pack(df, token_budget=6).collect()}
+        assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+    def test_histogram_pack_duckdb_parity(self, spark):
+        """The WITH RECURSIVE twin reproduces the Spark assignment
+        hash-for-hash on randomized lengths."""
+        import random
+
+        import duckdb
+
+        from beats_spark.operators.sampling import (
+            histogram_pack,
+            histogram_pack_sql,
+        )
+
+        random.seed(11)
+        rows = [(i, " ".join(["w"] * random.randint(0, 40)))
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["eff_len"], r["pack_id"])
+            for r in histogram_pack(df, token_budget=32).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?,?)", rows)
+        ora = sorted(
+            tuple(r)
+            for r in con.sql(
+                histogram_pack_sql("docs", token_budget=32)
+            ).fetchall()
+        )
+        assert got == ora
+
 
 class TestKmeansIvf:
     def test_deterministic_and_partitions_all(self, spark):

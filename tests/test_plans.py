@@ -359,6 +359,22 @@ class TestR4OperatorPlans:
         # normalizing sum), never re-key the corpus by doc
         assert "hashpartitioning(doc_id" not in plan
 
+    def test_histogram_pack_slots_broadcast_one_corpus_exchange(self, spark):
+        from beats_spark.operators.sampling import histogram_pack
+
+        df = spark.createDataFrame(
+            [(i, "tok " * (1 + i % 7)) for i in range(80)],
+            "doc_id long, text string",
+        )
+        plan = _plan(histogram_pack(df, token_budget=16))
+        # the per-length slot table is histogram-bounded (≤ budget
+        # rows) and must BROADCAST; the corpus shuffles exactly once,
+        # keyed by eff_len for the rank window
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("hashpartitioning(eff_len") >= 1
+        assert "hashpartitioning(doc_id" not in plan
+
     def test_decontam_frac_bench_join_is_broadcast(self, spark):
         from beats_spark.operators.decontam import ngram_overlap_frac
 
