@@ -941,22 +941,29 @@ def q_lm_scores(spark, sf_dir):
     LM on the doc_id%5 slice, cross-entropy + perplexity); 'dsir' =
     DSIR importance weighting (target-vs-raw LM likelihood ratio with
     the deterministic threshold analog of the resampling step).
-    Columns are aligned generically: m1 = cross_entropy / log_weight,
-    m2 = perplexity / weight, m3 = NULL / log_weight_per_token,
-    f1 = is_train / is_target, f2 = NULL / selected."""
-    from .operators.lm import bigram_lm_scores, dsir_weights
+    'bucket' (r4) = CCNet's head/middle/tail split (per-language
+    perplexity terciles by token mass, integer cut — Wenzek et al.
+    2019 §4.3). Columns are aligned generically: m1 = cross_entropy /
+    log_weight / NULL, m2 = perplexity / weight / perplexity,
+    m3 = NULL / log_weight_per_token / NULL, f1 = is_train /
+    is_target / NULL, f2 = NULL / selected / NULL, s1 = NULL / NULL /
+    'lang/bucket'."""
+    from .operators.lm import bigram_lm_scores, ccnet_buckets, dsir_weights
 
     docs = _docs(spark, sf_dir)
     nb = F.lit(None).cast("boolean")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
     lm = bigram_lm_scores(docs).select(
         F.lit("lm").alias("variant"),
         "doc_id",
         "n_tokens",
         F.col("cross_entropy").alias("m1"),
         F.col("perplexity").alias("m2"),
-        F.lit(None).cast("double").alias("m3"),
+        nd.alias("m3"),
         F.col("is_train").alias("f1"),
         nb.alias("f2"),
+        ns.alias("s1"),
     )
     ds = dsir_weights(docs).select(
         F.lit("dsir").alias("variant"),
@@ -967,8 +974,20 @@ def q_lm_scores(spark, sf_dir):
         F.col("log_weight_per_token").alias("m3"),
         F.col("is_target").alias("f1"),
         F.col("selected").alias("f2"),
+        ns.alias("s1"),
     )
-    return lm.unionByName(ds)
+    bk = ccnet_buckets(docs).select(
+        F.lit("bucket").alias("variant"),
+        "doc_id",
+        "n_tokens",
+        nd.alias("m1"),
+        F.col("perplexity").alias("m2"),
+        nd.alias("m3"),
+        nb.alias("f1"),
+        nb.alias("f2"),
+        F.concat_ws("/", "lang", "bucket").alias("s1"),
+    )
+    return lm.unionByName(ds).unionByName(bk)
 
 
 #: classifier driver-row hyperparams (shared with the oracle) — the
@@ -1337,7 +1356,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "multiline_modes": ("variant", ["combine", "flush"]),
     "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
     "quantize_embeddings": ("variant", ["int8", "pq"]),
-    "lm_scores": ("variant", ["lm", "dsir"]),
+    "lm_scores": ("variant", ["lm", "dsir", "bucket"]),
     "clean_text": ("variant", ["fix", "html", "c4line"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
     "ann_ivf": ("nprobe", [1, 2]),
@@ -1531,19 +1550,32 @@ UNION ALL
 
 
 def _lm_scores_oracle() -> str:
-    from .operators.lm import bigram_lm_sql, dsir_weights_sql
+    from .operators.lm import (
+        bigram_lm_sql,
+        ccnet_buckets_sql,
+        dsir_weights_sql,
+    )
 
     return f"""
 SELECT 'lm' AS variant, doc_id, n_tokens,
        cross_entropy AS m1, perplexity AS m2,
        CAST(NULL AS DOUBLE) AS m3,
-       is_train AS f1, CAST(NULL AS BOOLEAN) AS f2
+       is_train AS f1, CAST(NULL AS BOOLEAN) AS f2,
+       CAST(NULL AS VARCHAR) AS s1
 FROM ({bigram_lm_sql("documents")})
 UNION ALL
 SELECT 'dsir' AS variant, doc_id, n_tokens,
        log_weight AS m1, weight AS m2, log_weight_per_token AS m3,
-       is_target AS f1, selected AS f2
+       is_target AS f1, selected AS f2,
+       CAST(NULL AS VARCHAR) AS s1
 FROM ({dsir_weights_sql("documents")})
+UNION ALL
+SELECT 'bucket' AS variant, doc_id, n_tokens,
+       CAST(NULL AS DOUBLE) AS m1, perplexity AS m2,
+       CAST(NULL AS DOUBLE) AS m3,
+       CAST(NULL AS BOOLEAN) AS f1, CAST(NULL AS BOOLEAN) AS f2,
+       lang || '/' || bucket AS s1
+FROM ({ccnet_buckets_sql("documents")})
 """
 
 

@@ -43,7 +43,7 @@ the closest beats concept is the enrich-with-broadcast-dim shape of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import WORDS_SQL, words
@@ -75,15 +75,28 @@ def _bigram_structs(seq: Column) -> Column:
     )
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, prev, cur) — one row per predicted token."""
+def _bigrams(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, prev, cur) — one row per predicted token. ``carry``
+    threads extra per-document columns (e.g. the language) through
+    the explode so downstream grouping never needs a corpus self-join
+    to recover them."""
     staged = df.select(
         F.col(id_col).alias("doc_id"),
+        *carry,
         _token_seq(F.col(text_col)).alias("_seq"),
     )
     return staged.select(
-        "doc_id", F.explode(_bigram_structs(F.col("_seq"))).alias("bg")
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        "doc_id",
+        *carry,
+        F.explode(_bigram_structs(F.col("_seq"))).alias("bg"),
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("bg.prev").alias("prev"),
+        F.col("bg.cur").alias("cur"),
+    )
 
 
 def bigram_lm_scores(
@@ -151,6 +164,154 @@ def bigram_lm_scores(
         ),
         (F.col("doc_id") % train_mod == 0).alias("is_train"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = ALPHA,
+    train_mod: int = TRAIN_MOD,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.3): per
+    language, order documents by LM perplexity and cut the corpus into
+    three buckets of ~equal TOKEN MASS — 'head' is the clean third the
+    paper trains on, 'tail' the discard candidate.
+
+    Determinism: perplexity is the 6-dp-rounded value both engines
+    compute identically; ties break on doc_id; the tercile cut is pure
+    integer comparison (3·prefix < total, 3·prefix < 2·total) on exact
+    long token sums — no float quantile boundary to disagree on.
+
+    100-TB shape: same scoring plan as :func:`bigram_lm_scores` (the
+    language rides the explode via ``carry`` — no corpus self-join to
+    recover it), then ONE window exchange keyed by language. Real
+    corpora have few languages, so at extreme scale the window key is
+    (lang, salt) with per-salt offsets from a counts pass — same
+    integer cut, documented here, not needed below ~10^9 docs/lang."""
+    train = df.where(F.col(id_col) % train_mod == 0)
+    c2 = (
+        _bigrams(train, id_col, text_col)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n2"))
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    vdf = c2.agg(
+        (F.countDistinct("cur") + F.lit(1)).cast("double").alias("v")
+    )
+    scored = (
+        _bigrams(df, id_col, text_col, carry=(lang_col,))
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), ["prev"], "left")
+        .crossJoin(F.broadcast(vdf))
+    )
+    logp = F.log2(
+        (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    micro = F.floor(logp * F.lit(float(LM_SCALE)) + F.lit(0.5)).cast("long")
+    agg = scored.groupBy("doc_id", lang_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(micro).alias("_s"),
+    )
+    ce = F.round(
+        -F.col("_s").cast("double")
+        / (F.col("n_tokens") * F.lit(float(LM_SCALE))),
+        6,
+    )
+    ppl = agg.select(
+        F.col("doc_id").alias(id_col),
+        lang_col,
+        "n_tokens",
+        F.round(F.pow(F.lit(2.0), ce), 6).alias("perplexity"),
+    )
+    w_ord = (
+        Window.partitionBy(lang_col)
+        .orderBy("perplexity", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(lang_col)
+    prefix = F.coalesce(
+        F.sum("n_tokens").over(w_ord), F.lit(0).cast("long")
+    )
+    total = F.sum("n_tokens").over(w_all)
+    staged = ppl.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "perplexity",
+        prefix.alias("_pre"),
+        total.alias("_tot"),
+    )
+    bucket = (
+        F.when(3 * F.col("_pre") < F.col("_tot"), F.lit("head"))
+        .when(3 * F.col("_pre") < 2 * F.col("_tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return staged.select(
+        id_col, lang_col, "n_tokens", "perplexity", bucket.alias("bucket")
+    )
+
+
+def ccnet_buckets_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = ALPHA,
+    train_mod: int = TRAIN_MOD,
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` (lock-step scoring, same
+    integer tercile cut)."""
+    toks = WORDS_SQL.format(c=f"lower({text_col})")
+    return f"""
+WITH seqs AS (
+  SELECT {id_col} AS doc_id, {lang_col},
+         ['{S_TOKEN}'] || {toks} AS ts FROM {table}
+),
+bg AS (
+  SELECT doc_id, {lang_col}, ts[i] AS prev, ts[i + 1] AS cur
+  FROM seqs, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+c2 AS (
+  SELECT prev, cur, count(*) AS n2
+  FROM bg WHERE doc_id % {train_mod} = 0 GROUP BY 1, 2
+),
+c1 AS (SELECT prev, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT (count(DISTINCT cur) + 1)::DOUBLE AS v FROM c2),
+scored AS (
+  SELECT doc_id, {lang_col},
+         CAST(floor(
+           log2((coalesce(n2, 0) + {alpha})
+                / (coalesce(n1, 0) + {alpha} * v.v))
+           * {LM_SCALE} + 0.5) AS BIGINT) AS m
+  FROM bg LEFT JOIN c2 USING (prev, cur)
+          LEFT JOIN c1 USING (prev)
+          CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, {lang_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(pow(2.0, round(-CAST(sum(m) AS BIGINT)
+               / (count(*) * {LM_SCALE}.0), 6)), 6) AS perplexity
+  FROM scored GROUP BY 1, 2
+),
+cut AS (
+  SELECT *,
+         coalesce(CAST(sum(n_tokens) OVER (
+           PARTITION BY {lang_col} ORDER BY perplexity, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS pre,
+         CAST(sum(n_tokens) OVER (PARTITION BY {lang_col}) AS BIGINT)
+           AS tot
+  FROM agg
+)
+SELECT doc_id AS {id_col}, {lang_col}, n_tokens, perplexity,
+       CASE WHEN 3 * pre < tot THEN 'head'
+            WHEN 3 * pre < 2 * tot THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cut
+"""
 
 
 def bigram_lm_sql(

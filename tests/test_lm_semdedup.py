@@ -115,6 +115,74 @@ class TestBigramLM:
         assert "SortMergeJoin" not in plan
 
 
+class TestCCNetBuckets:
+    def test_tercile_mass_and_head_is_cleanest(self, spark):
+        """Per language: bucket token masses are ~equal thirds, every
+        head doc's perplexity ≤ every tail doc's, and the integer cut
+        is reproduced hash-for-hash by the DuckDB twin."""
+        import random
+
+        import duckdb
+
+        from beats_spark.operators.lm import ccnet_buckets, ccnet_buckets_sql
+
+        random.seed(13)
+        vocab = ["the", "model", "spark", "train", "fox", "data"]
+        rows = [
+            (
+                i,
+                " ".join(random.choices(vocab, k=random.randint(4, 20))),
+                "en" if i % 2 else "de",
+            )
+            for i in range(200)
+        ]
+        spark_df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        out = ccnet_buckets(spark_df).collect()
+        assert len(out) == 200
+        for lang in ("en", "de"):
+            mass = {"head": 0, "middle": 0, "tail": 0}
+            ppl = {"head": [], "middle": [], "tail": []}
+            for r in out:
+                if r["lang"] == lang:
+                    mass[r["bucket"]] += r["n_tokens"]
+                    ppl[r["bucket"]].append(r["perplexity"])
+            total = sum(mass.values())
+            # each bucket within one max-doc-length of a perfect third
+            assert all(abs(m - total / 3) <= 20 for m in mass.values())
+            assert max(ppl["head"]) <= min(ppl["tail"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs(doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+        )
+        con.executemany("INSERT INTO docs VALUES (?,?,?)", rows)
+        ora = sorted(
+            tuple(r) for r in con.sql(ccnet_buckets_sql("docs")).fetchall()
+        )
+        got = sorted(
+            (r["doc_id"], r["lang"], r["n_tokens"], r["perplexity"],
+             r["bucket"])
+            for r in out
+        )
+        assert got == ora
+
+    def test_one_window_exchange_no_self_join(self, spark):
+        """The language rides the explode (carry): recovering it must
+        not cost a corpus self-join on doc_id."""
+        from beats_spark.operators.lm import ccnet_buckets
+
+        df = spark.createDataFrame(
+            [(i, "tok word data", "en") for i in range(20)],
+            "doc_id long, text string, lang string",
+        )
+        plan = (
+            ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert plan.count("hashpartitioning(lang") >= 1
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 
