@@ -47,6 +47,7 @@ from .operators.dedup import (
     simhash_sql,
 )
 from .operators.bm25 import bm25_topk_sql
+from .operators.sketch import hll_cardinality_sql, hll_registers_sql
 from .operators.bpe import bpe_tokenize_sql
 from .operators.hybrid import hybrid_rrf_sql
 from .operators.decontam import ngram_overlap_sql
@@ -181,7 +182,34 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("long").alias("m2"),
         F.lit(None).cast("double").alias("frac"),
     )
-    return d.unionByName(s).unionByName(p).unionByName(b)
+    # 'hll' = the distinct-count SKETCH next to the exact answer the
+    # 'doc' variant computes by shuffle: one register row per
+    # non-empty register (id=register, m1=max_rho) plus the summary
+    # row (id=-1, m1=n_nonzero, frac=estimate) — operators/sketch.py,
+    # register-for-register deterministic on both engines
+    from .operators.sketch import hll_cardinality, hll_registers
+
+    regs = hll_registers(docs, F.col("text")).select(
+        F.lit("hll").alias("variant"),
+        F.col("register").alias("id"),
+        F.col("max_rho").cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    card = hll_cardinality(docs, F.col("text")).select(
+        F.lit("hll").alias("variant"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_nonzero").alias("m1"),
+        F.col("m").alias("m2"),
+        F.col("estimate").alias("frac"),
+    )
+    return (
+        d.unionByName(s)
+        .unionByName(p)
+        .unionByName(b)
+        .unionByName(regs)
+        .unionByName(card)
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1351,7 +1379,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "text_analysis": ("variant", ["panel", "langid"]),
     "bpe_tokenize": ("variant", ["doc", "merge"]),
-    "dedup_exact": ("variant", ["doc", "span", "para", "bloom"]),
+    "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
     "multiline_modes": ("variant", ["combine", "flush"]),
     "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
@@ -1793,6 +1821,15 @@ FROM ({bloom_dedup_sql(
             "SELECT * FROM documents WHERE doc_id % 5 = 0",
             "SELECT * FROM documents WHERE doc_id % 5 <> 0",
         )})
+UNION ALL
+SELECT 'hll' AS variant, register AS id,
+       CAST(max_rho AS BIGINT) AS m1,
+       CAST(NULL AS BIGINT) AS m2, CAST(NULL AS DOUBLE) AS frac
+FROM ({hll_registers_sql("documents", "text")})
+UNION ALL
+SELECT 'hll' AS variant, CAST(-1 AS BIGINT) AS id,
+       n_nonzero AS m1, m AS m2, estimate AS frac
+FROM ({hll_cardinality_sql("documents", "text")})
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),

@@ -1,0 +1,173 @@
+"""Deterministic HyperLogLog cardinality sketch.
+
+The 100-TB question "how many DISTINCT documents / shingles / URLs"
+is, done exactly, a full shuffle on the key (`countDistinct`). The
+HLL sketch (Flajolet et al. 2007) answers it with one map-side-
+combining aggregation over m = 2^p registers — constant state, no
+corpus shuffle, and registers from disjoint partitions MERGE by
+element-wise max (the property that makes it a one-pass distributed
+sketch). Spark ships an HLL (`approx_count_distinct`) but its
+register hashing is engine-private; this implementation is built
+from the repo's portable md5 primitives so a DuckDB oracle
+reproduces the sketch REGISTER-FOR-REGISTER:
+
+- 52-bit item hash = first 13 hex chars of ``md5(value)`` (52 bits
+  keeps every intermediate exactly representable; the conv/'0x' cast
+  idiom shared with minhash)
+- register j   = top ``p`` bits (hex-prefix, so p % 4 == 0)
+- rho          = leading zeros of the remaining B = 52-p bits, + 1;
+  an all-zero remainder scores B+1 — bit lengths come from
+  ``bin()`` string length (identical no-leading-zeros semantics in
+  Spark and DuckDB), never ``floor(log2)`` (IEEE does not require
+  correctly-rounded log2 — CLAUDE.md transcendental gotcha)
+- the harmonic sum is snapped exact: each register contributes the
+  INTEGER ``2^(B+1-M_j)`` (empty registers ``2^(B+1)``), so the sum
+  is an order-free integer sum ≤ m·2^(B+1) < 2^53 and the only
+  float ops are one multiply and one divide on identical operands —
+  both engines round identically
+- the raw estimator only (alpha_m · m² / Σ2^-M): HLL's small-range
+  linear-counting correction needs ln(), which is not correctly
+  rounded; at sketch-worthy cardinalities the raw estimator is the
+  published one, and the oracle-checked register table lets any
+  consumer apply corrections downstream.
+
+No reference-repo counterpart (training-data extension per the
+brief; the nearest beats concept is the registrar's "how much state
+am I carrying" accounting, `filebeat/registrar/registrar.go`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: total hex chars of the item hash (52 bits)
+_HEX_LEN = 13
+
+
+def _alpha(m: int) -> float:
+    """Bias constant alpha_m (Flajolet et al. 2007 fig. 3); driver-
+    computed once and embedded as the SAME double literal in both
+    engines."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _check_p(p: int) -> tuple[int, int, int]:
+    """(m, reg_hex_chars, remainder_bits)."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    rc = p // 4
+    return 1 << p, rc, 4 * (_HEX_LEN - rc)
+
+
+def hll_registers(
+    df: DataFrame, value: Column, p: int = 8
+) -> DataFrame:
+    """The sketch itself: ``(register, max_rho)`` — one row per
+    NON-EMPTY register (≤ 2^p rows total). One map-side-combining
+    groupBy; nothing corpus-sized ever shuffles. Sketches of disjoint
+    slices merge by ``groupBy(register).agg(max(max_rho))`` — union
+    the frames and re-aggregate."""
+    _, rc, bits = _check_p(p)
+    hx = F.md5(value.cast("string"))
+    reg = F.conv(F.substring(hx, 1, rc), 16, 10).cast("long")
+    rem = F.conv(F.substring(hx, rc + 1, _HEX_LEN - rc), 16, 10).cast(
+        "long"
+    )
+    rho = (
+        F.when(rem == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    return (
+        df.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row ``(m, n_nonzero, estimate)`` from a register table
+    (raw HLL estimator, exact-integer harmonic sum — see module
+    docstring)."""
+    m, _, bits = _check_p(p)
+    alpha = _alpha(m)
+    unit = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(bits + 1) - F.col("max_rho")).cast("int"),
+    )
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_nonzero"),
+        F.sum(unit).cast("long").alias("_present_units"),
+    )
+    empty_unit = 1 << (bits + 1)
+    total_units = (
+        F.col("_present_units")
+        + (F.lit(m).cast("long") - F.col("n_nonzero")) * F.lit(empty_unit)
+    )
+    num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_nonzero",
+        F.round(F.lit(num) / total_units.cast("double"), 6).alias(
+            "estimate"
+        ),
+    )
+
+
+def hll_cardinality(
+    df: DataFrame, value: Column, p: int = 8
+) -> DataFrame:
+    """Distinct-count estimate of ``value`` over ``df`` — registers +
+    estimator in one plan."""
+    return hll_estimate(hll_registers(df, value, p=p), p=p)
+
+
+def hll_registers_sql(
+    table: str, value_sql: str, p: int = 8
+) -> str:
+    """DuckDB twin of :func:`hll_registers` (register-for-register)."""
+    _, rc, bits = _check_p(p)
+    return f"""
+SELECT register, max(rho) AS max_rho FROM (
+  SELECT ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, {rc}))::BIGINT
+           AS register,
+         CASE WHEN ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)),
+                    {rc + 1}, {_HEX_LEN - rc}))::BIGINT = 0
+              THEN {bits + 1}
+              ELSE {bits + 1}
+                   - length(bin(('0x' || substr(
+                         md5(CAST({value_sql} AS VARCHAR)),
+                         {rc + 1}, {_HEX_LEN - rc}))::BIGINT))
+         END AS rho
+  FROM {table}
+) GROUP BY register
+"""
+
+
+def hll_cardinality_sql(
+    table: str, value_sql: str, p: int = 8
+) -> str:
+    """DuckDB twin of :func:`hll_cardinality` (identical exact-integer
+    harmonic sum and single-rounding estimator)."""
+    m, _, bits = _check_p(p)
+    alpha = _alpha(m)
+    num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    regs = hll_registers_sql(table, value_sql, p=p)
+    return f"""
+WITH regs AS ({regs}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+         CAST(sum(1::BIGINT << ({bits + 1} - max_rho)) AS BIGINT)
+           AS present_units
+  FROM regs
+)
+SELECT CAST({m} AS BIGINT) AS m, n_nonzero,
+       round({num!r} / CAST(present_units
+             + ({m} - n_nonzero) * ({1 << (bits + 1)}::BIGINT)
+             AS DOUBLE), 6) AS estimate
+FROM agg
+"""

@@ -1,0 +1,87 @@
+"""Deterministic HyperLogLog sketch (operators/sketch.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.sketch import (
+    hll_cardinality,
+    hll_cardinality_sql,
+    hll_estimate,
+    hll_registers,
+    hll_registers_sql,
+)
+
+
+class TestHLL:
+    def test_estimate_accuracy_and_duplicate_invariance(self, spark):
+        """~10k distinct values within the published error band for
+        m=256 (σ ≈ 1.04/√m ≈ 6.5%); feeding every value 3× changes
+        NOTHING — the sketch sees sets, not multisets."""
+        once = spark.createDataFrame(
+            [(f"item-{i}",) for i in range(10_000)], "v string"
+        )
+        thrice = spark.createDataFrame(
+            [(f"item-{i % 10_000}",) for i in range(30_000)], "v string"
+        )
+        e1 = hll_cardinality(once, F.col("v")).collect()[0]
+        e3 = hll_cardinality(thrice, F.col("v")).collect()[0]
+        assert e1["estimate"] == e3["estimate"]
+        assert abs(e1["estimate"] - 10_000) / 10_000 < 0.2
+
+    def test_merge_is_register_max(self, spark):
+        """Sketching two disjoint halves and merging by max equals
+        sketching the union — the distributed-combine property."""
+        a = spark.createDataFrame(
+            [(f"item-{i}",) for i in range(0, 3_000)], "v string"
+        )
+        b = spark.createDataFrame(
+            [(f"item-{i}",) for i in range(2_000, 6_000)], "v string"
+        )
+        merged = (
+            hll_registers(a, F.col("v"))
+            .unionByName(hll_registers(b, F.col("v")))
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        whole = hll_cardinality(a.unionByName(b), F.col("v"))
+        assert (
+            hll_estimate(merged).collect() == whole.collect()
+        )
+
+    def test_duckdb_parity_register_for_register(self, spark):
+        rows = [(f"doc {i} text body",) for i in range(500)]
+        df = spark.createDataFrame(rows, "v string")
+        sregs = sorted(
+            tuple(r) for r in hll_registers(df, F.col("v")).collect()
+        )
+        sest = tuple(hll_cardinality(df, F.col("v")).collect()[0])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", rows)
+        oregs = sorted(
+            tuple(r) for r in con.sql(hll_registers_sql("t", "v")).fetchall()
+        )
+        oest = con.sql(hll_cardinality_sql("t", "v")).fetchall()[0]
+        assert sregs == oregs and sest == oest
+
+    def test_one_bounded_aggregation_no_corpus_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(f"item-{i}",) for i in range(200)], "v string"
+        )
+        plan = (
+            hll_cardinality(df, F.col("v"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only exchange keys on the 2^p-bounded register column,
+        # with a map-side partial max ahead of it
+        assert "hashpartitioning(register" in plan
+        assert "partial_max" in plan
+        assert "Join" not in plan
+
+    def test_p_validation(self, spark):
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(ValueError, match="multiple of 4"):
+            hll_registers(df, F.col("v"), p=10)
