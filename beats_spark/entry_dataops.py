@@ -59,6 +59,7 @@ from .operators.sampling import (
 from .operators.multimodal import (
     extract_features,
     frame_sample,
+    image_dims_sql,
     resize_payload,
     with_binary_payload,
 )
@@ -931,7 +932,13 @@ def q_multimodal_features(spark, sf_dir):
     'feat' = decode/feature-extract (n_bytes + header hex), 'resize' =
     nearest-neighbor byte resample to MM_RESIZE_BYTES, 'frame' = one
     row per stride-sampled MM_FRAME_BYTES-byte frame. All three are
-    scan-aligned mapInPandas passes — payload bytes never shuffle."""
+    scan-aligned mapInPandas passes — payload bytes never shuffle.
+    'dims' (r4) = REAL container metadata: deterministic PNG header
+    bytes (synth_png_payload) parsed back to format/width/height with
+    pure Column hex arithmetic (parse_image_header) — no codec lib,
+    no Python, payload dropped at the scan."""
+    from .operators.multimodal import parse_image_header, synth_png_payload
+
     docs = with_binary_payload(_docs(spark, sf_dir))
     ni = F.lit(None).cast("long")
     feat = extract_features(docs).select(
@@ -958,7 +965,17 @@ def q_multimodal_features(spark, sf_dir):
         F.length("frame").cast("long").alias("n_bytes"),
         F.lower(F.hex("frame")).alias("payload_hex"),
     )
-    return feat.unionByName(rez).unionByName(frm)
+    dims = parse_image_header(
+        synth_png_payload(_docs(spark, sf_dir).select("doc_id"))
+    ).select(
+        F.lit("dims").alias("variant"),
+        "doc_id",
+        F.col("img_format").alias("modality"),
+        F.col("img_width").alias("idx"),
+        F.col("img_height").alias("n_bytes"),
+        F.lit(None).cast("string").alias("payload_hex"),
+    )
+    return feat.unionByName(rez).unionByName(frm).unionByName(dims)
 
 
 def q_lm_scores(spark, sf_dir):
@@ -1379,6 +1396,7 @@ def dataops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "text_analysis": ("variant", ["panel", "langid"]),
     "bpe_tokenize": ("variant", ["doc", "merge"]),
+    "multimodal_features": ("variant", ["feat", "resize", "frame", "dims"]),
     "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
     "multiline_modes": ("variant", ["combine", "flush"]),
@@ -1574,6 +1592,11 @@ SELECT 'resize' AS variant, doc_id, 'fake' AS modality,
 FROM (SELECT doc_id, md5(text) AS h FROM documents)
 UNION ALL
 {frames}
+UNION ALL
+SELECT 'dims' AS variant, doc_id, img_format AS modality,
+       img_width AS idx, img_height AS n_bytes,
+       CAST(NULL AS VARCHAR) AS payload_hex
+FROM ({image_dims_sql("documents")})
 """
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -245,3 +245,103 @@ FROM {table}"""
         for fi in range(0, n_frames, stride)
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# image container headers: real metadata, no codec library
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG header bytes (signature + IHDR prefix)
+    with dimensions derived from the id — the test/oracle stand-in
+    for actual image blobs, byte-identically constructible in DuckDB:
+    width = id % 1024 + 1, height = id·7 % 1024 + 1, 8-bit RGB."""
+    w = (F.col(id_col) % 1024 + 1).cast("long")
+    h = ((F.col(id_col) * 7) % 1024 + 1).cast("long")
+    be32 = lambda c: F.lpad(F.lower(F.hex(c)), 8, "0")  # noqa: E731
+    hx = F.concat(
+        F.lit("89504e470d0a1a0a"),  # PNG signature
+        F.lit("0000000d49484452"),  # IHDR length 13 + type
+        be32(w),
+        be32(h),
+        F.lit("0806"),  # bit depth 8, color type RGBA
+    )
+    return df.withColumn("payload", F.unhex(hx)).withColumn(
+        "modality", F.lit("image")
+    )
+
+
+def parse_image_header(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Container-level image metadata — format, width, height — parsed
+    from the payload's HEADER BYTES with pure Column hex arithmetic:
+    no codec library, no Python, scan-aligned (the payload never
+    shuffles and is dropped right after the fixed-offset reads).
+
+    Formats with fixed-offset dimensions: PNG (IHDR big-endian 32-bit
+    at bytes 16/20) and GIF87a/89a (little-endian 16-bit at bytes
+    6/8). JPEG dimensions live in a variable-offset SOF marker — a
+    sequential scan, which is the mapInPandas decoder tier's job
+    (DECODERS), not a Column expression. Unrecognized payloads yield
+    NULL format/width/height rather than failing the scan (ANSI-safe:
+    every conv() sits behind its magic-bytes guard)."""
+    hx = F.lower(F.hex(F.col(payload_col)))
+
+    def be(pos_chars: int, n_chars: int) -> Column:
+        return F.conv(F.substring(hx, pos_chars, n_chars), 16, 10).cast(
+            "long"
+        )
+
+    def le16(pos_chars: int) -> Column:
+        return F.conv(
+            F.concat(
+                F.substring(hx, pos_chars + 2, 2),
+                F.substring(hx, pos_chars, 2),
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    is_png = (F.substring(hx, 1, 16) == "89504e470d0a1a0a") & (
+        F.substring(hx, 25, 8) == "49484452"
+    )
+    is_gif = F.substring(hx, 1, 12).isin("474946383761", "474946383961")
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = F.when(is_png, be(33, 8)).when(is_gif, le16(13))
+    height = F.when(is_png, be(41, 8)).when(is_gif, le16(17))
+    return df.withColumn("img_format", fmt).withColumn(
+        "img_width", width
+    ).withColumn("img_height", height)
+
+
+def image_dims_sql(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of synth_png_payload → parse_image_header: the
+    construction and the parse are both plain hex arithmetic, so the
+    oracle rebuilds the header string and re-reads the dims from it
+    through the same guards."""
+    w = f"({id_col} % 1024 + 1)"
+    h = f"({id_col} * 7 % 1024 + 1)"
+    hx = (
+        "'89504e470d0a1a0a' || '0000000d49484452' || "
+        f"lpad(lower(hex({w})), 8, '0') || "
+        f"lpad(lower(hex({h})), 8, '0') || '0806'"
+    )
+    return f"""
+WITH p AS (SELECT {id_col}, {hx} AS hx FROM {table})
+SELECT {id_col},
+       CASE WHEN substr(hx, 1, 16) = '89504e470d0a1a0a'
+                 AND substr(hx, 25, 8) = '49484452'
+            THEN 'png' END AS img_format,
+       CASE WHEN substr(hx, 1, 16) = '89504e470d0a1a0a'
+                 AND substr(hx, 25, 8) = '49484452'
+            THEN ('0x' || substr(hx, 33, 8))::BIGINT END AS img_width,
+       CASE WHEN substr(hx, 1, 16) = '89504e470d0a1a0a'
+                 AND substr(hx, 25, 8) = '49484452'
+            THEN ('0x' || substr(hx, 41, 8))::BIGINT END AS img_height
+FROM p
+"""

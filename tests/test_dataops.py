@@ -446,6 +446,54 @@ class TestMultimodal:
         }
         assert got == {0: b"\x01\x02", 1: b"\x03\x04", 2: b"\x05"}
 
+    def test_parse_image_header_real_bytes(self, spark):
+        """Genuine PNG/GIF header bytes parse to the right dims; junk
+        yields NULLs instead of an ANSI abort."""
+        import struct
+
+        from beats_spark.operators.multimodal import parse_image_header
+
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", 640, 480) + b"\x08\x06"
+        )
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00"
+        junk = b"\x00\x01\x02\x03 not an image"
+        df = spark.createDataFrame(
+            [(1, png), (2, gif), (3, junk)], "doc_id long, payload binary"
+        )
+        got = {
+            r["doc_id"]: (r["img_format"], r["img_width"], r["img_height"])
+            for r in parse_image_header(df).collect()
+        }
+        assert got[1] == ("png", 640, 480)
+        assert got[2] == ("gif", 320, 200)
+        assert got[3] == (None, None, None)
+
+    def test_synth_png_roundtrip_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.multimodal import (
+            image_dims_sql,
+            parse_image_header,
+            synth_png_payload,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+        got = sorted(
+            (r["doc_id"], r["img_format"], r["img_width"], r["img_height"])
+            for r in parse_image_header(synth_png_payload(ids)).collect()
+        )
+        assert all(
+            f == "png" and w == i % 1024 + 1 and h == i * 7 % 1024 + 1
+            for i, f, w, h in got
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id FROM range(64)")
+        assert got == sorted(
+            tuple(r) for r in con.sql(image_dims_sql("t")).fetchall()
+        )
+
 
 class TestQuantization:
     def test_roundtrip_error_bounded(self, spark):
