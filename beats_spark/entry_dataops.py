@@ -451,7 +451,9 @@ def q_pack_sequences(spark, sf_dir):
     Decreasing solved on the length histogram (Kosec et al. 2021
     SPFHP shape — driver fold over ≤budget histogram rows, broadcast
     slot table, one rank window), every doc whole in one pack, no
-    pack over budget."""
+    pack over budget — run through the TWO-LEVEL salted rank
+    (rank_buckets=4: hash-bucket offsets + local row_number), the
+    hot-length-safe path, so the driver checks the 100-TB shape."""
     from .operators.sampling import (
         assign_shards,
         histogram_pack,
@@ -472,7 +474,7 @@ def q_pack_sequences(spark, sf_dir):
         "shard_pos",
     )
     nl = F.lit(None)
-    hist = histogram_pack(docs, token_budget=256).select(
+    hist = histogram_pack(docs, token_budget=256, rank_buckets=4).select(
         F.lit("hist").alias("variant"),
         nl.cast("string").alias("source"),
         "doc_id",
@@ -1547,7 +1549,7 @@ def _pack_sequences_oracle() -> str:
         n_shards=8,
         cols="source, doc_id, n_tokens, pack_id",
     )
-    hist = histogram_pack_sql("documents", token_budget=256)
+    hist = histogram_pack_sql("documents", token_budget=256, rank_buckets=4)
     return f"""
 SELECT 'contig' AS variant, source, doc_id, n_tokens,
        CAST(NULL AS BIGINT) AS eff_len, pack_id,

@@ -441,6 +441,7 @@ def histogram_pack(
     order_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
+    rank_buckets: int | None = None,
 ) -> DataFrame:
     """NO-SPLIT sequence packing: every document lands whole in
     exactly one pack and no pack exceeds ``token_budget`` — the
@@ -459,9 +460,17 @@ def histogram_pack(
     stage's concern); empty docs count as length 1.
 
     100-TB shape: the corpus shuffles ONCE, keyed by eff_len for the
-    rank window. Common lengths are hot keys at extreme scale — the
-    documented mitigation is two-level ranking (per-partition counts
-    → broadcast offsets → map-side rank), same state, same formula."""
+    rank window. Common lengths are hot keys at extreme scale:
+    ``rank_buckets=S`` switches to TWO-LEVEL ranking — rows salt into
+    S deterministic hash buckets (portable word_code of the order
+    key, so the oracle reproduces the exact assignment), per-(length,
+    bucket) counts roll into prefix OFFSETS with one window over the
+    (#lengths × S)-bounded counts table, and the global rank is
+    ``offset + local row_number`` inside the (eff_len, bucket) window
+    — the hot length now spreads over S reducers and no partition
+    ever sees more than ~1/S of it. Same fold, same assignment
+    formula; only the rank's total order changes (bucket-major
+    instead of pure order_col)."""
     n_tok = (
         F.col(n_tokens_col)
         if n_tokens_col is not None
@@ -495,8 +504,44 @@ def histogram_pack(
         "eff_len long, prev_open_id long, fit_open long, "
         "per_full long, first_new_id long",
     )
-    w = Window.partitionBy("eff_len").orderBy(order_col)
-    ranked = t.withColumn("r", (F.row_number().over(w) - 1).cast("long"))
+    if rank_buckets is None:
+        w = Window.partitionBy("eff_len").orderBy(order_col)
+        ranked = t.withColumn(
+            "r", (F.row_number().over(w) - 1).cast("long")
+        )
+    else:
+        t = t.withColumn(
+            "_rb",
+            F.pmod(
+                word_code(F.col(order_col).cast("string")),
+                F.lit(int(rank_buckets)),
+            ),
+        )
+        counts = t.groupBy("eff_len", "_rb").agg(
+            F.count("*").alias("_cnt")
+        )
+        w_off = (
+            Window.partitionBy("eff_len")
+            .orderBy("_rb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "eff_len",
+            "_rb",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0).cast("long"))
+            .alias("_off"),
+        )
+        w_loc = Window.partitionBy("eff_len", "_rb").orderBy(order_col)
+        ranked = (
+            t.join(F.broadcast(offsets), ["eff_len", "_rb"])
+            .withColumn(
+                "r",
+                (F.col("_off") + F.row_number().over(w_loc) - 1).cast(
+                    "long"
+                ),
+            )
+            .drop("_rb", "_off")
+        )
     pack = F.when(F.col("r") < F.col("fit_open"), F.col("prev_open_id")).otherwise(
         F.col("first_new_id")
         + F.floor((F.col("r") - F.col("fit_open")) / F.col("per_full")).cast(
@@ -516,16 +561,42 @@ def histogram_pack_sql(
     token_budget: int = 256,
     order_col: str = "doc_id",
     text_col: str = "text",
+    rank_buckets: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`histogram_pack`: the driver fold becomes
     a WITH RECURSIVE over the ordered histogram (≤ budget iterations,
     scalar state threaded through the recursive arm — the unrolled-
     loop precedent, but with real recursion since DuckDB has it),
-    then the identical join + rank + integer assignment."""
+    then the identical join + rank + integer assignment (two-level
+    bucket-salted rank when ``rank_buckets`` is set, lock-step with
+    the Spark side's portable word_code buckets)."""
     b = int(token_budget)
-    from ..functions.textstats import WORDS_SQL
+    from ..functions.textstats import WORDS_SQL, word_code_sql
 
     toks = f"CAST(len({WORDS_SQL.format(c=text_col)}) AS BIGINT)"
+    if rank_buckets is None:
+        ranked = f"""
+  SELECT t.*, row_number() OVER (
+           PARTITION BY eff_len ORDER BY {order_col}) - 1 AS r
+  FROM t"""
+    else:
+        code = word_code_sql(f"CAST({order_col} AS VARCHAR)")
+        ranked = f"""
+  WITH tb AS (
+    SELECT t.*, {code} % {int(rank_buckets)} AS rb FROM t
+  ),
+  offs AS (
+    SELECT eff_len, rb,
+           coalesce(CAST(sum(count(*)) OVER (
+             PARTITION BY eff_len ORDER BY rb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS off
+    FROM tb GROUP BY eff_len, rb
+  )
+  SELECT tb.* EXCLUDE (rb),
+         off + row_number() OVER (
+           PARTITION BY tb.eff_len, tb.rb ORDER BY {order_col}) - 1 AS r
+  FROM tb JOIN offs ON offs.eff_len = tb.eff_len AND offs.rb = tb.rb"""
     return f"""
 WITH RECURSIVE t AS MATERIALIZED (
   SELECT {order_col}, {toks} AS n_tokens,
@@ -585,10 +656,7 @@ slots AS MATERIALIZED (
   SELECT ln AS eff_len, prev_open_id, fit_open, per_full, first_new_id
   FROM fold WHERE i > 0
 ),
-ranked AS (
-  SELECT t.*, row_number() OVER (
-           PARTITION BY eff_len ORDER BY {order_col}) - 1 AS r
-  FROM t
+ranked AS ({ranked}
 )
 SELECT {order_col}, n_tokens, eff_len,
        CAST(CASE WHEN r < fit_open THEN prev_open_id

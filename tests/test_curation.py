@@ -528,6 +528,50 @@ class TestSamplingPacking:
         )
         assert got == ora
 
+    def test_histogram_pack_salted_rank(self, spark):
+        """rank_buckets: the two-level hash-bucketed rank (the hot-
+        length skew path) keeps every no-split invariant, matches its
+        DuckDB twin hash-for-hash, and keys the corpus window by
+        (eff_len, bucket) instead of bare eff_len."""
+        import random
+
+        import duckdb
+
+        from beats_spark.operators.sampling import (
+            histogram_pack,
+            histogram_pack_sql,
+        )
+
+        random.seed(23)
+        # hot length: half the corpus is exactly 7 tokens
+        rows = [
+            (i, "w " * (7 if i % 2 else random.randint(1, 30)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = histogram_pack(df, token_budget=32, rank_buckets=4)
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["eff_len"], r["pack_id"])
+            for r in out.collect()
+        )
+        fills: dict[int, int] = {}
+        for _, _, el, p in got:
+            fills[p] = fills.get(p, 0) + el
+        assert max(fills.values()) <= 32
+        assert sorted(fills) == list(range(len(fills)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?,?)", rows)
+        ora = sorted(
+            tuple(r)
+            for r in con.sql(
+                histogram_pack_sql("docs", token_budget=32, rank_buckets=4)
+            ).fetchall()
+        )
+        assert got == ora
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(eff_len" in plan and "_rb" in plan
+
 
 class TestKmeansIvf:
     def test_deterministic_and_partitions_all(self, spark):
