@@ -345,3 +345,92 @@ SELECT {id_col},
             THEN ('0x' || substr(hx, 41, 8))::BIGINT END AS img_height
 FROM p
 """
+
+
+IMG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("img_width", T.LongType()),
+        T.StructField("img_height", T.LongType()),
+    ]
+)
+
+
+def image_meta_decode(b: bytes) -> tuple[str, int, int] | None:
+    """Container metadata from real header bytes, no codec library:
+    PNG/GIF by fixed offset (the same reads parse_image_header does
+    in Column space) plus JPEG by SOF MARKER SCAN — the sequential
+    walk a Column expression can't express (variable-offset segments),
+    which is exactly why it lives in this mapInPandas decoder tier.
+    Returns (format, width, height) or None for unrecognized/corrupt
+    payloads."""
+    if (
+        len(b) >= 24
+        and b[:8] == b"\x89PNG\r\n\x1a\n"
+        and b[12:16] == b"IHDR"
+    ):
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xFF:  # fill byte
+                i += 1
+                continue
+            if m in (0x01,) or 0xD0 <= m <= 0xD9:  # bare markers
+                i += 2
+                continue
+            seg = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg
+        return None
+    return None
+
+
+def image_meta_pandas(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``mapInPandas`` binding of :func:`image_meta_decode` — the
+    escape-hatch tier for formats whose metadata needs a sequential
+    scan (JPEG SOF). Scan-aligned like every payload pass: no
+    shuffle, payload dropped after the per-batch decode."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [image_meta_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "img_format": [m[0] if m else None for m in metas],
+                    "img_width": pd.Series(
+                        [m[1] if m else None for m in metas],
+                        dtype="Int64",
+                    ),
+                    "img_height": pd.Series(
+                        [m[2] if m else None for m in metas],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, IMG_META_SCHEMA)

@@ -470,6 +470,45 @@ class TestMultimodal:
         assert got[2] == ("gif", 320, 200)
         assert got[3] == (None, None, None)
 
+    def test_image_meta_decode_jpeg_marker_scan(self, spark):
+        """JPEG dims need a sequential SOF marker walk — the decoder
+        tier's job. Crafted real JPEG byte stream: SOI, APP0, a
+        DQT to skip, then SOF0 carrying height=480 width=640."""
+        import struct
+
+        from beats_spark.operators.multimodal import (
+            image_meta_decode,
+            image_meta_pandas,
+        )
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+        )
+        jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+        assert image_meta_decode(jpeg) == ("jpeg", 640, 480)
+        # progressive SOF2 also counts; C4 (huffman table) must not
+        sof2 = (
+            b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 32, 64) + b"\x01\x11\x00"
+        )
+        dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00" * 3
+        assert image_meta_decode(b"\xff\xd8" + dht + sof2) == (
+            "jpeg", 64, 32,
+        )
+        assert image_meta_decode(b"\xff\xd8\xff\xd9") is None
+        assert image_meta_decode(b"not an image") is None
+        df = spark.createDataFrame(
+            [(1, jpeg), (2, b"junk")], "doc_id long, payload binary"
+        )
+        got = {
+            r["doc_id"]: (r["img_format"], r["img_width"], r["img_height"])
+            for r in image_meta_pandas(df).collect()
+        }
+        assert got == {1: ("jpeg", 640, 480), 2: (None, None, None)}
+
     def test_synth_png_roundtrip_and_duckdb_parity(self, spark):
         import duckdb
 
