@@ -188,16 +188,17 @@ def q_dedup_exact(spark, sf_dir):
     # non-empty register (id=register, m1=max_rho) plus the summary
     # row (id=-1, m1=n_nonzero, frac=estimate) — operators/sketch.py,
     # register-for-register deterministic on both engines
-    from .operators.sketch import hll_cardinality, hll_registers
+    from .operators.sketch import hll_estimate, hll_registers
 
-    regs = hll_registers(docs, F.col("text")).select(
+    reg_tbl = hll_registers(docs, F.col("text"))
+    regs = reg_tbl.select(
         F.lit("hll").alias("variant"),
         F.col("register").alias("id"),
         F.col("max_rho").cast("long").alias("m1"),
         F.lit(None).cast("long").alias("m2"),
         F.lit(None).cast("double").alias("frac"),
     )
-    card = hll_cardinality(docs, F.col("text")).select(
+    card = hll_estimate(reg_tbl).select(
         F.lit("hll").alias("variant"),
         F.lit(-1).cast("long").alias("id"),
         F.col("n_nonzero").alias("m1"),
