@@ -217,26 +217,33 @@ def fuzzy_contamination(
     corpus computes its keys map-side (`with_band_keys`) and only the
     per-doc hit count shuffles — the corpus is never re-keyed by band.
     """
-    from .dedup import with_band_keys
+    from .dedup import explode_band_keys, with_band_keys
 
+    # explode via explode_band_keys, never bare F.explode: the
+    # inferred size()>0 filter would push the whole minhash chain
+    # into the scan (20x at sf0.1 — see explode_band_keys docstring)
     bkeys = (
+        explode_band_keys(
+            with_band_keys(
+                benchmark.select(F.col(text_col)),
+                F.col(text_col),
+                k=k,
+                rows_per_band=rows_per_band,
+                n=n,
+            )
+        )
+        .select("bk")
+        .distinct()
+    )
+    ckeys = explode_band_keys(
         with_band_keys(
-            benchmark.select(F.col(text_col)),
+            corpus.select(F.col(id_col).alias("id"), F.col(text_col)),
             F.col(text_col),
             k=k,
             rows_per_band=rows_per_band,
             n=n,
         )
-        .select(F.explode("_band_keys").alias("bk"))
-        .distinct()
-    )
-    ckeys = with_band_keys(
-        corpus.select(F.col(id_col).alias("id"), F.col(text_col)),
-        F.col(text_col),
-        k=k,
-        rows_per_band=rows_per_band,
-        n=n,
-    ).select("id", F.explode("_band_keys").alias("bk"))
+    ).select("id", "bk")
     hits = (
         ckeys.join(F.broadcast(bkeys), "bk")
         .groupBy("id")

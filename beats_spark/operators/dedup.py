@@ -561,6 +561,30 @@ def with_band_keys(
     )
 
 
+def explode_band_keys(
+    df: DataFrame, out_col: str = "bk", keys_col: str = "_band_keys"
+) -> DataFrame:
+    """``F.explode`` of a :func:`with_band_keys` array that does NOT
+    re-run the minhash chain at the scan.
+
+    A plain ``explode`` lets ``InferFiltersFromGenerate`` add
+    ``size(keys) > 0`` below the Generate; predicate pushdown then
+    substitutes every staged alias and lands the ENTIRE
+    shingles→md5→signature expression in the scan's DataFilters,
+    where it is evaluated once per row on top of the projection's own
+    evaluation — a measured 20x slowdown (97 s → 4.9 s at sf0.1).
+    ``explode_outer`` is exempt from the inferred filter; the
+    null-filter on the GENERATED attribute cannot be pushed below the
+    Generate, so empty-array rows are still dropped with identical
+    semantics. Same class as the dissect-filter-pushdown gotcha
+    (CLAUDE.md), new costume."""
+    return (
+        df.select("*", F.explode_outer(keys_col).alias(out_col))
+        .where(F.col(out_col).isNotNull())
+        .drop(keys_col)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,

@@ -80,6 +80,7 @@ from ..operators.dedup import (
     bloom_flag_join,
     bloom_maybe_contains,
     bloom_words_df,
+    explode_band_keys,
     norm_text,
     with_band_keys,
 )
@@ -145,8 +146,10 @@ class IncrementalCurator:
         """Band-key Bloom bitmap over ``df`` — nb keys per doc, one
         map-side-combining bit_or agg (the bloom_build shape)."""
         keyed = with_band_keys(df, F.col(self.text_col))
+        # explode_band_keys, never bare F.explode: the inferred
+        # size()>0 filter re-runs the minhash chain at the scan
         return bloom_build(
-            keyed.select(F.explode("_band_keys").alias("_bk")),
+            explode_band_keys(keyed, out_col="_bk").select("_bk"),
             F.col("_bk"),
             self.m,
             self.k,

@@ -389,6 +389,29 @@ class TestR4OperatorPlans:
         assert "BroadcastHashJoin" in plan
         assert "hashpartitioning(g" not in plan
 
+    def test_fuzzy_band_explode_keeps_minhash_out_of_scan(self, spark):
+        # InferFiltersFromGenerate on a bare explode of _band_keys
+        # pushes size(keys)>0 to the scan with the WHOLE staged
+        # shingles->md5->signature chain inlined (measured 20x at
+        # sf0.1). explode_band_keys (explode_outer + null-filter on
+        # the generated attribute) must keep the scan clean.
+        import tempfile
+
+        from beats_spark.operators.decontam import fuzzy_contamination
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(60)],
+                "doc_id long, text string",
+            ).write.parquet(f"{d}/docs")
+            docs = spark.read.parquet(f"{d}/docs")
+            plan = _plan(fuzzy_contamination(docs, docs.limit(5)))
+            scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+            assert scans
+            for ln in scans:
+                assert "array_distinct" not in ln  # shingles chain
+                assert "zip_with" not in ln  # signature chain
+
     def test_multimodal_transforms_are_scan_aligned(self, spark):
         from beats_spark.operators.multimodal import (
             frame_sample,
