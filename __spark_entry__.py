@@ -294,6 +294,32 @@ APACHE_GROK = (
 
 
 def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok family under ONE driver row (merged r4 to fund the
+    heavy_hitters slot): 'parse' = grok parse (§2.2) of rendered
+    apache access lines aggregated per status (id=status, m1=n_rows,
+    m2=sum_bytes, s1=n_ips); 'date' = the module ingest-pipeline
+    steps over per-row varying timestamps/zones (id=event_id,
+    m1=status, m2=ts_epoch, s1=ts_utc) — see :func:`_grok_parse_df`
+    and :func:`_grok_date_df`."""
+    nl = F.lit(None).cast("long")
+    p = _grok_parse_df(spark, sf_dir).select(
+        F.lit("parse").alias("variant"),
+        F.col("status").cast("long").alias("id"),
+        F.col("n_rows").alias("m1"),
+        F.col("sum_bytes").alias("m2"),
+        F.col("n_ips").cast("string").alias("s1"),
+    )
+    d = _grok_date_df(spark, sf_dir).select(
+        F.lit("date").alias("variant"),
+        F.col("event_id").alias("id"),
+        F.col("status").cast("long").alias("m1"),
+        F.col("ts_epoch").alias("m2"),
+        F.col("ts_utc").alias("s1"),
+    )
+    return p.unionByName(d)
+
+
+def _grok_parse_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grok parse (§2.2): render an apache access line from each event,
     parse it back with the grok engine, aggregate per status."""
     _utc(spark)
@@ -332,7 +358,7 @@ APACHE_ECS_GROK = (
 )
 
 
-def q_grok_apache_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _grok_date_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """module ingest-pipeline steps (§2.2): grok → remove → date →
     remove → convert over rendered apache lines with per-row varying
     timestamps and UTC offsets, mirroring
@@ -918,7 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "json_decode": q_json_decode,
             "metrics_tallies": q_metrics_tallies,
             "grok_apache": q_grok_apache,
-            "grok_apache_date": q_grok_apache_date,
             "es_metadata_route": q_es_metadata_route,
             "include_fields_nested": q_include_fields_nested,
             "syslog_parse": q_syslog_parse,
@@ -1228,10 +1253,33 @@ parsed AS (
          CAST(regexp_extract(text, ' (\\d+)$', 1) AS BIGINT) AS bytes,
          regexp_extract(text, '^(\\S+) ', 1) AS ip
   FROM lines
+),
+dlines AS (
+  SELECT event_id,
+         printf('[%02d/Oct/2000:%02d:%02d:%02d %s]',
+                event_id % 28 + 1, event_id % 24,
+                (event_id * 3) % 60, (event_id * 7) % 60,
+                (['-0700','+0000','+0530','+0100'])[event_id % 4 + 1])
+           AS bracket,
+         CAST(200 + (event_id % 5) * 100 AS BIGINT) AS status
+  FROM events
+),
+dparsed AS (
+  SELECT event_id, status,
+         CAST(epoch(try_strptime(substr(bracket, 2, len(bracket) - 2),
+                                 '%d/%b/%Y:%H:%M:%S %z')) AS BIGINT)
+           AS ts_epoch
+  FROM dlines
 )
-SELECT status, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
-       count(DISTINCT ip) AS n_ips
+SELECT 'parse' AS variant, status AS id, count(*) AS m1,
+       CAST(sum(bytes) AS BIGINT) AS m2,
+       CAST(count(DISTINCT ip) AS VARCHAR) AS s1
 FROM parsed GROUP BY status
+UNION ALL
+SELECT 'date' AS variant, event_id AS id, status AS m1, ts_epoch AS m2,
+       strftime(make_timestamp(ts_epoch * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS s1
+FROM dparsed
 """,
         "include_fields_nested": """
 SELECT event_id,
@@ -1257,29 +1305,6 @@ SELECT coalesce(mp, 'beats-default') AS pipeline,
        count(DISTINCT user_id) AS n_users,
        CAST(0 AS BIGINT) AS meta_cols_in_payload
 FROM m GROUP BY 1, 2
-""",
-        "grok_apache_date": """
-WITH lines AS (
-  SELECT event_id,
-         printf('[%02d/Oct/2000:%02d:%02d:%02d %s]',
-                event_id % 28 + 1, event_id % 24,
-                (event_id * 3) % 60, (event_id * 7) % 60,
-                (['-0700','+0000','+0530','+0100'])[event_id % 4 + 1])
-           AS bracket,
-         CAST(200 + (event_id % 5) * 100 AS BIGINT) AS status
-  FROM events
-),
-parsed AS (
-  SELECT event_id, status,
-         CAST(epoch(try_strptime(substr(bracket, 2, len(bracket) - 2),
-                                 '%d/%b/%Y:%H:%M:%S %z')) AS BIGINT)
-           AS ts_epoch
-  FROM lines
-)
-SELECT event_id, status, ts_epoch,
-       strftime(make_timestamp(ts_epoch * 1000000), '%Y-%m-%d %H:%M:%S')
-         AS ts_utc
-FROM parsed
 """,
         "syslog_parse": _syslog_parse_oracle(),
         "bulk_failure_scan": _bulk_scan_oracle(),

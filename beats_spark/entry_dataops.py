@@ -1325,6 +1325,99 @@ FROM canon
 """
 
 
+#: heavy-hitter family knobs: top-k size, Misra–Gries per-partition
+#: candidate capacity (exactness guaranteed while the k-th frequency
+#: exceeds N_tokens/(cap+1) — ~100× margin at every test SF)
+HH_K = 20
+HH_MG_CAP = 1024
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter / frequency-sketch / skew family under ONE driver
+    row (operators/heavyhitters.py): 'topk' = exact top-k corpus
+    tokens (one term-keyed map-side-combining groupBy + TakeOrdered);
+    'mg' = the same top-k via two-pass Misra–Gries (constant-state
+    per-partition candidates, exact recount of candidates only — the
+    shape for 10^11-distinct-term corpora; equality with 'topk' is
+    the oracle, same SQL); 'cms' = count-min sketch estimates for the
+    top-k terms next to their exact counts (d×w register state, no
+    term-keyed shuffle; frac = est/exact ≥ 1 overcount ratio);
+    'skew' = hot-key report over events.user_id with the recommended
+    salt factor for router.sort_for_fanout (the north rule's salted
+    repartitioning, sized from data)."""
+    from .operators.heavyhitters import (
+        cms_estimate,
+        cms_registers,
+        skew_report,
+        top_k_terms,
+        top_k_terms_mg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    tk = top_k_terms(docs, HH_K)
+    t = tk.select(
+        F.lit("topk").alias("variant"),
+        F.col("rank").cast("long").alias("id"),
+        "term",
+        F.col("cnt").alias("m1"),
+        nd.alias("frac"),
+    )
+    m = top_k_terms_mg(docs, HH_K, cap=HH_MG_CAP).select(
+        F.lit("mg").alias("variant"),
+        F.col("rank").cast("long").alias("id"),
+        "term",
+        F.col("cnt").alias("m1"),
+        nd.alias("frac"),
+    )
+    est = cms_estimate(cms_registers(docs), tk.select("term"))
+    c = est.join(tk, "term").select(
+        F.lit("cms").alias("variant"),
+        F.lit(-1).cast("long").alias("id"),
+        "term",
+        F.col("est").alias("m1"),
+        F.round(F.col("est") / F.col("cnt"), 6).alias("frac"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = skew_report(ev, F.col("user_id")).select(
+        F.lit("skew").alias("variant"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("metric").alias("term"),
+        nl.alias("m1"),
+        F.col("value").alias("frac"),
+    )
+    return t.unionByName(m).unionByName(c).unionByName(s)
+
+
+def _heavy_hitters_oracle() -> str:
+    from .operators.heavyhitters import (
+        cms_estimate_sql,
+        skew_report_sql,
+        top_k_terms_sql,
+    )
+
+    tk = top_k_terms_sql("documents", HH_K)
+    return f"""
+SELECT 'topk' AS variant, CAST(rank AS BIGINT) AS id, term,
+       cnt AS m1, CAST(NULL AS DOUBLE) AS frac
+FROM ({tk})
+UNION ALL
+SELECT 'mg' AS variant, CAST(rank AS BIGINT) AS id, term,
+       cnt AS m1, CAST(NULL AS DOUBLE) AS frac
+FROM ({tk})
+UNION ALL
+SELECT 'cms' AS variant, CAST(-1 AS BIGINT) AS id, e.term,
+       e.est AS m1, round(CAST(e.est AS DOUBLE) / t.cnt, 6) AS frac
+FROM ({cms_estimate_sql("documents", f"SELECT term FROM ({tk})")}) e
+JOIN ({tk}) t USING (term)
+UNION ALL
+SELECT 'skew' AS variant, CAST(-1 AS BIGINT) AS id, metric AS term,
+       CAST(NULL AS BIGINT) AS m1, value AS frac
+FROM ({skew_report_sql("events", "user_id")})
+"""
+
+
 def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered FIRST in ``__spark_entry__.queries()``: the queries
     that had no driver correctness row in round 2 (registered 51st+ of
@@ -1362,6 +1455,10 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         # new in r3 (slot freed by merging ann_brute_force + ann_lsh
         # into ann_topk): URL canonicalize / dedup / blocklist
         "url_curation": q_url_curation,
+        # new in r4 (slot freed by merging grok_apache_date into
+        # grok_apache as its 'date' variant): heavy hitters / count-min
+        # sketch / hot-key skew report
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1411,6 +1508,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
     "pack_sequences": ("variant", ["contig", "hist"]),
+    "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew"]),
 }
 
 
@@ -1875,6 +1973,7 @@ FROM ({hybrid_rrf_sql(
         "embeddings", "documents", ANN_QUERIES, BM25_QUERIES, ANN_K)})
 """,
         "url_curation": _url_curation_oracle(),
+        "heavy_hitters": _heavy_hitters_oracle(),
         "ann_ivf": f"""
 SELECT *, CAST(1 AS INTEGER) AS nprobe
 FROM ({ann_ivf_topk_sql("embeddings", ANN_QUERIES, ANN_K)})

@@ -432,3 +432,49 @@ class TestR4OperatorPlans:
             assert "ArrowEvalPython" in plan or "MapInPandas" in plan
             assert "Exchange" not in plan
             assert "Join" not in plan
+
+
+class TestHeavyHitterPlans:
+    def test_topk_is_take_ordered_never_global_sort(self, spark):
+        """The top-k over the counts frame must compile to
+        TakeOrderedAndProject (per-partition top-k, driver merge) —
+        a row_number window over the whole counts frame would drag
+        every distinct term into ONE partition."""
+        from beats_spark.operators.heavyhitters import top_k_terms
+
+        df = spark.createDataFrame(
+            [(i, f"a{i % 7} b{i % 3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        plan = _plan(top_k_terms(df, 5))
+        assert "TakeOrderedAndProject" in plan
+        # the only window runs over the k survivors (below the take),
+        # so no exchange may sit between TakeOrdered and Window
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+    def test_cms_registers_one_exchange_partial_agg(self, spark):
+        """Count-min build: one (i,j)-keyed exchange with map-side
+        partial aggregation collapsing the d× probe expansion."""
+        from beats_spark.operators.heavyhitters import cms_registers
+
+        df = spark.createDataFrame(
+            [(i, f"a{i % 7} b{i % 3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        plan = _plan(cms_registers(df))
+        assert plan.count("Exchange") == 1
+        assert "partial_count" in plan
+        assert "Python" not in plan and "Join" not in plan
+
+    def test_mg_recount_join_is_broadcast(self, spark):
+        """Pass-2 recount touches candidates via a broadcast join —
+        the full term stream must never shuffle by term twice."""
+        from beats_spark.operators.heavyhitters import top_k_terms_mg
+
+        df = spark.createDataFrame(
+            [(i, f"a{i % 7} b{i % 3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        plan = _plan(top_k_terms_mg(df, 5, cap=8))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
