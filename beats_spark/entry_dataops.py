@@ -1344,10 +1344,13 @@ def q_heavy_hitters(spark, sf_dir):
     term-keyed shuffle; frac = est/exact ≥ 1 overcount ratio);
     'skew' = hot-key report over events.user_id with the recommended
     salt factor for router.sort_for_fanout (the north rule's salted
-    repartitioning, sized from data)."""
+    repartitioning, sized from data); 'hq' = histogram-quantile
+    sketch of the doc-length distribution (mergeable fixed-bin
+    counters — the 10^12-row replacement for exact percentile)."""
     from .operators.heavyhitters import (
         cms_estimate,
         cms_registers,
+        histogram_quantiles,
         skew_report,
         top_k_terms,
         top_k_terms_mg,
@@ -1387,12 +1390,27 @@ def q_heavy_hitters(spark, sf_dir):
         nl.alias("m1"),
         F.col("value").alias("frac"),
     )
-    return t.unionByName(m).unionByName(c).unionByName(s)
+    hq = histogram_quantiles(
+        docs, F.col("n_chars"), [0.5, 0.9, 0.99], lo=0, hi=4096
+    ).select(
+        F.lit("hq").alias("variant"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("q").cast("string").alias("term"),
+        nl.alias("m1"),
+        F.col("est").alias("frac"),
+    )
+    return (
+        t.unionByName(m)
+        .unionByName(c)
+        .unionByName(s)
+        .unionByName(hq)
+    )
 
 
 def _heavy_hitters_oracle() -> str:
     from .operators.heavyhitters import (
         cms_estimate_sql,
+        histogram_quantiles_sql,
         skew_report_sql,
         top_k_terms_sql,
     )
@@ -1415,6 +1433,12 @@ UNION ALL
 SELECT 'skew' AS variant, CAST(-1 AS BIGINT) AS id, metric AS term,
        CAST(NULL AS BIGINT) AS m1, value AS frac
 FROM ({skew_report_sql("events", "user_id")})
+UNION ALL
+SELECT 'hq' AS variant, CAST(-1 AS BIGINT) AS id,
+       CAST(q AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS m1,
+       est AS frac
+FROM ({histogram_quantiles_sql(
+        "documents", "n_chars", [0.5, 0.9, 0.99], lo=0, hi=4096)})
 """
 
 
@@ -1508,7 +1532,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
     "pack_sequences": ("variant", ["contig", "hist"]),
-    "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew"]),
+    "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew", "hq"]),
 }
 
 

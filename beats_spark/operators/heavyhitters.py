@@ -334,6 +334,134 @@ GROUP BY p.term
 
 
 # ---------------------------------------------------------------------------
+# histogram quantiles
+
+
+def histogram_bins(
+    df: DataFrame,
+    value: Column,
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin histogram (bin, cnt) of a numeric column — the
+    mergeable quantile sketch: Spark's exact ``percentile`` buffers
+    every value per group and a full sort is a non-starter at 10^12
+    rows, while this is ONE map-side-combining aggregation into
+    ≤ n_bins counters that merge by SUM (tested). Values outside
+    [lo, hi) clamp into the edge bins (documented estimator bias,
+    never an error). Bin arithmetic is exact-integer scaled before
+    one correctly-rounded divide, identical in DuckDB."""
+    v = value.cast("long")
+    b = F.floor(
+        (v - F.lit(lo)).cast("double")
+        * F.lit(n_bins)
+        / F.lit(hi - lo)
+    ).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    qs: list[float],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(q, est) histogram-interpolated quantiles: pos = q·(N−1) as in
+    the type-7 estimator, located in the cumulative bin counts and
+    linearly interpolated inside the containing bin:
+    ``est = lo + width·(bin + (pos − cum_before)/cnt_bin)``. The
+    cumulative window runs over ≤ n_bins rows (bounded, single
+    partition by construction); estimates are rounded to 6 dp after
+    arithmetic both engines round identically."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    bins = histogram_bins(df, value, lo, hi, n_bins)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    probe = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.struct(F.lit(float(x)).alias("q")) for x in qs])
+        ).alias("s")
+    ).select(F.col("s.q").alias("q"))
+    pos = F.col("q") * (F.col("n") - 1)
+    est = (
+        F.lit(float(lo))
+        + F.lit(width)
+        * (
+            F.col("bin")
+            + (pos - F.col("cum_before")) / F.col("cnt")
+        )
+    )
+    return (
+        cum.where(F.col("cnt") > 0)
+        .crossJoin(F.broadcast(probe))
+        .where(
+            (F.col("cum_before") <= pos)
+            & (pos < F.col("cum_before") + F.col("cnt"))
+        )
+        .select("q", F.round(est, 6).alias("est"))
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_expr: str,
+    qs: list[float],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (lock-step bin
+    arithmetic and interpolation)."""
+    width = (hi - lo) / n_bins
+    q_rows = ", ".join(f"({float(x)})" for x in qs)
+    return f"""
+WITH _hq_b AS MATERIALIZED (
+  SELECT least({n_bins - 1}, greatest(0,
+           CAST(floor(CAST(CAST({value_expr} AS BIGINT) - {lo} AS DOUBLE)
+                      * {n_bins} / {hi - lo}) AS BIGINT))) AS bin,
+         count(*) AS cnt
+  FROM {table} GROUP BY 1
+),
+_hq_c AS (
+  SELECT bin, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(cnt) OVER () AS n
+  FROM _hq_b
+),
+_hq_q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {q_rows}) v(q))
+SELECT q,
+       round({float(lo)} + {width} * (bin + (q * (n - 1) - cum_before)
+             / cnt), 6) AS est
+FROM _hq_c, _hq_q
+WHERE cnt > 0 AND cum_before <= q * (n - 1)
+  AND q * (n - 1) < cum_before + cnt
+"""
+
+
+# ---------------------------------------------------------------------------
 # skew report
 
 

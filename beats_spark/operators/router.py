@@ -81,6 +81,36 @@ def sort_for_fanout(
     )
 
 
+def recommend_salt(
+    df: DataFrame,
+    *key_cols: str,
+    cap: int = 64,
+) -> int:
+    """Data-derived ``salt`` for :func:`sort_for_fanout`:
+    ``ceil(max_cnt / mean_cnt)`` of the per-key count distribution
+    (the factor that levels the hottest key with the average),
+    clamped to [1, cap]. One map-side-combining keyed agg plus a
+    1-row collect — run it on a sample or a prior batch when the
+    extra input pass matters; the answer only needs to be
+    order-of-magnitude right (heavyhitters.skew_report is the
+    full diagnostic this is the one-number form of)."""
+    keys = [F.col(c) for c in key_cols] or [F.col("conv_id")]
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.max("cnt").alias("mx"),
+            F.count(F.lit(1)).alias("nk"),
+            F.sum("cnt").alias("n"),
+        )
+        .collect()[0]
+    )
+    if not row["n"]:
+        return 1
+    salt = -(-row["mx"] * row["nk"] // row["n"])  # ceil in exact ints
+    return max(1, min(cap, int(salt)))
+
+
 def write_fanout(
     routed: DataFrame,
     root: str,

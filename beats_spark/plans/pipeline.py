@@ -83,8 +83,11 @@ class Pipeline:
     default_sink: str = "default"
     n_buckets: int = 64
     #: spread hot conversations over ≤salt writer tasks per bucket
-    #: (see router.sort_for_fanout); None = no salting
-    salt: int | None = None
+    #: (see router.sort_for_fanout); None = no salting; "auto" =
+    #: derive ceil(max/mean) from the input's conv_id distribution
+    #: (router.recommend_salt — one extra counting pass over the
+    #: input before the write)
+    salt: int | str | None = None
 
     # -- lazy plan ----------------------------------------------------------
 
@@ -144,7 +147,12 @@ class Pipeline:
         routed = routed.observe(obs_out, F.count(F.lit(1)).alias("n"))
 
         data_root = f"{output_root}/data"
-        write_fanout(routed, data_root, mode="overwrite", salt=self.salt)
+        salt = self.salt
+        if salt == "auto":
+            from beats_spark.operators.router import recommend_salt
+
+            salt = recommend_salt(df, "conv_id")
+        write_fanout(routed, data_root, mode="overwrite", salt=salt)
 
         # Observation rows are missing when the observed subtree saw no
         # rows (e.g. cached-empty input); fall back to on-disk counts.

@@ -160,3 +160,109 @@ class TestSkewReport:
         rep = {r["metric"]: r["value"] for r in skew_report(df, F.col("k")).collect()}
         assert rep["rec_salt"] == 1.0
         assert rep["p50"] == rep["p99"] == 20.0
+
+
+class TestHistogramQuantiles:
+    def test_interpolation_and_duckdb_parity(self, spark):
+        from beats_spark.operators.heavyhitters import (
+            histogram_bins,
+            histogram_quantiles,
+            histogram_quantiles_sql,
+        )
+
+        vals = [(i % 97,) for i in range(1000)]
+        df = spark.createDataFrame(vals, "v long")
+        got = sorted(
+            tuple(r)
+            for r in histogram_quantiles(
+                df, F.col("v"), [0.5, 0.9, 0.99], lo=0, hi=128
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest(["
+            + ",".join(str(v) for v, in vals)
+            + "]) AS v"
+        )
+        want = sorted(
+            con.execute(
+                histogram_quantiles_sql("t", "v", [0.5, 0.9, 0.99], 0, 128)
+            ).fetchall()
+        )
+        assert got == want
+        # with bin width 0.5 every value sits alone in its bin, so the
+        # estimate is ~exact: values 0..29 appear 11x, 30..96 10x, so
+        # position 499.5 of 1000 falls on value 46
+        p50 = dict(got)[0.5]
+        assert abs(p50 - 46.5) < 1.0
+
+    def test_bins_merge_by_sum(self, spark):
+        from beats_spark.operators.heavyhitters import histogram_bins
+
+        df = spark.createDataFrame(
+            [(i % 97,) for i in range(1000)], "v long"
+        )
+        a = df.where(F.col("v") % 2 == 0)
+        b = df.where(F.col("v") % 2 == 1)
+        merged = sorted(
+            tuple(r)
+            for r in histogram_bins(a, F.col("v"), 0, 128)
+            .unionByName(histogram_bins(b, F.col("v"), 0, 128))
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        whole = sorted(
+            tuple(r)
+            for r in histogram_bins(df, F.col("v"), 0, 128).collect()
+        )
+        assert merged == whole
+
+    def test_out_of_range_clamps(self, spark):
+        from beats_spark.operators.heavyhitters import histogram_bins
+
+        df = spark.createDataFrame([(-5,), (999,)], "v long")
+        bins = {
+            r["bin"]: r["cnt"]
+            for r in histogram_bins(df, F.col("v"), 0, 128, n_bins=8).collect()
+        }
+        assert bins == {0: 1, 7: 1}
+
+
+class TestRecommendSalt:
+    def test_hot_key_drives_salt(self, spark):
+        from beats_spark.operators.router import recommend_salt
+
+        rows = [("hot", i) for i in range(800)] + [
+            (f"c{k}", 0) for k in range(1, 201)
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx long")
+        # ceil(800 / (1000/201)) = 161, clamped to the 64 cap
+        assert recommend_salt(df, "conv_id") == 64
+        assert recommend_salt(df, "conv_id", cap=256) == 161
+
+    def test_uniform_is_one(self, spark):
+        from beats_spark.operators.router import recommend_salt
+
+        df = spark.createDataFrame(
+            [(f"c{i % 50}", i) for i in range(1000)],
+            "conv_id string, turn_idx long",
+        )
+        assert recommend_salt(df, "conv_id") == 1
+
+    def test_pipeline_auto_salt_runs(self, spark, tmp_path):
+        """salt='auto' resolves from the input and the run completes
+        with identical routed counts."""
+        from beats_spark.operators.actions import Dissect
+        from beats_spark.plans.pipeline import Pipeline
+        from beats_spark.synth import TOK_LOGFMT, synth_transcripts
+
+        df = synth_transcripts(spark, 2_000, seed=11)
+        out = str(tmp_path / "out")
+        res = Pipeline(
+            processors=[Dissect(tokenizer=TOK_LOGFMT, field="text")],
+            default_sink="all",
+            n_buckets=4,
+            salt="auto",
+        ).run(spark, df, out, run_id="autosalt")
+        assert res.events_published == 2_000
