@@ -209,17 +209,67 @@ def q_conditions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop.unionByName(rng).unionByName(net)
 
 
+#: (role, version_ts, config_rev) — a versioned config-snapshot dim
+#: for the as-of enrich: 'tool' gains its first version Jan 5 and
+#: 'system' Jan 10, so early turns prove the no-version-live NULL path
+ASOF_DIM_ROWS = [
+    ("user", "2024-01-01 00:00:00", 11),
+    ("user", "2024-01-08 00:00:00", 12),
+    ("user", "2024-01-15 00:00:00", 13),
+    ("user", "2024-01-22 00:00:00", 14),
+    ("tool", "2024-01-05 00:00:00", 21),
+    ("tool", "2024-01-15 00:00:00", 22),
+    ("tool", "2024-01-25 00:00:00", 23),
+    ("system", "2024-01-10 00:00:00", 31),
+]
+
+
 def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """broadcast-join enrichment (add_*_metadata analog, §2.5)."""
+    """broadcast-enrich family (§2.5) under ONE driver row: 'lookup' =
+    static broadcast dims (add_*_metadata analog); 'asof' =
+    point-in-time enrich against a VERSIONED dim — each turn picks the
+    latest config revision live at its event time via the zero-shuffle
+    AsofLookup (dim history collapsed to per-key sorted arrays,
+    broadcast; DuckDB's native ASOF LEFT JOIN is the twin)."""
+    from beats_spark.operators.enrich import AsofLookup
+
+    t = _transcripts(spark, sf_dir)
     chain = [
         BroadcastLookup(dim=dim_roles(spark), on=["role"]),
         BroadcastLookup(dim=dim_tools(spark), on=["tool"]),
     ]
-    enriched = apply_chain(_transcripts(spark, sf_dir), chain)
-    return enriched.groupBy("role_group", "tool_family").agg(
-        F.count("*").alias("n_rows"),
-        F.sum("priority").alias("sum_priority"),
+    enriched = apply_chain(t, chain)
+    lk = (
+        enriched.groupBy("role_group", "tool_family")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("priority").alias("sum_priority"),
+        )
+        .select(
+            F.lit("lookup").alias("variant"),
+            F.col("role_group").alias("g1"),
+            F.col("tool_family").alias("g2"),
+            "n_rows",
+            F.col("sum_priority").alias("m1"),
+        )
     )
+    dim = spark.createDataFrame(
+        ASOF_DIM_ROWS, "role string, vts string, config_rev long"
+    ).select("role", F.to_timestamp("vts").alias("version_ts"), "config_rev")
+    asof = (
+        AsofLookup(dim=dim, on=["role"], ts_col="ts")
+        .apply(t)
+        .groupBy("role", "config_rev")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit("asof").alias("variant"),
+            F.col("role").alias("g1"),
+            F.col("config_rev").cast("string").alias("g2"),
+            "n_rows",
+            F.lit(None).cast("long").alias("m1"),
+        )
+    )
+    return lk.unionByName(asof)
 
 
 def q_actions_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,13 +1237,28 @@ FROM ips GROUP BY sink
 """,
         "enrich_lookup": f"""
 {_TRANSCRIPTS_CTE},
-{DIMS_SQL.strip()}
-SELECT r.role_group, tl.tool_family,
-       count(*) AS n_rows, CAST(sum(r.priority) AS BIGINT) AS sum_priority
+{DIMS_SQL.strip()},
+asof_dim AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"('{r}', TIMESTAMP '{v}', {c})" for r, v, c in ASOF_DIM_ROWS
+  )}) v(role, version_ts, config_rev)
+)
+SELECT 'lookup' AS variant, r.role_group AS g1, tl.tool_family AS g2,
+       count(*) AS n_rows, CAST(sum(r.priority) AS BIGINT) AS m1
 FROM transcripts t
 LEFT JOIN dim_roles r USING (role)
 LEFT JOIN dim_tools tl USING (tool)
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'asof' AS variant, g1, g2, count(*) AS n_rows,
+       CAST(NULL AS BIGINT) AS m1
+FROM (
+  SELECT t.role AS g1, CAST(d.config_rev AS VARCHAR) AS g2
+  FROM transcripts t
+  ASOF LEFT JOIN asof_dim d
+    ON t.role = d.role AND t.ts >= d.version_ts
+)
+GROUP BY 1, 2, 3
 """,
         "selector_variants": f"""
 {_TRANSCRIPTS_CTE}

@@ -107,6 +107,75 @@ class DnsEnrich(Processor):
         return out
 
 
+@dataclass
+class AsofLookup(Processor):
+    """Point-in-time (as-of) broadcast enrich: each row gets the
+    LATEST dim version whose ``version_col`` ≤ the row's ``ts_col`` —
+    the temporal form of BroadcastLookup for versioned dimensions
+    (config snapshot history, geoip DB releases, rotated lookup
+    tables). The reference's enrichers always read the CURRENT cache
+    state (e.g. add_process_metadata's process cache,
+    libbeat/processors/add_process_metadata/add_process_metadata.go:107);
+    replaying history at 100 TB needs the version that was live at
+    event time instead.
+
+    Spark has no ASOF JOIN; the naive restatement (equi-join on key +
+    per-row window/groupBy for the max eligible version) shuffles the
+    whole corpus. This one never shuffles the fact side: the dim
+    collapses to ONE row per key carrying its version history as a
+    ts-sorted ``array<struct>`` (bounded — version histories are
+    config-sized), broadcast-joins on the key, and each row picks its
+    version map-side with ``F.get(filter(hist, v ≤ ts), size-1)``
+    (``F.get``, never element_at: ANSI mode aborts on out-of-range,
+    and an empty filter result must read as NULL = "no version live
+    yet"). (key, version) pairs must be unique — array_sort on the
+    struct is version-major so ties would be payload-order-defined.
+    DuckDB's native ``ASOF LEFT JOIN`` is the oracle twin
+    (tests/test_heavyhitters.py is the sketch precedent; this one is
+    pinned in tests/test_sinks_enrich.py)."""
+
+    dim: DataFrame
+    on: Sequence[str]
+    ts_col: str = "ts"
+    version_col: str = "version_ts"
+    prefix: str = ""
+
+    def apply(self, df, guard=None):
+        if guard is not None:
+            raise NotImplementedError(
+                "enrich under a when: guard is not supported"
+            )
+        on = list(self.on)
+        payload = [
+            c
+            for c in self.dim.columns
+            if c not in on and c != self.version_col
+        ]
+        hist = self.dim.groupBy(*on).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(self.version_col).alias("_v"), *payload
+                    )
+                )
+            ).alias("_hist")
+        )
+        joined = df.join(F.broadcast(hist), on=on, how="left")
+        ts = F.col(self.ts_col)
+        eligible = F.filter("_hist", lambda e: e["_v"] <= ts)
+        # materialize the picked struct ONCE (expression-reuse gotcha:
+        # reading it per payload column would re-filter per column)
+        picked = joined.select(
+            "*", F.get(eligible, F.size(eligible) - 1).alias("_asof")
+        )
+        out = picked
+        for c in payload:
+            out = out.withColumn(
+                f"{self.prefix}{c}", F.col("_asof").getField(c)
+            )
+        return out.drop("_hist", "_asof")
+
+
 def ip_to_long(c) -> Column:
     """Dotted-quad IPv4 → long, pure column arithmetic (same recipe on
     the DuckDB side — see ``IP_TO_LONG_SQL``)."""

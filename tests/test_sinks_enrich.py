@@ -130,3 +130,99 @@ class TestTruncateFlag:
         assert rows["longer tha"] == ["truncated"]
         assert rows["short"] == []
         assert "_trunc_changed" not in out.columns
+
+
+class TestAsofLookup:
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:00:00", 1),
+                ("a", "2024-01-10 00:00:00", 2),
+                ("b", "2024-01-05 00:00:00", 7),
+            ],
+            "k string, vts string, rev long",
+        ).select(
+            "k", F.to_timestamp("vts").alias("version_ts"), "rev"
+        )
+
+    def _facts(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", "2024-01-02 12:00:00"),  # after v1, before v2
+                (2, "a", "2024-01-10 00:00:00"),  # exactly v2 (<=)
+                (3, "a", "2024-01-20 00:00:00"),  # after v2
+                (4, "b", "2024-01-01 00:00:00"),  # before b's first -> NULL
+                (5, "c", "2024-01-15 00:00:00"),  # no dim key -> NULL
+            ],
+            "id long, k string, tss string",
+        ).select("id", "k", F.to_timestamp("tss").alias("ts"))
+
+    def test_picks_latest_version_at_or_before_ts(self, spark):
+        from beats_spark.operators.enrich import AsofLookup
+
+        out = {
+            r["id"]: r["rev"]
+            for r in AsofLookup(dim=self._dim(spark), on=["k"])
+            .apply(self._facts(spark))
+            .collect()
+        }
+        assert out == {1: 1, 2: 2, 3: 2, 4: None, 5: None}
+
+    def test_duckdb_asof_join_parity(self, spark):
+        import duckdb
+
+        from beats_spark.operators.enrich import AsofLookup
+
+        got = sorted(
+            (r["id"], r["rev"])
+            for r in AsofLookup(dim=self._dim(spark), on=["k"])
+            .apply(self._facts(spark))
+            .collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                """
+WITH d AS (SELECT * FROM (VALUES
+  ('a', TIMESTAMP '2024-01-01 00:00:00', 1),
+  ('a', TIMESTAMP '2024-01-10 00:00:00', 2),
+  ('b', TIMESTAMP '2024-01-05 00:00:00', 7)) v(k, version_ts, rev)),
+f AS (SELECT * FROM (VALUES
+  (1, 'a', TIMESTAMP '2024-01-02 12:00:00'),
+  (2, 'a', TIMESTAMP '2024-01-10 00:00:00'),
+  (3, 'a', TIMESTAMP '2024-01-20 00:00:00'),
+  (4, 'b', TIMESTAMP '2024-01-01 00:00:00'),
+  (5, 'c', TIMESTAMP '2024-01-15 00:00:00')) v(id, k, ts))
+SELECT f.id, d.rev FROM f ASOF LEFT JOIN d
+  ON f.k = d.k AND f.ts >= d.version_ts
+"""
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_plan_is_broadcast_no_fact_shuffle(self, spark):
+        """The fact side must not shuffle: dim history collapses
+        pre-broadcast, the pick is map-side Column work."""
+        from beats_spark.operators.enrich import AsofLookup
+
+        out = AsofLookup(dim=self._dim(spark), on=["k"]).apply(
+            self._facts(spark)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+
+    def test_prefix_and_multi_payload(self, spark):
+        from beats_spark.operators.enrich import AsofLookup
+
+        dim = self._dim(spark).withColumn(
+            "tag", F.concat(F.lit("r"), F.col("rev"))
+        )
+        out = (
+            AsofLookup(dim=dim, on=["k"], prefix="cfg_")
+            .apply(self._facts(spark))
+            .where(F.col("id") == 3)
+            .collect()[0]
+        )
+        assert out["cfg_rev"] == 2 and out["cfg_tag"] == "r2"
