@@ -109,3 +109,60 @@ def test_sessionized_multiline(spark, input_dir):
     rows = spark.sql("SELECT sum(n_turns) AS s, count(*) AS c FROM sessions").collect()[0]
     assert rows["s"] == N
     assert rows["c"] > 0
+
+
+class TestStreamingCms:
+    def test_streamed_sketch_equals_batch_sketch(
+        self, spark, input_dir, tmp_path
+    ):
+        """Linearity end-to-end: CMS registers accumulated over
+        micro-batches merge (by sum) to exactly the registers one
+        batch build produces over the same rows — and so do the
+        point estimates."""
+        from beats_spark.operators.heavyhitters import cms_registers
+        from beats_spark.streaming.monitor import StreamingCms
+
+        mon = StreamingCms(str(tmp_path / "cms"))
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(input_dir).schema
+            )
+            # one file per micro-batch → several batch partitions
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = mon.attach(stream, str(tmp_path / "ckpt_cms"))
+        q.awaitTermination(120)
+
+        merged = sorted(
+            tuple(r) for r in mon.merged_registers(spark).collect()
+        )
+        whole = sorted(
+            tuple(r)
+            for r in cms_registers(spark.read.parquet(input_dir)).collect()
+        )
+        assert merged == whole
+        n_batches = (
+            spark.read.parquet(f"{tmp_path}/cms/registers")
+            .select("batch_id")
+            .distinct()
+            .count()
+        )
+        assert n_batches >= 1
+
+    def test_replayed_batch_is_idempotent(self, spark, input_dir, tmp_path):
+        """Re-writing the same batch_id overwrites its partition
+        instead of double-counting (at-least-once safety)."""
+        from beats_spark.streaming.monitor import StreamingCms
+
+        mon = StreamingCms(str(tmp_path / "cms2"))
+        df = spark.read.parquet(input_dir)
+        mon.process_batch(df, 0)
+        once = sorted(
+            tuple(r) for r in mon.merged_registers(spark).collect()
+        )
+        mon.process_batch(df, 0)  # replay
+        twice = sorted(
+            tuple(r) for r in mon.merged_registers(spark).collect()
+        )
+        assert once == twice
