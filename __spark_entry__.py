@@ -324,15 +324,47 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_metrics_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pipeline observer tallies (§2.8): total / filtered / published
-    through a chain with a drop, per sink."""
+    """pipeline observer family (§2.8) under ONE driver row: 'pub' =
+    total/filtered/published tallies through a chain with a drop, per
+    sink (m1=events_published); 'hllg' = per-sink DISTINCT
+    conversations both exact (m1=countDistinct) and as the grouped
+    HLL sketch estimate (frac — sketch.hll_registers_by/estimate_by:
+    ≤2^p registers per sink instead of a per-sink distinct shuffle;
+    at p=8 and ≤1k convs/sink the two columns mostly agree, and the
+    sketch is register-deterministic so the oracle reproduces frac
+    exactly either way)."""
+    from beats_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
     t = _transcripts(spark, sf_dir)
     chain = [
         Dissect(tokenizer=LOGFMT_TOKENIZER),
         When(condition={"equals": {"level": "warn"}}, then=DropEvent()),
     ]
     routed = apply_chain(t, chain).withColumn("sink", compile_selector(ROUTES))
-    return routed.groupBy("sink").agg(F.count("*").alias("events_published"))
+    pub = routed.groupBy("sink").agg(
+        F.count("*").alias("events_published")
+    ).select(
+        F.lit("pub").alias("variant"),
+        "sink",
+        F.col("events_published").alias("m1"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    exact = routed.groupBy("sink").agg(
+        F.countDistinct("conv_id").alias("n_convs")
+    )
+    est = hll_estimate_by(
+        hll_registers_by(routed, ["sink"], F.col("conv_id")), ["sink"]
+    )
+    hllg = exact.join(est, "sink").select(
+        F.lit("hllg").alias("variant"),
+        "sink",
+        F.col("n_convs").alias("m1"),
+        F.col("estimate").alias("frac"),
+    )
+    return pub.unionByName(hllg)
 
 
 #: apache-access grok program (reference ships the equivalent for the
@@ -1015,6 +1047,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TRANSCRIPTS_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
 
 
+def _metrics_tallies_oracle() -> str:
+    from beats_spark.operators.sketch import hll_cardinality_by_sql
+
+    hllg = hll_cardinality_by_sql("routed", ["sink"], "conv_id")
+    return f"""
+WITH routed AS MATERIALIZED (
+  SELECT {ROUTES_SQL.strip()} AS sink, conv_id
+  FROM (
+    SELECT *, regexp_extract(text, '^level=(.*?) ts=', 1) AS level
+    FROM ({TRANSCRIPTS_FROM_EVENTS_SQL}) _t
+  ) WHERE NOT (level = 'warn')
+)
+SELECT 'pub' AS variant, sink, count(*) AS m1,
+       CAST(NULL AS DOUBLE) AS frac
+FROM routed GROUP BY 2
+UNION ALL
+SELECT 'hllg' AS variant, e.sink,
+       x.n_convs AS m1, e.estimate AS frac
+FROM ({hllg}) e
+JOIN (
+  SELECT sink, count(DISTINCT conv_id) AS n_convs FROM routed GROUP BY 1
+) x USING (sink)
+"""
+
+
 def _bulk_scan_oracle() -> str:
     from beats_spark.operators.sinkscan import classify_bulk_status_sql
 
@@ -1298,14 +1355,7 @@ SELECT event_type,
          AS max_k
 FROM events GROUP BY event_type
 """,
-        "metrics_tallies": f"""
-{_TRANSCRIPTS_CTE},
-parsed AS (SELECT *, regexp_extract(text, '^level=(.*?) ts=', 1) AS level FROM transcripts)
-SELECT {ROUTES_SQL} AS sink, count(*) AS events_published
-FROM parsed
-WHERE NOT (level = 'warn')
-GROUP BY 1
-""",
+        "metrics_tallies": _metrics_tallies_oracle(),
         "grok_apache": """
 WITH lines AS (
   SELECT printf('10.0.%d.%d - user%d [10/Oct/2000:13:55:36 -0700] "GET /api/item/%d HTTP/1.1" %d %d',

@@ -126,6 +126,107 @@ def hll_cardinality(
     return hll_estimate(hll_registers(df, value, p=p), p=p)
 
 
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    p: int = 8,
+) -> DataFrame:
+    """Per-GROUP sketch: ``(group_cols..., register, max_rho)`` —
+    ≤ 2^p rows per group, one map-side-combining groupBy on
+    (group, register). The per-sink "distinct conversations" question
+    the observer wants, without a per-sink countDistinct shuffle of
+    the corpus; per-group sketches still merge by register max."""
+    _, rc, bits = _check_p(p)
+    hx = F.md5(value.cast("string"))
+    reg = F.conv(F.substring(hx, 1, rc), 16, 10).cast("long")
+    rem = F.conv(F.substring(hx, rc + 1, _HEX_LEN - rc), 16, 10).cast(
+        "long"
+    )
+    rho = (
+        F.when(rem == 0, F.lit(bits + 1))
+        .otherwise(F.lit(bits + 1) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group ``(group_cols..., m, n_nonzero, estimate)`` from a
+    grouped register table (same exact-integer harmonic sum as
+    :func:`hll_estimate`, per group)."""
+    m, _, bits = _check_p(p)
+    alpha = _alpha(m)
+    unit = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(bits + 1) - F.col("max_rho")).cast("int"),
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_nonzero"),
+        F.sum(unit).cast("long").alias("_present_units"),
+    )
+    empty_unit = 1 << (bits + 1)
+    total_units = (
+        F.col("_present_units")
+        + (F.lit(m).cast("long") - F.col("n_nonzero")) * F.lit(empty_unit)
+    )
+    num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        "n_nonzero",
+        F.round(F.lit(num) / total_units.cast("double"), 6).alias(
+            "estimate"
+        ),
+    )
+
+
+def hll_cardinality_by_sql(
+    table: str, group_sql: list[str], value_sql: str, p: int = 8
+) -> str:
+    """DuckDB twin of hll_registers_by → hll_estimate_by."""
+    m, rc, bits = _check_p(p)
+    alpha = _alpha(m)
+    num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    g = ", ".join(group_sql)
+    return f"""
+WITH g_regs AS (
+  SELECT {g}, register, max(rho) AS max_rho FROM (
+    SELECT {g},
+           ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, {rc}))::BIGINT
+             AS register,
+           CASE WHEN ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)),
+                      {rc + 1}, {_HEX_LEN - rc}))::BIGINT = 0
+                THEN {bits + 1}
+                ELSE {bits + 1}
+                     - length(bin(('0x' || substr(
+                           md5(CAST({value_sql} AS VARCHAR)),
+                           {rc + 1}, {_HEX_LEN - rc}))::BIGINT))
+           END AS rho
+    FROM {table}
+  ) GROUP BY ALL
+),
+g_agg AS (
+  SELECT {g}, CAST(count(*) AS BIGINT) AS n_nonzero,
+         CAST(sum(1::BIGINT << ({bits + 1} - max_rho)) AS BIGINT)
+           AS present_units
+  FROM g_regs GROUP BY ALL
+)
+SELECT {g}, CAST({m} AS BIGINT) AS m, n_nonzero,
+       round({num!r} / CAST(present_units
+             + ({m} - n_nonzero) * ({1 << (bits + 1)}::BIGINT)
+             AS DOUBLE), 6) AS estimate
+FROM g_agg
+"""
+
+
 def hll_registers_sql(
     table: str, value_sql: str, p: int = 8
 ) -> str:

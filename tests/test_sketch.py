@@ -85,3 +85,52 @@ class TestHLL:
         df = spark.createDataFrame([("x",)], "v string")
         with pytest.raises(ValueError, match="multiple of 4"):
             hll_registers(df, F.col("v"), p=10)
+
+
+class TestGroupedHLL:
+    def test_grouped_equals_per_group_filter(self, spark):
+        """The per-group estimate must equal running the UNGROUPED
+        sketch on that group's rows alone."""
+        from beats_spark.operators.sketch import (
+            hll_estimate_by,
+            hll_registers_by,
+        )
+
+        df = spark.createDataFrame(
+            [(f"g{i % 3}", f"item-{i % 500}") for i in range(5_000)],
+            "g string, v string",
+        )
+        grouped = {
+            r["g"]: (r["n_nonzero"], r["estimate"])
+            for r in hll_estimate_by(
+                hll_registers_by(df, ["g"], F.col("v")), ["g"]
+            ).collect()
+        }
+        for g in ("g0", "g1", "g2"):
+            one = hll_cardinality(
+                df.where(F.col("g") == g), F.col("v")
+            ).collect()[0]
+            assert grouped[g] == (one["n_nonzero"], one["estimate"])
+
+    def test_duckdb_parity_grouped(self, spark):
+        from beats_spark.operators.sketch import (
+            hll_cardinality_by_sql,
+            hll_estimate_by,
+            hll_registers_by,
+        )
+
+        rows = [(f"g{i % 2}", f"item-{i % 200}") for i in range(2_000)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = sorted(
+            tuple(r)
+            for r in hll_estimate_by(
+                hll_registers_by(df, ["g"], F.col("v")), ["g"]
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(g VARCHAR, v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(
+            con.execute(hll_cardinality_by_sql("t", ["g"], "v")).fetchall()
+        )
+        assert got == want
