@@ -1535,6 +1535,14 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew", "hq"]),
 }
 
+#: merged rows registered in __spark_entry__ itself (not dataops) —
+#: resolved lazily in variant_queries to avoid a circular import
+_ENTRY_VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
+    "grok_apache": ("variant", ["parse", "date"]),
+    "enrich_lookup": ("variant", ["lookup", "asof"]),
+    "metrics_tallies": ("variant", ["pub", "hllg"]),
+}
+
 
 def variant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Per-variant callables for the merged rows: the merged query
@@ -1550,11 +1558,34 @@ def variant_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {
+    out = {
         f"{row}/{val}": _one(row, col, val)
         for row, (col, vals) in _VARIANT_ROWS.items()
         for val in vals
     }
+    try:
+        import __spark_entry__ as entry_mod
+
+        entry_q = entry_mod.queries()
+
+        def _one_entry(row: str, col: str, val) -> Callable:
+            def run(spark, sf_dir):
+                return entry_q[row](spark, sf_dir).where(
+                    F.col(col) == F.lit(val)
+                )
+
+            return run
+
+        out.update(
+            {
+                f"{row}/{val}": _one_entry(row, col, val)
+                for row, (col, vals) in _ENTRY_VARIANT_ROWS.items()
+                for val in vals
+            }
+        )
+    except ImportError:
+        pass
+    return out
 
 
 # ---------------------------------------------------------------------------
