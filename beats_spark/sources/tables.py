@@ -124,3 +124,42 @@ class TableIO:
             ordered.write.mode(mode).option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy(*partition_cols).parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# bucketed (co-located) tables
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table Hive-bucketed on ``bucket_cols``: every file
+    holds one bucket's rows, sorted by the bucket key. Two tables
+    bucketed the same way (same cols, same ``n_buckets``) join WITHOUT
+    any exchange — the scan itself delivers co-partitioned,
+    co-sorted inputs, so a repeated join key (conv_id joins against
+    per-conversation dims, doc_id against per-doc feature tables)
+    pays its shuffle ONCE at write time instead of per query. This is
+    the parquet-warehouse analog of Iceberg's bucket partition
+    transform (`bucket(N, col)`), which TableIO would use on an
+    Iceberg catalog; the plan shape (zero Exchange, bucket-aligned
+    scans) is pinned in tests/test_tables.py. In-task Sort nodes can
+    remain: Spark trusts the written sort order only when each bucket
+    is a single file.
+
+    On a real cluster the same call against the metastore makes the
+    layout visible to every reader; ``path`` keeps it external so the
+    files outlive the local session catalog."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )

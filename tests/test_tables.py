@@ -40,3 +40,52 @@ def test_incremental_requires_iceberg(spark, tmp_path):
     io = TableIO()
     with pytest.raises(NotImplementedError, match="manifest-based resume"):
         io.read_incremental(spark, str(tmp_path), start_snapshot_id=1)
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed identically on the join key must join
+        with ZERO Exchange and ZERO Sort above the scans — the
+        write-once-shuffle-never contract of write_bucketed."""
+        from beats_spark.sources.tables import write_bucketed
+
+        facts = synth_transcripts(spark, 2_000, seed=21)
+        dims = (
+            facts.groupBy("conv_id")
+            .agg(F.count("*").alias("conv_turns"))
+        )
+        write_bucketed(
+            facts, "bk_facts", str(tmp_path / "facts"), ["conv_id"], 8
+        )
+        write_bucketed(
+            dims, "bk_dims", str(tmp_path / "dims"), ["conv_id"], 8
+        )
+        try:
+            thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = spark.table("bk_facts").join(
+                    spark.table("bk_dims"), "conv_id"
+                )
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                # the contract: scans are bucket-aligned and NO
+                # exchange runs — the shuffle was paid at write time.
+                # (in-task Sort nodes remain: Spark only trusts bucket
+                # sort order when each bucket is a single file)
+                assert "Exchange" not in plan
+                assert "SortMergeJoin" in plan
+                assert "Bucketed: true" in plan
+                # and the values are right
+                row = (
+                    joined.groupBy()
+                    .agg(F.count("*").alias("n"))
+                    .collect()[0]
+                )
+                assert row["n"] == 2_000
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", thresh
+                )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bk_facts")
+            spark.sql("DROP TABLE IF EXISTS bk_dims")
