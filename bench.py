@@ -498,6 +498,13 @@ def main() -> None:
         # windows (observed: a poisoned 1-core run reported "6.77") —
         # such a pair is a measurement error, never evidence
         plausible_hi = float(os.environ.get("BENCH_SCALING_PLAUSIBLE", "1.15"))
+        # a pair ABOVE ~1.0 is flattering, not evidence: parallel
+        # efficiency can't exceed 1 on this job, so >cred_hi means the
+        # LO member straddled ambient slowdown (observed r4: a 1.033
+        # pair whose sec_lo ran 17.1 s where adjacent runs did 14.6).
+        # Such a pair stays in the artifact but must not end the phase
+        # as a success nor outrank a credible (0.8, cred_hi] pair.
+        cred_hi = float(os.environ.get("BENCH_SCALING_CRED_HI", "0.98"))
         # hard wall-clock budget for the whole scaling phase: never be
         # the reason the harness times the bench out with NO output.
         # 2400 s rides out one full multi-minute degradation window
@@ -523,7 +530,12 @@ def main() -> None:
             # weather as a property of the code. With zero valid pairs
             # the section still carries every attempt + discard for
             # the reader, plus an explicit no_valid_pair marker.
-            candidates = [p for p in pairs if plausible(p)] or pairs
+            credible = [
+                p for p in pairs if plausible(p) and p["efficiency"] <= cred_hi
+            ]
+            candidates = (
+                credible or [p for p in pairs if plausible(p)] or pairs
+            )
             if candidates:
                 best = max(candidates, key=lambda p: p["efficiency"])
                 out["scaling"] = dict(best)
@@ -581,7 +593,10 @@ def main() -> None:
                     {"outcome": "pair", "efficiency": p["efficiency"]}
                 )
                 record()  # partial-output safety: keep `out` current
-                if good_enough <= p["efficiency"] and plausible(p):
+                if (
+                    good_enough <= p["efficiency"] <= cred_hi
+                    and plausible(p)
+                ):
                     break
             else:
                 record()  # scaling_run logged its own timeout entry
@@ -593,7 +608,12 @@ def main() -> None:
         # budget — one bounded attempt (≤ 2 run-timeouts + one gate
         # wait) at a real measurement beats an empty section.
         sane_best = max(
-            (p["efficiency"] for p in pairs if plausible(p)), default=0.0
+            (
+                p["efficiency"]
+                for p in pairs
+                if plausible(p) and p["efficiency"] <= cred_hi
+            ),
+            default=0.0,
         )
         if sane_best < 0.8 and (
             time.monotonic() - t_scale0 <= budget or not pairs
