@@ -423,6 +423,105 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    qs: list[float],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-GROUP histogram quantiles (doc-length p50/p99 per
+    language/source): same fixed-bin sketch keyed (group, bin) — one
+    map-side-combining agg, ≤ n_bins rows per group — with the
+    cumulative window PARTITIONED by group (bounded per partition).
+    Same interpolation and rounding as :func:`histogram_quantiles`."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    v = value.cast("long")
+    b = F.floor(
+        (v - F.lit(lo)).cast("double") * F.lit(n_bins) / F.lit(hi - lo)
+    ).cast("long")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    bins = (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    probe = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.struct(F.lit(float(x)).alias("q")) for x in qs])
+        ).alias("s")
+    ).select(F.col("s.q").alias("q"))
+    pos = F.col("q") * (F.col("n") - 1)
+    est = F.lit(float(lo)) + F.lit(width) * (
+        F.col("bin") + (pos - F.col("cum_before")) / F.col("cnt")
+    )
+    return (
+        cum.where(F.col("cnt") > 0)
+        .crossJoin(F.broadcast(probe))
+        .where(
+            (F.col("cum_before") <= pos)
+            & (pos < F.col("cum_before") + F.col("cnt"))
+        )
+        .select(*group_cols, "q", F.round(est, 6).alias("est"))
+    )
+
+
+def histogram_quantiles_by_sql(
+    table: str,
+    group_sql: list[str],
+    value_expr: str,
+    qs: list[float],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles_by`."""
+    width = (hi - lo) / n_bins
+    q_rows = ", ".join(f"({float(x)})" for x in qs)
+    g = ", ".join(group_sql)
+    return f"""
+WITH _hq_b AS MATERIALIZED (
+  SELECT {g}, least({n_bins - 1}, greatest(0,
+           CAST(floor(CAST(CAST({value_expr} AS BIGINT) - {lo} AS DOUBLE)
+                      * {n_bins} / {hi - lo}) AS BIGINT))) AS bin,
+         count(*) AS cnt
+  FROM {table} GROUP BY ALL
+),
+_hq_c AS (
+  SELECT {g}, bin, cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY {g} ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(cnt) OVER (PARTITION BY {g}) AS n
+  FROM _hq_b
+),
+_hq_q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {q_rows}) v(q))
+SELECT {g}, q,
+       round({float(lo)} + {width} * (bin + (q * (n - 1) - cum_before)
+             / cnt), 6) AS est
+FROM _hq_c, _hq_q
+WHERE cnt > 0 AND cum_before <= q * (n - 1)
+  AND q * (n - 1) < cum_before + cnt
+"""
+
+
 def histogram_quantiles_sql(
     table: str,
     value_expr: str,

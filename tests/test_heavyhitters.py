@@ -266,3 +266,46 @@ class TestRecommendSalt:
             salt="auto",
         ).run(spark, df, out, run_id="autosalt")
         assert res.events_published == 2_000
+
+
+class TestGroupedHistogramQuantiles:
+    def test_grouped_equals_per_group_filter_and_duckdb(self, spark):
+        """The per-group estimate must equal the ungrouped sketch on
+        that group's rows; DuckDB twin matches row-for-row."""
+        from beats_spark.operators.heavyhitters import (
+            histogram_quantiles,
+            histogram_quantiles_by,
+            histogram_quantiles_by_sql,
+        )
+
+        rows = [(f"g{i % 3}", (i * 7) % 97) for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = sorted(
+            tuple(r)
+            for r in histogram_quantiles_by(
+                df, ["g"], F.col("v"), [0.5, 0.99], lo=0, hi=128
+            ).collect()
+        )
+        for g in ("g0", "g1", "g2"):
+            solo = sorted(
+                (g, r["q"], r["est"])
+                for r in histogram_quantiles(
+                    df.where(F.col("g") == g),
+                    F.col("v"),
+                    [0.5, 0.99],
+                    lo=0,
+                    hi=128,
+                ).collect()
+            )
+            assert [t for t in got if t[0] == g] == solo
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(
+            con.execute(
+                histogram_quantiles_by_sql(
+                    "t", ["g"], "v", [0.5, 0.99], 0, 128
+                )
+            ).fetchall()
+        )
+        assert got == want
