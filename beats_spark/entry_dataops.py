@@ -454,7 +454,14 @@ def q_pack_sequences(spark, sf_dir):
     slot table, one rank window), every doc whole in one pack, no
     pack over budget — run through the TWO-LEVEL salted rank
     (rank_buckets=4: hash-bucket offsets + local row_number), the
-    hot-length-safe path, so the driver checks the 100-TB shape."""
+    hot-length-safe path, so the driver checks the 100-TB shape.
+    'zorder' (r4, operators/layout.py) = the OPTIMIZE-ZORDER layout
+    code: per-doc Morton z-code interleaving (n_chars, source-code)
+    cells (shuffle_key=z, pack_id=its 16-tile quadtree bucket) — the
+    write-time clustering that lets 100-TB scans prune files on ANY
+    z-ordered dimension via parquet min/max stats."""
+    from .functions.textstats import word_code
+    from .operators.layout import add_zorder, ztile
     from .operators.sampling import (
         assign_shards,
         histogram_pack,
@@ -486,7 +493,21 @@ def q_pack_sequences(spark, sf_dir):
         nl.cast("long").alias("shuffle_key"),
         nl.cast("long").alias("shard_pos"),
     )
-    return contig.unionByName(hist)
+    zdocs = add_zorder(
+        docs, [F.col("n_chars"), word_code(F.col("source"))], bits=10
+    )
+    zv = zdocs.select(
+        F.lit("zorder").alias("variant"),
+        "source",
+        "doc_id",
+        nl.cast("long").alias("n_tokens"),
+        nl.cast("long").alias("eff_len"),
+        ztile(F.col("zorder"), d=2, bits=10, tile_bits=4).alias("pack_id"),
+        nl.cast("int").alias("shard"),
+        F.col("zorder").alias("shuffle_key"),
+        nl.cast("long").alias("shard_pos"),
+    )
+    return contig.unionByName(hist).unionByName(zv)
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -1531,7 +1552,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
-    "pack_sequences": ("variant", ["contig", "hist"]),
+    "pack_sequences": ("variant", ["contig", "hist", "zorder"]),
     "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew", "hq"]),
 }
 
@@ -1696,6 +1717,12 @@ FROM ({fuzzy})
 
 
 def _pack_sequences_oracle() -> str:
+    from .functions.textstats import word_code_sql
+    from .operators.layout import (
+        interleave_cells_sql,
+        scale_cell_sql,
+        ztile_sql,
+    )
     from .operators.sampling import histogram_pack_sql
 
     contig = assign_shards_sql(
@@ -1704,6 +1731,25 @@ def _pack_sequences_oracle() -> str:
         cols="source, doc_id, n_tokens, pack_id",
     )
     hist = histogram_pack_sql("documents", token_budget=256, rank_buckets=4)
+    code = word_code_sql("source")
+    c0 = scale_cell_sql(
+        "n_chars", "(SELECT lo0 FROM _zb)", "(SELECT hi0 FROM _zb)", 10
+    )
+    c1 = scale_cell_sql(
+        code, "(SELECT lo1 FROM _zb)", "(SELECT hi1 FROM _zb)", 10
+    )
+    zorder = f"""
+WITH _zb AS MATERIALIZED (
+  SELECT min(CAST(n_chars AS BIGINT)) lo0, max(CAST(n_chars AS BIGINT)) hi0,
+         min({code}) lo1, max({code}) hi1
+  FROM documents
+),
+_zc AS MATERIALIZED (
+  SELECT source, doc_id, {c0} AS c0, {c1} AS c1 FROM documents
+)
+SELECT source, doc_id, {interleave_cells_sql(['c0', 'c1'], 10)} AS z
+FROM _zc
+"""
     return f"""
 SELECT 'contig' AS variant, source, doc_id, n_tokens,
        CAST(NULL AS BIGINT) AS eff_len, pack_id,
@@ -1715,6 +1761,13 @@ SELECT 'hist' AS variant, CAST(NULL AS VARCHAR) AS source,
        CAST(NULL AS INTEGER) AS shard, CAST(NULL AS BIGINT) AS shuffle_key,
        CAST(NULL AS BIGINT) AS shard_pos
 FROM ({hist})
+UNION ALL
+SELECT 'zorder' AS variant, source, doc_id,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS eff_len,
+       {ztile_sql('z', d=2, bits=10, tile_bits=4)} AS pack_id,
+       CAST(NULL AS INTEGER) AS shard, z AS shuffle_key,
+       CAST(NULL AS BIGINT) AS shard_pos
+FROM ({zorder})
 """
 
 

@@ -1,0 +1,247 @@
+"""Z-order (Morton) multi-dimensional data layout + file-skip audit.
+
+At 100 TB the dominant read cost is the files a scan must OPEN:
+parquet min/max row-group stats let the reader skip a file only when
+the data inside it is CLUSTERED on the filtered column. A linear sort
+clusters exactly one dimension; interleaving the bits of several
+dimensions (the Morton / Z-order space-filling curve, Morton 1966)
+clusters ALL of them at once — each written file covers a small tile
+of the d-dimensional space, so a range predicate on ANY of the
+z-ordered dimensions touches few files. This is the layout step
+Databricks ships as ``OPTIMIZE ... ZORDER BY`` and Iceberg as
+z-order rewrites; here it is one ``repartitionByRange`` exchange at
+write time, after which every later scan prunes for free.
+
+No reference-repo counterpart (training-data extension per the
+brief): the reference ships events to Elasticsearch, whose LSM
+segments play this role; for a parquet lake the writer must do it.
+
+Pipeline shape (all Column work, zero Python in the row path):
+
+1. scale each dimension to an integer CELL in ``[0, 2^bits)`` with
+   exact min/max bounds (one bounded agg — 2·d scalars, collected
+   like the trained k-means centroids) and the same
+   floor((x−lo)·n/span) arithmetic as ``heavyhitters.histogram_bins``
+   — ``+ − * /`` and floor are correctly rounded (IEEE 754), so the
+   DuckDB twin lands on bit-identical cells;
+2. interleave the cell bits into one BIGINT z-code — pure shifts and
+   masks, identical operators in both engines;
+3. ``repartitionByRange`` on the z-code + ``sortWithinPartitions``
+   realizes the curve order physically: consecutive z-ranges =
+   d-dimensional tiles per file.
+
+The audit half (:func:`file_skip_report` / :func:`skip_rate`) reads
+the written layout back, reconstructs each file's per-column min/max
+envelope — the exact information a parquet reader's predicate
+pushdown consults — and reports the fraction of files a range
+predicate may skip, so tests assert the layout WORKS rather than
+trusting the curve.
+
+Determinism note: the written FILE BOUNDARIES come from
+``repartitionByRange``'s reservoir sampling and are not part of any
+oracle contract; the z-codes themselves (what the driver row checks)
+are exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: per-dimension cell bits: 2 dims × 10 bits = 20-bit z-code, 1,024
+#: cells per axis — plenty of resolution for file-level tiling (a
+#: 100 TB table at 1 GB/file is ~10^5 files ≈ 2^17 tiles)
+ZBITS = 10
+
+
+# ---------------------------------------------------------------------------
+# cell scaling (exact cross-engine arithmetic)
+
+
+def minmax_bounds(df: DataFrame, dims: list[Column]) -> list[tuple[int, int]]:
+    """Exact integer (lo, hi) per dimension — one agg, 2·d scalars
+    (bounded collect, the centroids-as-literals pattern)."""
+    aggs: list[Column] = []
+    for i, c in enumerate(dims):
+        v = c.cast("long")
+        aggs.append(F.min(v).alias(f"lo{i}"))
+        aggs.append(F.max(v).alias(f"hi{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [
+        (int(row[f"lo{i}"]), int(row[f"hi{i}"])) for i in range(len(dims))
+    ]
+
+
+def scale_cell(x: Column, lo: int, hi: int, bits: int = ZBITS) -> Column:
+    """``least(n−1, greatest(0, floor((x−lo)·n / span)))`` with
+    ``span = hi−lo+1`` — the histogram_bins arithmetic, mirrored
+    operation-for-operation by :func:`scale_cell_sql` so both engines
+    round identically (|x−lo|·n must stay under 2^53; at 10 bits that
+    allows dimension spans to 2^43)."""
+    n = 1 << bits
+    span = hi - lo + 1
+    raw = F.floor(
+        (x.cast("long") - F.lit(lo)).cast("double")
+        * F.lit(n)
+        / F.lit(span)
+    ).cast("long")
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def scale_cell_sql(expr: str, lo: str, hi: str, bits: int = ZBITS) -> str:
+    """DuckDB twin of :func:`scale_cell`; ``lo``/``hi`` are SQL
+    expressions (scalars from a MATERIALIZED bounds CTE)."""
+    n = 1 << bits
+    return (
+        f"least({n - 1}, greatest(0, CAST(floor("
+        f"CAST(CAST({expr} AS BIGINT) - ({lo}) AS DOUBLE)"
+        f" * {n} / (({hi}) - ({lo}) + 1)) AS BIGINT)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bit interleave (the Morton code)
+
+
+def interleave_cells(cells: list[Column], bits: int = ZBITS) -> Column:
+    """z = OR over bit j, dim i of ``bit_j(cell_i) << (j·d + i)`` —
+    literal shift amounts only (pyspark's shiftleft/shiftright
+    restriction), so the whole code is one codegen-friendly long
+    expression."""
+    d = len(cells)
+    parts = [
+        F.shiftleft(
+            F.shiftright(c, j).bitwiseAND(F.lit(1)), j * d + i
+        )
+        for j in range(bits)
+        for i, c in enumerate(cells)
+    ]
+    return reduce(Column.bitwiseOR, parts).cast("long")
+
+
+def interleave_cells_sql(exprs: list[str], bits: int = ZBITS) -> str:
+    """DuckDB twin of :func:`interleave_cells` (same shift/mask ops).
+
+    Every term is FULLY parenthesized: DuckDB gives ``& | << >>`` one
+    shared precedence tier (left-associative, the Postgres rule), so
+    an unwrapped ``a << 0 | b << 2`` parses as ``((a << 0) | b) << 2``
+    and overflows."""
+    d = len(exprs)
+    terms = [
+        f"(((({e}) >> {j}) & 1) << {j * d + i})"
+        for j in range(bits)
+        for i, e in enumerate(exprs)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def ztile(z: Column, d: int, bits: int = ZBITS, tile_bits: int = 4) -> Column:
+    """Top ``tile_bits`` of the z-code = the quadtree tile index (the
+    coarse spatial bucket a file-range covers)."""
+    return F.shiftright(z, d * bits - tile_bits).cast("long")
+
+
+def ztile_sql(expr: str, d: int, bits: int = ZBITS, tile_bits: int = 4) -> str:
+    return f"(({expr}) >> {d * bits - tile_bits})"
+
+
+# ---------------------------------------------------------------------------
+# high-level: add the code, write the layout
+
+
+def add_zorder(
+    df: DataFrame,
+    dims: list[Column],
+    bits: int = ZBITS,
+    bounds: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Append a ``zorder`` BIGINT column interleaving ``dims``.
+
+    The cell columns are materialized in their OWN select before the
+    interleave — each cell feeds ``bits`` bit-extract terms and a
+    reused Column expression is recomputed per use (the
+    expression-reuse gotcha, see minhash_signature)."""
+    if bounds is None:
+        bounds = minmax_bounds(df, dims)
+    cells = [
+        scale_cell(c, lo, hi, bits).alias(f"_zc{i}")
+        for i, (c, (lo, hi)) in enumerate(zip(dims, bounds))
+    ]
+    staged = df.select("*", *cells)
+    z = interleave_cells(
+        [F.col(f"_zc{i}") for i in range(len(dims))], bits
+    )
+    return staged.select(
+        *df.columns, z.alias("zorder")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    dims: list[Column],
+    n_files: int,
+    bits: int = ZBITS,
+    bounds: list[tuple[int, int]] | None = None,
+) -> None:
+    """The OPTIMIZE-ZORDER analog: one range exchange on the z-code,
+    curve-sorted within each output file. Every later scan filtering
+    on ANY of ``dims`` prunes files via parquet min/max stats."""
+    zdf = add_zorder(df, dims, bits=bits, bounds=bounds)
+    (
+        zdf.repartitionByRange(n_files, "zorder")
+        .sortWithinPartitions("zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def linear_write(
+    df: DataFrame, path: str, order_col: str, n_files: int
+) -> None:
+    """Single-dimension range layout (the comparison baseline: best
+    possible pruning on ``order_col``, none on anything else)."""
+    (
+        df.repartitionByRange(n_files, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# file-skip audit
+
+
+def file_skip_report(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max envelope of ``cols`` — the information a
+    parquet reader's predicate pushdown consults, reconstructed by
+    scan so the test measures the LAYOUT, not the writer's claims.
+    One groupBy over file names (≤ n_files groups)."""
+    df = spark.read.parquet(path)
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+
+
+def skip_rate(report: DataFrame, col: str, lo, hi) -> float:
+    """Fraction of files a ``col BETWEEN lo AND hi`` predicate may
+    skip: the file's [min,max] envelope misses the range entirely.
+    Driver-side over the bounded per-file report."""
+    n = report.count()
+    if n == 0:
+        return 0.0
+    hit = report.filter(
+        ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
+    ).count()
+    return 1.0 - hit / n
