@@ -478,3 +478,26 @@ class TestHeavyHitterPlans:
         plan = _plan(top_k_terms_mg(df, 5, cap=8))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRetrievalPlans:
+    def test_bm25_postings_extraction_shape(self, spark, tmp_path):
+        """BM25 (operators/bm25.py): the corpus is scanned exactly
+        TWICE (N/Σdl stats + postings), the query-term IN filter runs
+        in the scan stage BEFORE any exchange (the shuffle carries
+        postings, not the corpus), corpus stats and the query table
+        join by BROADCAST only, and no Python touches the row path."""
+        from beats_spark.operators.bm25 import bm25_topk
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, f"spark beats w{i % 11} w{i % 7}") for i in range(200)],
+            "doc_id long, text string",
+        ).write.parquet(p)
+        docs = spark.read.parquet(p)
+        plan = _plan(bm25_topk(docs, {0: ["spark"], 1: ["beats", "w3"]}))
+        assert plan.count("Scan parquet") == 2
+        assert " IN (" in plan  # the query-term postings filter
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
