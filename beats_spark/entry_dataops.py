@@ -47,6 +47,7 @@ from .operators.dedup import (
     simhash_sql,
 )
 from .operators.bm25 import bm25_topk_sql
+from .operators.raneval import eval_topk_sql
 from .operators.sketch import hll_cardinality_sql, hll_registers_sql
 from .operators.bpe import bpe_tokenize_sql
 from .operators.hybrid import hybrid_rrf_sql
@@ -691,9 +692,15 @@ def q_ann_topk(spark, sf_dir):
     (query-term filter ahead of the first exchange); rrf fuses
     depth-3k cosine + BM25 lists by reciprocal-rank (integer
     nano-unit contributions). `score` is cosine for brute/lsh, Okapi
-    BM25 for bm25, the RRF sum for rrf."""
+    BM25 for bm25, the RRF sum for rrf. 'eval:recall'/'eval:mrr'/
+    'eval:ndcg' (r4, operators/raneval.py) = the eval harness scoring
+    the LSH list against the brute-force truth — per-query + macro
+    (q_id=-1) rows; neighbor_id carries the exact integer MICRO value
+    the cross-engine contract hashes, score its /10^6 rendering
+    (merged-row column-reuse precedent: heavy_hitters)."""
     from .operators.bm25 import bm25_topk
     from .operators.hybrid import hybrid_rrf_topk
+    from .operators.raneval import eval_topk
 
     embs = _embs(spark, sf_dir)
     bf = brute_force_topk(embs, ANN_QUERIES, k=ANN_K)
@@ -708,9 +715,18 @@ def q_ann_topk(spark, sf_dir):
         "method", "q_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank",
     )
-    return out.unionByName(
-        bm.select(F.lit("bm25").alias("method"), "*")
-    ).unionByName(rrf.select(F.lit("rrf").alias("method"), "*"))
+    ev = eval_topk(bf, lsh, k=ANN_K).select(
+        F.concat(F.lit("eval:"), F.col("metric")).alias("method"),
+        "q_id",
+        F.col("micro").alias("neighbor_id"),
+        F.col("value").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return (
+        out.unionByName(bm.select(F.lit("bm25").alias("method"), "*"))
+        .unionByName(rrf.select(F.lit("rrf").alias("method"), "*"))
+        .unionByName(ev)
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1549,7 +1565,10 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "quantize_embeddings": ("variant", ["int8", "pq"]),
     "lm_scores": ("variant", ["lm", "dsir", "bucket"]),
     "clean_text": ("variant", ["fix", "html", "c4line"]),
-    "ann_topk": ("method", ["brute", "lsh", "bm25", "rrf"]),
+    "ann_topk": ("method", [
+        "brute", "lsh", "bm25", "rrf",
+        "eval:recall", "eval:mrr", "eval:ndcg",
+    ]),
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
     "pack_sequences": ("variant", ["contig", "hist", "zorder"]),
@@ -2079,6 +2098,13 @@ UNION ALL
 SELECT 'rrf' AS method, q_id, neighbor_id, score, rank
 FROM ({hybrid_rrf_sql(
         "embeddings", "documents", ANN_QUERIES, BM25_QUERIES, ANN_K)})
+UNION ALL
+SELECT 'eval:' || metric AS method, q_id, micro AS neighbor_id,
+       value AS score, CAST(NULL AS INTEGER) AS rank
+FROM ({eval_topk_sql(
+        brute_force_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        ann_lsh_topk_sql("embeddings", ANN_QUERIES, ANN_K),
+        ANN_K)})
 """,
         "url_curation": _url_curation_oracle(),
         "heavy_hitters": _heavy_hitters_oracle(),
