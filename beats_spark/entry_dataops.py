@@ -48,7 +48,11 @@ from .operators.dedup import (
 )
 from .operators.bm25 import bm25_topk_sql
 from .operators.raneval import eval_topk_sql
-from .operators.sketch import hll_cardinality_sql, hll_registers_sql
+from .operators.sketch import (
+    hll_cardinality_sql,
+    hll_overlap_sql,
+    hll_registers_sql,
+)
 from .operators.bpe import bpe_tokenize_sql
 from .operators.hybrid import hybrid_rrf_sql
 from .operators.decontam import ngram_overlap_sql
@@ -206,12 +210,50 @@ def q_dedup_exact(spark, sf_dir):
         F.col("m").alias("m2"),
         F.col("estimate").alias("frac"),
     )
+    # 'hllx' (r4) = sketch set-algebra over the SAME new/history split
+    # the bloom variant dedups: |new|, |hist|, |union| from three
+    # register tables (union = exact register max), |inter| by
+    # inclusion-exclusion, Jaccard — corpus overlap with ZERO joins
+    # (sketch.hll_overlap; id 0..4 = est_a/est_b/est_union/est_inter/
+    # jaccard in frac)
+    from .operators.sketch import hll_overlap
+
+    ov = hll_overlap(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        F.col("text"),
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0),
+        F.col("text"),
+    )
+    nl_l, nl_d = F.lit(None).cast("long"), F.lit(None).cast("double")
+    ovx = ov.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("id"),
+                        F.col(c).alias("frac"),
+                    )
+                    for i, c in enumerate(
+                        ["est_a", "est_b", "est_union", "est_inter",
+                         "jaccard"]
+                    )
+                ]
+            )
+        ).alias("_s")
+    ).select(
+        F.lit("hllx").alias("variant"),
+        F.col("_s.id").alias("id"),
+        nl_l.alias("m1"),
+        nl_l.alias("m2"),
+        F.col("_s.frac").alias("frac"),
+    )
     return (
         d.unionByName(s)
         .unionByName(p)
         .unionByName(b)
         .unionByName(regs)
         .unionByName(card)
+        .unionByName(ovx)
     )
 
 
@@ -1558,7 +1600,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "text_analysis": ("variant", ["panel", "langid"]),
     "bpe_tokenize": ("variant", ["doc", "merge"]),
     "multimodal_features": ("variant", ["feat", "resize", "frame", "dims"]),
-    "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll"]),
+    "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll", "hllx"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
     "multiline_modes": ("variant", ["combine", "flush"]),
     "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
@@ -2081,6 +2123,18 @@ UNION ALL
 SELECT 'hll' AS variant, CAST(-1 AS BIGINT) AS id,
        n_nonzero AS m1, m AS m2, estimate AS frac
 FROM ({hll_cardinality_sql("documents", "text")})
+UNION ALL
+SELECT 'hllx' AS variant, CAST(u.i AS BIGINT) AS id,
+       CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+       CASE u.i WHEN 0 THEN o.est_a WHEN 1 THEN o.est_b
+                WHEN 2 THEN o.est_union WHEN 3 THEN o.est_inter
+                ELSE o.jaccard END AS frac
+FROM ({hll_overlap_sql(
+            "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+            "text",
+            "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+            "text",
+        )}) o, (VALUES (0), (1), (2), (3), (4)) AS u(i)
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),

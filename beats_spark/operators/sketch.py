@@ -272,3 +272,106 @@ SELECT CAST({m} AS BIGINT) AS m, n_nonzero,
              AS DOUBLE), 6) AS estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch-level set algebra: union / intersection / Jaccard of corpora
+
+
+def hll_merge_registers(*reg_frames: DataFrame) -> DataFrame:
+    """Union sketches: element-wise register max — the HLL merge
+    property (registers of A ∪ B = max of A's and B's registers,
+    EXACTLY, not approximately). ≤ 2^p rows per input frame."""
+    out = reg_frames[0]
+    for r in reg_frames[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    value_a: Column,
+    df_b: DataFrame,
+    value_b: Column,
+    p: int = 8,
+) -> DataFrame:
+    """Corpus-overlap estimate WITHOUT a join: |A|, |B|, |A ∪ B| from
+    three sketches (the union sketch is the exact register max), then
+    |A ∩ B| by inclusion–exclusion and Jaccard = inter/union — the
+    standard HLL set-algebra (Flajolet et al. 2007 §4 merge;
+    inclusion–exclusion per the original LogLog practice).
+
+    The 100-TB use: "how contaminated is corpus A by corpus B" /
+    "what fraction of the new crawl is already in the lake" costs two
+    corpus scans and ZERO joins — each side collapses to ≤ 2^p
+    register rows before anything crosses.
+
+    One row: (est_a, est_b, est_union, est_inter, jaccard), all
+    rounded once at the end from exact-integer unit sums (the module
+    determinism discipline; inclusion–exclusion arithmetic runs on
+    the two engines' IDENTICAL 6-dp estimates)."""
+    ra = hll_registers(df_a, value_a, p=p)
+    rb = hll_registers(df_b, value_b, p=p)
+    ru = hll_merge_registers(ra, rb)
+    ea = hll_estimate(ra, p=p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, p=p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(ru, p=p).select(F.col("estimate").alias("est_union"))
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn("est_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("est_inter") / F.col("est_union"), 6),
+        )
+    )
+
+
+def _estimate_from_regs_sql(regs_cte: str, p: int = 8) -> str:
+    """Estimator body over a named register CTE (shared by the
+    cardinality and overlap twins)."""
+    m, _, bits = _check_p(p)
+    alpha = _alpha(m)
+    num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    return f"""
+SELECT round({num!r} / CAST(
+         CAST(sum(1::BIGINT << ({bits + 1} - max_rho)) AS BIGINT)
+         + ({m} - CAST(count(*) AS BIGINT)) * ({1 << (bits + 1)}::BIGINT)
+         AS DOUBLE), 6) AS estimate
+FROM {regs_cte}
+"""
+
+
+def hll_overlap_sql(
+    table_a: str, value_a_sql: str, table_b: str, value_b_sql: str,
+    p: int = 8,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap` (same register merge, same
+    estimator, same inclusion–exclusion on the 6-dp estimates)."""
+    ra = hll_registers_sql(table_a, value_a_sql, p=p)
+    rb = hll_registers_sql(table_b, value_b_sql, p=p)
+    return f"""
+WITH _ra AS MATERIALIZED ({ra}),
+_rb AS MATERIALIZED ({rb}),
+_ru AS (
+  SELECT register, max(max_rho) AS max_rho
+  FROM (SELECT * FROM _ra UNION ALL SELECT * FROM _rb) GROUP BY 1
+),
+_ea AS ({_estimate_from_regs_sql("_ra", p)}),
+_eb AS ({_estimate_from_regs_sql("_rb", p)}),
+_eu AS ({_estimate_from_regs_sql("_ru", p)}),
+_j AS (
+  SELECT _ea.estimate AS est_a, _eb.estimate AS est_b,
+         _eu.estimate AS est_union,
+         greatest(round(_ea.estimate + _eb.estimate - _eu.estimate, 6),
+                  0.0) AS est_inter
+  FROM _ea, _eb, _eu
+)
+SELECT est_a, est_b, est_union, est_inter,
+       round(est_inter / est_union, 6) AS jaccard
+FROM _j
+"""

@@ -134,3 +134,81 @@ class TestGroupedHLL:
             con.execute(hll_cardinality_by_sql("t", ["g"], "v")).fetchall()
         )
         assert got == want
+
+
+class TestHLLOverlap:
+    def test_identical_corpora_jaccard_one(self, spark):
+        from beats_spark.operators.sketch import hll_overlap
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(f"doc{i}",) for i in range(500)], "v string"
+        )
+        row = hll_overlap(df, F.col("v"), df, F.col("v")).collect()[0]
+        # identical register tables: union estimate == each side's,
+        # inclusion-exclusion gives inter == est_a EXACTLY
+        assert row["est_union"] == row["est_a"] == row["est_b"]
+        assert row["est_inter"] == row["est_a"]
+        assert row["jaccard"] == 1.0
+
+    def test_disjoint_corpora_small_jaccard(self, spark):
+        from beats_spark.operators.sketch import hll_overlap
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame(
+            [(f"a{i}",) for i in range(400)], "v string"
+        )
+        b = spark.createDataFrame(
+            [(f"b{i}",) for i in range(400)], "v string"
+        )
+        row = hll_overlap(a, F.col("v"), b, F.col("v")).collect()[0]
+        # raw-estimator error at p=8 is ~6.5%; disjoint sets must
+        # read near-zero overlap and a union near a+b
+        assert row["jaccard"] < 0.15
+        assert row["est_union"] > 0.8 * (row["est_a"] + row["est_b"])
+
+    def test_half_overlap_estimate(self, spark):
+        from beats_spark.operators.sketch import hll_overlap
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame(
+            [(f"x{i}",) for i in range(600)], "v string"
+        )
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(300, 900)], "v string"
+        )
+        row = hll_overlap(a, F.col("v"), b, F.col("v")).collect()[0]
+        # true jaccard = 300/900 = 1/3
+        assert 0.15 < row["jaccard"] < 0.55
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+        from beats_spark.operators.sketch import (
+            hll_overlap,
+            hll_overlap_sql,
+        )
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = docs.where("doc_id % 5 = 0")
+        b = docs.where("doc_id % 5 <> 0")
+        got = hll_overlap(a, F.col("text"), b, F.col("text")).collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(
+            hll_overlap_sql(
+                "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+                "text",
+                "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+                "text",
+            )
+        ).fetchone()
+        assert (
+            got["est_a"], got["est_b"], got["est_union"],
+            got["est_inter"], got["jaccard"],
+        ) == want
