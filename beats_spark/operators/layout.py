@@ -245,3 +245,64 @@ def skip_rate(report: DataFrame, col: str, lo, hi) -> float:
         ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
     ).count()
     return 1.0 - hit / n
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+
+
+def dataset_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet dataset — a DRIVER-side
+    filesystem metadata listing (bounded: one stat per file, the same
+    listing the scan planner does; at warehouse scale this comes from
+    the table catalog instead)."""
+    import os
+
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    order_col: str = "zorder",
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Coalesce a many-small-files dataset into ~``target_bytes``
+    files while PRESERVING the clustering ``order_col`` established
+    at write time (z-order, shard order, …).
+
+    The small-file problem is the quiet 100-TB killer: a 1000-executor
+    job writing per-task files turns the next scan into millions of
+    opens and the min/max envelopes into confetti. Compaction is one
+    range exchange on the SAME order column the layout was built on —
+    the file count changes, the curve order (and so the skip-rate, see
+    :func:`file_skip_report`) survives. Output file count is sized
+    from the measured input bytes, floor 1 (the Iceberg/Delta
+    ``rewrite_data_files``/``OPTIMIZE`` shape).
+
+    Returns ``{"n_files_in", "bytes_in", "n_files_out"}`` for the
+    caller's audit trail. Writes to ``out_path``; atomically swapping
+    it over ``path`` is the caller's move (the manifest pattern,
+    operators/manifest.py).
+    """
+    n_in, bytes_in = dataset_file_stats(path)
+    n_out = max(1, -(-bytes_in // target_bytes))
+    df = spark.read.parquet(path)
+    (
+        df.repartitionByRange(n_out, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return {
+        "n_files_in": n_in,
+        "bytes_in": bytes_in,
+        "n_files_out": dataset_file_stats(out_path)[0],
+    }

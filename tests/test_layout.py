@@ -205,3 +205,63 @@ GROUP BY 1
         assert len(meta) == len(rep)
         for f, lo, hi in meta:
             assert rep[f] == (lo, hi)
+
+
+class TestCompaction:
+    def test_compact_preserves_order_and_counts(
+        self, spark, tmp_path_factory
+    ):
+        """Small-file compaction (layout.compact_dataset): row parity,
+        fewer files, and the z-curve clustering SURVIVES — per-file
+        zorder ranges stay non-overlapping and the skip-rate on both
+        dims stays within reach of the pre-compaction layout."""
+        from beats_spark.operators.layout import (
+            compact_dataset,
+            dataset_file_stats,
+            file_skip_report,
+            skip_rate,
+            zorder_write,
+        )
+        import duckdb
+
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        root = tmp_path_factory.mktemp("compact")
+        src, dst = str(root / "many"), str(root / "few")
+        zorder_write(
+            grid, src, [F.col("x"), F.col("y")],
+            n_files=32, bits=6, bounds=[(0, 63), (0, 63)],
+        )
+        n_in, bytes_in = dataset_file_stats(src)
+        assert n_in == 32
+        stats = compact_dataset(
+            spark, src, dst, order_col="zorder",
+            target_bytes=max(1, bytes_in // 4),
+        )
+        assert stats["n_files_in"] == 32
+        assert stats["n_files_out"] <= 8
+
+        con = duckdb.connect()
+        (n_src,) = con.execute(
+            f"SELECT count(*) FROM parquet_scan('{src}/*.parquet')"
+        ).fetchone()
+        (n_dst,) = con.execute(
+            f"SELECT count(*) FROM parquet_scan('{dst}/*.parquet')"
+        ).fetchone()
+        assert n_src == n_dst == 64 * 64
+
+        # non-overlapping per-file z ranges = the curve order survived
+        ranges = sorted(
+            (r["min_zorder"], r["max_zorder"])
+            for r in file_skip_report(spark, dst, ["zorder"]).collect()
+        )
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next
+
+        rep = file_skip_report(spark, dst, ["x", "y"])
+        # fewer, bigger tiles prune less than 16-file z-order but must
+        # still prune SOMETHING on both dims (vs linear's 0 on y)
+        assert skip_rate(rep, "x", 8, 15) > 0.0
+        assert skip_rate(rep, "y", 8, 15) > 0.0
