@@ -502,12 +502,16 @@ def q_pack_sequences(spark, sf_dir):
     code: per-doc Morton z-code interleaving (n_chars, source-code)
     cells (shuffle_key=z, pack_id=its 16-tile quadtree bucket) — the
     write-time clustering that lets 100-TB scans prune files on ANY
-    z-ordered dimension via parquet min/max stats."""
+    z-ordered dimension via parquet min/max stats. 'offsets' (r4,
+    pack_manifest) = the attention-reset manifest: within-pack token
+    spans per doc (eff_len=tok_start, shuffle_key=tok_end) — what a
+    doc-boundary-masking trainer loads next to the pack ids."""
     from .functions.textstats import word_code
     from .operators.layout import add_zorder, ztile
     from .operators.sampling import (
         assign_shards,
         histogram_pack,
+        pack_manifest,
         pack_sequences,
     )
 
@@ -550,7 +554,20 @@ def q_pack_sequences(spark, sf_dir):
         F.col("zorder").alias("shuffle_key"),
         nl.cast("long").alias("shard_pos"),
     )
-    return contig.unionByName(hist).unionByName(zv)
+    off = pack_manifest(docs, token_budget=256).select(
+        F.lit("offsets").alias("variant"),
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.col("tok_start").alias("eff_len"),
+        "pack_id",
+        nl.cast("int").alias("shard"),
+        F.col("tok_end").alias("shuffle_key"),
+        nl.cast("long").alias("shard_pos"),
+    )
+    return (
+        contig.unionByName(hist).unionByName(zv).unionByName(off)
+    )
 
 
 def q_dns_enrich(spark, sf_dir):
@@ -1613,7 +1630,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     ]),
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
-    "pack_sequences": ("variant", ["contig", "hist", "zorder"]),
+    "pack_sequences": ("variant", ["contig", "hist", "zorder", "offsets"]),
     "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew", "hq"]),
 }
 
@@ -1792,6 +1809,9 @@ def _pack_sequences_oracle() -> str:
         cols="source, doc_id, n_tokens, pack_id",
     )
     hist = histogram_pack_sql("documents", token_budget=256, rank_buckets=4)
+    from .operators.sampling import pack_manifest_sql
+
+    pm = pack_manifest_sql("documents", token_budget=256)
     code = word_code_sql("source")
     c0 = scale_cell_sql(
         "n_chars", "(SELECT lo0 FROM _zb)", "(SELECT hi0 FROM _zb)", 10
@@ -1829,6 +1849,12 @@ SELECT 'zorder' AS variant, source, doc_id,
        CAST(NULL AS INTEGER) AS shard, z AS shuffle_key,
        CAST(NULL AS BIGINT) AS shard_pos
 FROM ({zorder})
+UNION ALL
+SELECT 'offsets' AS variant, source, doc_id, n_tokens,
+       tok_start AS eff_len, pack_id,
+       CAST(NULL AS INTEGER) AS shard, tok_end AS shuffle_key,
+       CAST(NULL AS BIGINT) AS shard_pos
+FROM ({pm})
 """
 
 

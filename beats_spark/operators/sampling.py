@@ -370,6 +370,96 @@ def pack_sequences(
     )
 
 
+def pack_manifest(
+    df: DataFrame,
+    token_budget: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """:func:`pack_sequences` plus the within-pack TOKEN OFFSETS —
+    the attention-reset manifest: trainers that zero attention across
+    document boundaries inside a packed sequence (the Llama-3 recipe;
+    Kosec et al. 2021's "cross-contamination" masking) need
+    ``(pack_id, tok_start, tok_end)`` per document, not just the pack
+    assignment.
+
+    ``tok_start`` = the doc's exclusive token prefix minus the pack's
+    first prefix (one extra bounded window over ``(group, pack_id)``
+    on the SAME partitioning the packing window already shuffled —
+    no new corpus exchange); ``tok_end = tok_start + n_tokens``.
+    GPT-style concat-and-chunk assigns a boundary-straddling doc to
+    the pack where it STARTS, so the last doc's ``tok_end`` may
+    exceed ``token_budget`` — the trainer's loader wraps it; the
+    no-split guarantee lives in :func:`histogram_pack`."""
+    wp = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count_ws(F.col(text_col))
+    ).cast("long")
+    base = df.select(group_col, order_col, n_tok.alias("n_tokens"))
+    pre = base.withColumn(
+        "_prefix",
+        F.coalesce(F.sum("n_tokens").over(wp), F.lit(0).cast("long")),
+    ).withColumn(
+        "pack_id", F.floor(F.col("_prefix") / token_budget).cast("long")
+    )
+    wmin = Window.partitionBy(group_col, "pack_id")
+    return (
+        pre.withColumn(
+            "tok_start",
+            (F.col("_prefix") - F.min("_prefix").over(wmin)).cast("long"),
+        )
+        .withColumn(
+            "tok_end", (F.col("tok_start") + F.col("n_tokens")).cast("long")
+        )
+        .drop("_prefix")
+    )
+
+
+def pack_manifest_sql(
+    table: str,
+    token_budget: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pack_manifest` (exact long arithmetic
+    end-to-end — no floats anywhere)."""
+    from ..functions.textstats import WORDS_SQL
+
+    toks = f"CAST(len({WORDS_SQL.format(c=text_col)}) AS BIGINT)"
+    return f"""
+WITH _pm_t AS (
+  SELECT {group_col}, {order_col}, {toks} AS n_tokens FROM {table}
+),
+_pm_p AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+              PARTITION BY {group_col} ORDER BY {order_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prefix
+  FROM _pm_t
+),
+_pm_q AS (
+  SELECT *, CAST(floor(prefix / {token_budget}) AS BIGINT) AS pack_id
+  FROM _pm_p
+)
+SELECT {group_col}, {order_col}, n_tokens, pack_id,
+       CAST(prefix - min(prefix) OVER (
+              PARTITION BY {group_col}, pack_id) AS BIGINT) AS tok_start,
+       CAST(prefix - min(prefix) OVER (
+              PARTITION BY {group_col}, pack_id)
+            + n_tokens AS BIGINT) AS tok_end
+FROM _pm_q
+"""
+
+
 def pack_sequences_sql(
     table: str,
     token_budget: int = 256,

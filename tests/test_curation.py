@@ -1126,3 +1126,67 @@ class TestBloomJoinPath:
             " WHERE batch_id = 1"
         ).fetchone()
         assert row == (2, 1, 1)
+
+
+class TestPackManifest:
+    def test_offsets_hand_case(self, spark):
+        """3-token docs, budget 5: prefixes 0/3/6 → docs 1,2 in pack 0
+        at tok_start 0,3; doc 3 opens pack 1 at 0. The straddler
+        (doc 2, span 3..6) legitimately overruns the budget —
+        concat-and-chunk semantics, documented."""
+        from beats_spark.operators.sampling import pack_manifest
+
+        df = spark.createDataFrame(
+            [("s", i, "a b c") for i in (1, 2, 3)],
+            "source string, doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in pack_manifest(df, token_budget=5).collect()
+        }
+        assert (rows[1]["pack_id"], rows[1]["tok_start"], rows[1]["tok_end"]) == (0, 0, 3)
+        assert (rows[2]["pack_id"], rows[2]["tok_start"], rows[2]["tok_end"]) == (0, 3, 6)
+        assert (rows[3]["pack_id"], rows[3]["tok_start"], rows[3]["tok_end"]) == (1, 0, 3)
+
+    def test_invariants_and_duckdb_parity(self, spark):
+        import duckdb
+        from beats_spark.operators.sampling import (
+            pack_manifest,
+            pack_manifest_sql,
+            pack_sequences,
+        )
+        from tests.conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got_rows = pack_manifest(docs, token_budget=256).collect()
+        got = {
+            (r["source"], r["doc_id"]): (
+                r["n_tokens"], r["pack_id"], r["tok_start"], r["tok_end"]
+            )
+            for r in got_rows
+        }
+        # tok_end - tok_start == n_tokens; offsets start at 0 per pack;
+        # pack assignment identical to pack_sequences
+        packs = {
+            (r["source"], r["doc_id"]): r["pack_id"]
+            for r in pack_sequences(docs, token_budget=256).collect()
+        }
+        by_pack_min = {}
+        for (s, d), (n, p, ts, te) in got.items():
+            assert te - ts == n
+            assert packs[(s, d)] == p
+            by_pack_min[(s, p)] = min(by_pack_min.get((s, p), 1 << 60), ts)
+        assert all(v == 0 for v in by_pack_min.values())
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = {
+            (s, d): (n, p, ts, te)
+            for s, d, n, p, ts, te in con.execute(
+                pack_manifest_sql("documents", token_budget=256)
+            ).fetchall()
+        }
+        assert got == want
