@@ -54,3 +54,14 @@ if [ -e "$APACHE_DIR/test/test.log" ]; then
     --output "${OUT}_module" 2>/dev/null \
     | grep MODULE_INGEST_RESULT
 fi
+
+spark-submit \
+  --master "local[${SPARK_GRAFT_CPUS:-8}]" \
+  --conf spark.sql.shuffle.partitions=16 \
+  --conf spark.ui.enabled=false \
+  --py-files /tmp/beats_spark.zip \
+  jobs/layout_job.py \
+  --input /root/testdata/sf0.001/documents.parquet \
+  --output "${OUT}_layout" --files 8 --compact-target-mb 1 \
+  --audit-col n_chars --audit-lo 0 --audit-hi 64 2>/dev/null \
+  | grep LAYOUT_RESULT
