@@ -48,6 +48,7 @@ from .operators.dedup import (
 )
 from .operators.bm25 import bm25_topk_sql
 from .operators.raneval import eval_topk_sql
+from .operators.snapshot import snapshot_diff_sql
 from .operators.sketch import (
     hll_cardinality_sql,
     hll_overlap_sql,
@@ -247,6 +248,35 @@ def q_dedup_exact(spark, sf_dir):
         nl_l.alias("m2"),
         F.col("_s.frac").alias("frac"),
     )
+    # 'diff' (r4) = EXACT snapshot diff next to the sketch estimate:
+    # old = ids with doc_id%10 < 8, new = ids with doc_id%10 >= 2 with
+    # text deterministically perturbed where doc_id%7 == 0 — so the
+    # row exercises added (8,9), removed (0,1), and changed (%7) in
+    # one full-outer id join (operators/snapshot.py; m1 = status code
+    # 1 added / 2 removed / 3 changed)
+    from .operators.snapshot import snapshot_diff
+
+    old_snap = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+    new_snap = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) >= 2).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit("!")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = snapshot_diff(old_snap, new_snap).select(
+        F.lit("diff").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.when(F.col("status") == "added", 1)
+        .when(F.col("status") == "removed", 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("double").alias("frac"),
+    )
     return (
         d.unionByName(s)
         .unionByName(p)
@@ -254,6 +284,7 @@ def q_dedup_exact(spark, sf_dir):
         .unionByName(regs)
         .unionByName(card)
         .unionByName(ovx)
+        .unionByName(diff)
     )
 
 
@@ -1617,7 +1648,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "text_analysis": ("variant", ["panel", "langid"]),
     "bpe_tokenize": ("variant", ["doc", "merge"]),
     "multimodal_features": ("variant", ["feat", "resize", "frame", "dims"]),
-    "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll", "hllx"]),
+    "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll", "hllx", "diff"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
     "multiline_modes": ("variant", ["combine", "flush"]),
     "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
@@ -2161,6 +2192,16 @@ FROM ({hll_overlap_sql(
             "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
             "text",
         )}) o, (VALUES (0), (1), (2), (3), (4)) AS u(i)
+UNION ALL
+SELECT 'diff' AS variant, doc_id AS id,
+       CAST(CASE status WHEN 'added' THEN 1 WHEN 'removed' THEN 2
+            ELSE 3 END AS BIGINT) AS m1,
+       CAST(NULL AS BIGINT) AS m2, CAST(NULL AS DOUBLE) AS frac
+FROM ({snapshot_diff_sql(
+            "SELECT * FROM documents WHERE doc_id % 10 < 8",
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '!' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 10 >= 2",
+        )})
 """,
         "dedup_ngram_jaccard": ngram_jaccard_sql("documents", JACCARD_T),
         "minhash_signature": minhash_signature_sql("documents"),

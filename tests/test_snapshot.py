@@ -1,0 +1,128 @@
+"""Snapshot diff (operators/snapshot.py): hand-derived statuses,
+NULL-text semantics, DuckDB twin parity, and the bucketed-join plan
+(zero exchanges when both snapshots are bucket-written on the id)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestHandDerived:
+    @pytest.fixture(scope="class")
+    def diff(self, spark):
+        from beats_spark.operators.snapshot import snapshot_diff
+
+        old = _df(spark, [(1, "a"), (2, "b"), (3, "c"), (5, None)])
+        new = _df(spark, [(2, "b"), (3, "C"), (4, "d"), (5, None)])
+        return {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new).collect()
+        }
+
+    def test_statuses(self, diff):
+        # 1 removed, 2 unchanged (dropped), 3 changed, 4 added,
+        # 5 NULL==NULL -> unchanged (dropped)
+        assert diff == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_null_to_text_is_changed(self, spark):
+        from beats_spark.operators.snapshot import snapshot_diff
+
+        old = _df(spark, [(1, None)])
+        new = _df(spark, [(1, "now has text")])
+        rows = snapshot_diff(old, new).collect()
+        assert [(r["doc_id"], r["status"]) for r in rows] == [(1, "changed")]
+
+    def test_keep_unchanged(self, spark):
+        from beats_spark.operators.snapshot import snapshot_diff
+
+        old = _df(spark, [(1, "a")])
+        new = _df(spark, [(1, "a")])
+        rows = snapshot_diff(old, new, keep_unchanged=True).collect()
+        assert [(r["doc_id"], r["status"]) for r in rows] == [
+            (1, "unchanged")
+        ]
+
+
+class TestParityAndCounts:
+    def test_corpus_duckdb_parity(self, spark):
+        from beats_spark.operators.snapshot import (
+            snapshot_diff,
+            snapshot_diff_counts,
+            snapshot_diff_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        old = docs.where("doc_id % 5 <> 0")
+        new = docs.where("doc_id % 5 = 0")
+        d = snapshot_diff(old, new)
+        got = sorted((r["doc_id"], r["status"]) for r in d.collect())
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            con.execute(
+                snapshot_diff_sql(
+                    "SELECT * FROM documents WHERE doc_id % 5 <> 0",
+                    "SELECT * FROM documents WHERE doc_id % 5 = 0",
+                )
+            ).fetchall()
+        )
+        assert got == want
+
+        counts = {
+            r["status"]: r["n"]
+            for r in snapshot_diff_counts(d).collect()
+        }
+        assert counts.get("added", 0) + counts.get("removed", 0) == len(got)
+
+
+class TestBucketedPlan:
+    def test_zero_exchange_on_bucketed_snapshots(self, spark, tmp_path):
+        """Both snapshots bucket-written on the id: the diff's
+        full-outer join runs with ZERO Exchange (the write_bucketed
+        co-location contract — pay the shuffle once at write time,
+        every later diff/join rides it)."""
+        from beats_spark.operators.snapshot import snapshot_diff
+        from beats_spark.sources.tables import write_bucketed
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        )
+        a = f"snap_a_{tmp_path.name}".replace("-", "_")
+        b = f"snap_b_{tmp_path.name}".replace("-", "_")
+        write_bucketed(
+            docs.where("doc_id % 2 = 0"), a, str(tmp_path / "a"),
+            ["doc_id"], n_buckets=4,
+        )
+        write_bucketed(
+            docs.where("doc_id % 3 = 0"), b, str(tmp_path / "b"),
+            ["doc_id"], n_buckets=4,
+        )
+        try:
+            old, new = spark.table(a), spark.table(b)
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                d = snapshot_diff(old, new)
+                plan = d._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan
+                assert d.count() > 0
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {a}")
+            spark.sql(f"DROP TABLE IF EXISTS {b}")
