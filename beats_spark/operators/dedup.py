@@ -1054,14 +1054,18 @@ def simhash_sql(col_expr: str, bits: int = SIMHASH_BITS) -> str:
 PARA_SPLIT_RE = "\\n+"
 
 
-def _paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, pos, para): trimmed non-empty newline-separated
-    segments, pos = position AMONG KEPT paragraphs (relative order is
-    all the reassembly needs, and it matches the SQL twin's filtered
-    ordering)."""
+def _paragraphs(
+    df: DataFrame, text_col: str, id_col: str,
+    split_re: str = PARA_SPLIT_RE,
+) -> DataFrame:
+    """(doc_id, pos, para): trimmed non-empty split segments, pos =
+    position AMONG KEPT segments (relative order is all the
+    reassembly needs, and it matches the SQL twin's filtered
+    ordering). ``split_re`` picks the granularity: newline runs =
+    paragraphs (default), ``SENT_SPLIT_RE`` = sentences."""
     ps = F.filter(
         F.transform(
-            F.split(F.col(text_col), PARA_SPLIT_RE), lambda p: F.trim(p)
+            F.split(F.col(text_col), split_re), lambda p: F.trim(p)
         ),
         lambda p: p != F.lit(""),
     )
@@ -1075,6 +1079,7 @@ def paragraph_stats(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_re: str = PARA_SPLIT_RE,
 ) -> DataFrame:
     """Paragraph-level duplication stats — the Dolma pipeline's
     paragraph dedup granularity (Soldaini et al. 2024, "Dolma": exact
@@ -1089,8 +1094,10 @@ def paragraph_stats(
     document-frequency count, one join back on the same key, one
     groupBy on the doc id — the duplicated_spans plan at paragraph
     granularity (group on a fixed-width hash of the paragraph at real
-    scale, as exact_dedup_groups documents)."""
-    paras = _paragraphs(df, text_col, id_col)
+    scale, as exact_dedup_groups documents). ``split_re`` generalizes
+    the granularity — :func:`sentence_stats` passes the sentence
+    splitter (the CCNet dedup unit)."""
+    paras = _paragraphs(df, text_col, id_col, split_re)
     dup = (
         paras.groupBy("para")
         .agg(F.countDistinct(id_col).alias("_df"))
@@ -1150,7 +1157,7 @@ def drop_duplicated_paragraphs(
 
 def paragraph_stats_sql(
     table: str, min_df: int = 2, text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", split_re: str = PARA_SPLIT_RE,
 ) -> str:
     """DuckDB twin of :func:`paragraph_stats` (same split pattern,
     same distinct-document rule)."""
@@ -1158,7 +1165,7 @@ def paragraph_stats_sql(
 WITH _pp AS MATERIALIZED (
   SELECT {id_col} AS doc_id, trim(ps[i]) AS para
   FROM (SELECT {id_col}, regexp_split_to_array({text_col},
-                                               '{PARA_SPLIT_RE}') AS ps
+                                               '{split_re}') AS ps
         FROM {table}),
        unnest(generate_series(1, len(ps))) AS t(i)
   WHERE trim(ps[i]) <> ''
@@ -1176,6 +1183,43 @@ SELECT doc_id,
 FROM _pp p LEFT JOIN _pd d USING (para)
 GROUP BY doc_id
 """
+
+
+#: sentence splitter: terminal-punctuation runs + whitespace — the
+#: simple segmenter CCNet/C4-class pipelines use; RE2-safe (DuckDB's
+#: regexp engine has no lookbehind, so the terminal punctuation stays
+#: with the LEFT segment only implicitly: it is consumed by the split
+#: and the dedup key is the sentence BODY, which is what should match
+#: across '.'/'!' variants anyway)
+SENT_SPLIT_RE = "[.!?]+\\s+"
+
+
+def sentence_stats(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-level duplication stats: :func:`paragraph_stats` at
+    the CCNet dedup granularity (Wenzek et al. 2020 dedup by line/
+    sentence hash). Columns keep the n_paras/n_dup_paras names — the
+    unit is a naming convention, the machinery is identical and the
+    driver-checked plan shape is the 'para' variant's."""
+    return paragraph_stats(
+        df, min_df=min_df, text_col=text_col, id_col=id_col,
+        split_re=SENT_SPLIT_RE,
+    )
+
+
+def sentence_stats_sql(
+    table: str, min_df: int = 2, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`sentence_stats`."""
+    return paragraph_stats_sql(
+        table, min_df=min_df, text_col=text_col, id_col=id_col,
+        split_re=SENT_SPLIT_RE,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -265,3 +265,35 @@ class TestCompaction:
         # still prune SOMETHING on both dims (vs linear's 0 on y)
         assert skip_rate(rep, "x", 8, 15) > 0.0
         assert skip_rate(rep, "y", 8, 15) > 0.0
+
+
+class TestMortonProperty:
+    def test_roundtrip_deinterleave(self, spark):
+        """Property (hypothesis): interleave is a bijection — the
+        cells de-interleave back exactly for arbitrary 10-bit pairs."""
+        from hypothesis import given, settings, strategies as st
+
+        from beats_spark.operators.layout import interleave_cells
+
+        cases = []
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        )
+        def collect(c0, c1):
+            cases.append((c0, c1))
+
+        collect()
+        df = spark.createDataFrame(
+            list(set(cases)), "c0 long, c1 long"
+        )
+        for r in df.select(
+            "c0", "c1",
+            interleave_cells([F.col("c0"), F.col("c1")], 10).alias("z"),
+        ).collect():
+            z = r["z"]
+            d0 = sum(((z >> (2 * j)) & 1) << j for j in range(10))
+            d1 = sum(((z >> (2 * j + 1)) & 1) << j for j in range(10))
+            assert (d0, d1) == (r["c0"], r["c1"])

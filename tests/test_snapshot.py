@@ -126,3 +126,60 @@ class TestBucketedPlan:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {a}")
             spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+class TestSentenceStats:
+    """Sentence-granularity dedup (dedup.sentence_stats — the CCNet
+    unit) riding the driver-checked paragraph machinery."""
+
+    def test_hand_case(self, spark):
+        from beats_spark.operators.dedup import sentence_stats
+
+        # the splitter consumes terminal punctuation + following
+        # whitespace, so a TRAILING sentence keeps its '.' while a
+        # non-terminal copy loses it — the shared sentence sits
+        # non-terminally in both docs
+        df = _df(
+            spark,
+            [
+                (1, "Shared sentence. The cat sat. Unique one."),
+                (2, "Shared sentence. A different tail. More."),
+            ],
+        )
+        rows = {
+            r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+            for r in sentence_stats(df).collect()
+        }
+        assert rows[1] == (3, 1)
+        assert rows[2] == (3, 1)
+
+    def test_duckdb_parity_on_corpus(self, spark):
+        from beats_spark.operators.dedup import (
+            sentence_stats,
+            sentence_stats_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = sorted(tuple(r) for r in sentence_stats(docs).collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sentence_stats_sql("documents")).fetchall()
+        )
+        assert got == want
+
+    def test_paragraph_default_unchanged(self, spark):
+        """The split_re generalization must not move the paragraph
+        default: same output as before on a newline-separated doc."""
+        from beats_spark.operators.dedup import paragraph_stats
+
+        df = _df(spark, [(1, "a\nb\na"), (2, "a\nc")])
+        rows = {
+            r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+            for r in paragraph_stats(df).collect()
+        }
+        assert rows == {1: (3, 2), 2: (2, 1)}
