@@ -219,6 +219,25 @@ def shingles_sql(col_expr: str, n: int = 3) -> str:
 # n-gram Jaccard near-dup (shingle-join blocked)
 
 
+def _ranked_toks(sh: DataFrame) -> DataFrame:
+    """(id, toks): each doc's shingles ordered by ascending global
+    document frequency (shingle asc tie-break — identical across
+    engines); shared by the Jaccard prefix filter and the containment
+    probe/index frames."""
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfreq", "s"))),
+                lambda x: x.s,
+            ).alias("toks")
+        )
+    )
+
+
 def _ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """PPJoin-style candidate pairs (Xiao et al., WWW'08) from a
     ``(id, sh, sz)`` shingle-set frame.
@@ -248,19 +267,7 @@ def _ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     doc, deep-ranked in the other: e.g. length-skewed or
     domain-mixed corpora), where it is the standard defense, at the
     cost of one int carried through the prefix explode."""
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
-
-    ordered = (
-        ex.join(dfreq, "s")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dfreq", "s"))),
-                lambda x: x.s,
-            ).alias("toks")
-        )
-    )
+    ordered = _ranked_toks(sh)
     # prefix length |s| - ceil(t*|s|) + 1 (valid for any t in (0, 1]);
     # sz is recovered as size(toks) here rather than threaded through
     # the explode/groupBy chain (measured ~30% slower when carried)
@@ -403,6 +410,134 @@ SELECT id_a, id_b,
        round(inter / (sz_a + sz_b - inter)::DOUBLE, 6) AS jaccard
 FROM pairs
 WHERE round(inter / (sz_a + sz_b - inter)::DOUBLE, 6) >= {threshold}
+"""
+
+
+def _containment_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a < id_b) pairs for max-containment ≥ t.
+
+    Containment C(A→B) = |A∩B|/|A| bounds only the PROBING side: if
+    C ≥ t, A must share a token inside its first
+    ``|A| − ceil(t·|A|) + 1`` rarest-ordered tokens (same pigeonhole
+    as the Jaccard prefix), but B contributes no length constraint —
+    so the probe explodes A's prefix while the INDEX side explodes
+    every token. Hot-shingle safety still holds: stopword shingles
+    sort last and never enter any probe prefix (once ceil(t·|A|) ≥ 2),
+    so the join key distribution is rare shingles only; the index
+    side's hot rows simply never match. The positional bound
+    ``min(p_a,p_b) + min(sz_a−p_a, sz_b−p_b) ≥ ceil(t·sz_a)`` prunes
+    occurrences before the distinct (PPJoin's bound with the
+    containment minimum on the probing size)."""
+    ordered = _ranked_toks(sh)
+    pref = ordered.select(
+        "id",
+        F.size("toks").alias("sz"),
+        F.slice(
+            "toks",
+            1,
+            (
+                F.size("toks")
+                - F.ceil(F.size("toks") * F.lit(threshold))
+                + 1
+            ).cast("int"),
+        ).alias("prefix"),
+    )
+    probe = pref.select("id", "sz", F.posexplode("prefix").alias("p", "s"))
+    index = ordered.select(
+        "id", F.size("toks").alias("sz"), F.posexplode("toks").alias("p", "s")
+    )
+    min_overlap = F.ceil(F.col("a.sz") * F.lit(threshold) - F.lit(1e-9))
+    ubound = F.least("a.p", "b.p") + F.least(
+        F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p")
+    )
+    return (
+        probe.alias("a")
+        .join(index.alias("b"), "s")
+        .where((F.col("a.id") != F.col("b.id")) & (ubound >= min_overlap))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT pairs (id_a < id_b) whose shingle-set CONTAINMENT
+    ``max(|A∩B|/|A|, |A∩B|/|B|)`` ≥ threshold — Broder 1997's
+    asymmetric resemblance. The case symmetric Jaccard structurally
+    misses: a short document embedded verbatim in a much longer one
+    has containment ≈ 1 from the short side while
+    ``J ≤ |A|/|B| → 0`` as the size skew grows (quote farms,
+    boilerplate wrappers, page-in-page scrapes).
+
+    Same physical strategy as :func:`ngram_jaccard_pairs` — prefix
+    candidates (:func:`_containment_candidates`, probing prefix vs
+    full index since containment has no length filter), exact verify
+    over the full sets. Returns (id_a, id_b, containment_ab,
+    containment_ba) with containment_ab = inter/|A|, rounded 6 dp."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    if materialize:
+        sh = sh.localCheckpoint()
+    cand = _containment_candidates(sh, threshold)
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                     F.col("sz").alias("sz_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                     F.col("sz").alias("sz_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        verified.withColumn("_i", inter)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / F.col("sz_a"), 6).alias("containment_ab"),
+            F.round(F.col("_i") / F.col("sz_b"), 6).alias("containment_ba"),
+        )
+        .where(
+            F.greatest("containment_ab", "containment_ba")
+            >= F.lit(threshold)
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str, threshold: float, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` (exact all-pairs at
+    oracle scale — the Spark prefix filter is lossless, so the twin
+    skips it)."""
+    sh = shingles_sql(text_col, n)
+    return f"""
+WITH _ct_sh AS MATERIALIZED (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+),
+_ct_ex AS MATERIALIZED (
+  SELECT id, len(sh) AS sz, unnest(sh) AS s FROM _ct_sh
+),
+_ct_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS inter
+  FROM _ct_ex a JOIN _ct_ex b USING (s)
+  WHERE a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / sz_a::DOUBLE, 6) AS containment_ab,
+       round(inter / sz_b::DOUBLE, 6) AS containment_ba
+FROM _ct_pairs
+WHERE greatest(round(inter / sz_a::DOUBLE, 6),
+               round(inter / sz_b::DOUBLE, 6)) >= {threshold}
 """
 
 

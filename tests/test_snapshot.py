@@ -183,3 +183,71 @@ class TestSentenceStats:
             for r in paragraph_stats(df).collect()
         }
         assert rows == {1: (3, 2), 2: (2, 1)}
+
+
+class TestContainment:
+    """Asymmetric containment pairs (dedup.containment_pairs)."""
+
+    def test_embedded_doc_found_where_jaccard_misses(self, spark):
+        from beats_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long = (
+            "intro words here " + short + " and then a very long tail "
+            + " ".join(f"filler{i}" for i in range(60))
+        )
+        df = _df(spark, [(1, short), (2, long), (3, "unrelated words only")])
+        pairs = {
+            (r["id_a"], r["id_b"]): (
+                r["containment_ab"], r["containment_ba"]
+            )
+            for r in containment_pairs(df, threshold=0.8).collect()
+        }
+        assert (1, 2) in pairs
+        c_ab, c_ba = pairs[(1, 2)]
+        assert c_ab >= 0.8          # the short side is fully contained
+        assert c_ba < 0.5           # the long side is mostly NOT
+        # symmetric Jaccard at the same threshold finds nothing
+        assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+    def test_duckdb_parity_on_corpus(self, spark):
+        import duckdb
+        from beats_spark.operators.dedup import (
+            containment_pairs,
+            containment_pairs_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = sorted(
+            tuple(r) for r in containment_pairs(docs, threshold=0.3).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                containment_pairs_sql("documents", 0.3)
+            ).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0  # the overlapping-window corpus has pairs
+
+    def test_jaccard_machinery_regression(self, spark):
+        """The _ranked_toks refactor must not move the Jaccard path."""
+        from beats_spark.operators.dedup import ngram_jaccard_pairs
+
+        df = _df(
+            spark,
+            [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"),
+             (3, "x1 x2 x3 x4 x5 x6")],
+        )
+        rows = ngram_jaccard_pairs(df, threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [
+            (1, 2, 1.0)
+        ]
