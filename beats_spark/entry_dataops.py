@@ -36,6 +36,7 @@ from .operators.dedup import (
     minhash_lsh_pairs_sql,
     minhash_signature,
     minhash_signature_sql,
+    containment_pairs_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
     norm_text,
@@ -303,8 +304,32 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_jaccard_prefix(spark, sf_dir):
     """the PPJoin prefix-filter strategy at a high threshold — oracle
     stays on the naive all-pairs algorithm, so the check is
-    algorithm-independent."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    algorithm-independent. 'cont' (r4) = asymmetric CONTAINMENT pairs
+    at t=0.7 (dedup.containment_pairs: probe-prefix × full-index
+    candidates, exact verify — the embedded-short-doc case Jaccard
+    misses); score = jaccard for 'jac', max-containment for 'cont',
+    c_ab/c_ba carry the directional values (NULL for 'jac')."""
+    from .operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir)
+    nd = F.lit(None).cast("double")
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.lit("jac").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+        nd.alias("c_ab"),
+        nd.alias("c_ba"),
+    )
+    cont = containment_pairs(docs, threshold=0.7).select(
+        F.lit("cont").alias("variant"),
+        "id_a",
+        "id_b",
+        F.greatest("containment_ab", "containment_ba").alias("score"),
+        F.col("containment_ab").alias("c_ab"),
+        F.col("containment_ba").alias("c_ba"),
+    )
+    return jac.unionByName(cont)
 
 
 def q_simhash_dedup(spark, sf_dir):
@@ -1671,6 +1696,7 @@ _ENTRY_VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "grok_apache": ("variant", ["parse", "date"]),
     "enrich_lookup": ("variant", ["lookup", "asof"]),
     "metrics_tallies": ("variant", ["pub", "hllg"]),
+    "dedup_jaccard_prefix": ("variant", ["jac", "cont"]),
 }
 
 
@@ -2242,7 +2268,16 @@ SELECT 'lsh' AS variant, * FROM ({embedding_neardup_lsh_sql("embeddings", NEARDU
 UNION ALL
 SELECT 'label' AS variant, * FROM ({embedding_neardup_sql("embeddings", NEARDUP_T)})
 """,
-        "dedup_jaccard_prefix": ngram_jaccard_sql("documents", 0.5),
+        "dedup_jaccard_prefix": f"""
+SELECT 'jac' AS variant, id_a, id_b, jaccard AS score,
+       CAST(NULL AS DOUBLE) AS c_ab, CAST(NULL AS DOUBLE) AS c_ba
+FROM ({ngram_jaccard_sql("documents", 0.5)})
+UNION ALL
+SELECT 'cont' AS variant, id_a, id_b,
+       greatest(containment_ab, containment_ba) AS score,
+       containment_ab AS c_ab, containment_ba AS c_ba
+FROM ({containment_pairs_sql("documents", 0.7)})
+""",
         "simhash_dedup": f"""
 WITH sh AS (
   SELECT doc_id, {simhash_sql('text')} AS simhash32 FROM documents
