@@ -1262,6 +1262,7 @@ def drop_duplicated_paragraphs(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_re: str = PARA_SPLIT_RE,
 ) -> DataFrame:
     """The removal policy to go with :func:`paragraph_stats`:
     duplicated paragraphs survive only in their OWNER document (the
@@ -1270,8 +1271,10 @@ def drop_duplicated_paragraphs(
     Returns (doc_id, text) with paragraphs rejoined by single
     newlines in original relative order; a document whose every
     paragraph was dropped emits no row (same convention as
-    zero-paragraph inputs)."""
-    paras = _paragraphs(df, text_col, id_col)
+    zero-paragraph inputs). ``split_re`` picks the granularity
+    (sentence-level removal via ``SENT_SPLIT_RE``); note reassembly
+    always rejoins with single newlines."""
+    paras = _paragraphs(df, text_col, id_col, split_re)
     owner = paras.groupBy("para").agg(
         F.countDistinct(id_col).alias("_df"),
         F.min(id_col).alias("_own"),
