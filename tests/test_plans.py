@@ -501,3 +501,65 @@ class TestRetrievalPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "Python" not in plan
+
+
+class TestLayoutAndEvalPlans:
+    def test_zorder_code_is_map_only(self, spark, tmp_path):
+        """add_zorder after the driver-side bounds agg: the per-row
+        code is ONE map stage — no exchange, no Python (the PQ-encode
+        contract for layout)."""
+        from beats_spark.operators.layout import add_zorder
+
+        p = str(tmp_path / "d")
+        spark.range(500).selectExpr(
+            "id AS doc_id", "id % 97 AS x", "id % 89 AS y"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = _plan(add_zorder(df, [F.col("x"), F.col("y")], bits=8))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_hll_overlap_no_python_no_corpus_join(self, spark):
+        """Three register aggs + 1-row crossJoins — the corpus never
+        joins anything; no Python anywhere."""
+        from beats_spark.operators.sketch import hll_overlap
+
+        a = spark.range(300).selectExpr("CAST(id AS STRING) AS v")
+        b = spark.range(200, 500).selectExpr("CAST(id AS STRING) AS v")
+        plan = _plan(hll_overlap(a, F.col("v"), b, F.col("v")))
+        assert "Python" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_containment_no_cartesian_no_python(self, spark):
+        """Candidates come from the prefix×index equi-join on the
+        shingle — never a cartesian/nested-loop product; verify joins
+        are id-keyed."""
+        from beats_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} common words here")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        plan = _plan(containment_pairs(df, threshold=0.7,
+                                       materialize=False))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_eval_topk_joins_stay_result_bounded(self, spark):
+        """The discount/ideal lookup tables join BROADCAST; no Python
+        touches the metric arithmetic."""
+        from beats_spark.operators.raneval import eval_topk
+
+        t = spark.createDataFrame(
+            [(0, i, i + 1) for i in range(5)],
+            "q_id long, neighbor_id long, rank int",
+        )
+        c = spark.createDataFrame(
+            [(0, i + 2, i + 1) for i in range(5)],
+            "q_id long, neighbor_id long, rank int",
+        )
+        plan = _plan(eval_topk(t, c, k=5))
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
