@@ -306,3 +306,22 @@ def compact_dataset(
         "bytes_in": bytes_in,
         "n_files_out": dataset_file_stats(out_path)[0],
     }
+
+
+def skip_rate_and(report: DataFrame, preds: dict[str, tuple]) -> float:
+    """Skip-rate for a CONJUNCTIVE predicate ``AND_i col_i BETWEEN
+    (lo_i, hi_i)`` — the query shape z-order actually serves: a file
+    is skippable when ANY dimension's [min,max] envelope misses its
+    range. Always ≥ the best single-dimension rate."""
+    n = report.count()
+    if n == 0 or not preds:
+        return 0.0
+    hit = report
+    for col, (lo, hi) in preds.items():
+        hit = hit.filter(
+            ~(
+                (F.col(f"max_{col}") < F.lit(lo))
+                | (F.col(f"min_{col}") > F.lit(hi))
+            )
+        )
+    return 1.0 - hit.count() / n

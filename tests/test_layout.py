@@ -297,3 +297,32 @@ class TestMortonProperty:
             d0 = sum(((z >> (2 * j)) & 1) << j for j in range(10))
             d1 = sum(((z >> (2 * j + 1)) & 1) << j for j in range(10))
             assert (d0, d1) == (r["c0"], r["c1"])
+
+
+class TestConjunctiveSkip:
+    def test_and_skip_dominates_single_dims(self, spark, tmp_path_factory):
+        from beats_spark.operators.layout import (
+            file_skip_report,
+            skip_rate,
+            skip_rate_and,
+            zorder_write,
+        )
+
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        root = tmp_path_factory.mktemp("andskip")
+        zpath = str(root / "z")
+        zorder_write(
+            grid, zpath, [F.col("x"), F.col("y")], n_files=16, bits=6,
+            bounds=[(0, 63), (0, 63)],
+        )
+        rep = file_skip_report(spark, zpath, ["x", "y"])
+        preds = {"x": (8, 15), "y": (8, 15)}
+        both = skip_rate_and(rep, preds)
+        assert both >= skip_rate(rep, "x", 8, 15)
+        assert both >= skip_rate(rep, "y", 8, 15)
+        # a 1/8 × 1/8 tile on a 16-file z-layout: nearly everything
+        # prunes
+        assert both >= 0.8
