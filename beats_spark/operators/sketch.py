@@ -375,3 +375,52 @@ SELECT est_a, est_b, est_union, est_inter,
        round(est_inter / est_union, 6) AS jaccard
 FROM _j
 """
+
+
+def hll_overlap_by(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    p: int = 8,
+) -> DataFrame:
+    """Per-GROUP corpus overlap: :func:`hll_overlap` keyed by
+    ``group_cols`` — "how much of the new crawl is already in the lake,
+    PER LANGUAGE/SOURCE", still with zero joins of anything
+    corpus-sized (each side collapses to ≤ 2^p register rows per
+    group; the final joins are group-keyed over estimate rows).
+    Groups present on only one side get est 0.0 for the missing side
+    and inter 0 (coalesced, not NULL — a one-sided group IS fully
+    novel). One row per group:
+    (group_cols..., est_a, est_b, est_union, est_inter, jaccard)."""
+    ra = hll_registers_by(df_a, group_cols, value, p=p)
+    rb = hll_registers_by(df_b, group_cols, value, p=p)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    ea = hll_estimate_by(ra, group_cols, p=p).select(
+        *group_cols, F.col("estimate").alias("est_a")
+    )
+    eb = hll_estimate_by(rb, group_cols, p=p).select(
+        *group_cols, F.col("estimate").alias("est_b")
+    )
+    eu = hll_estimate_by(ru, group_cols, p=p).select(
+        *group_cols, F.col("estimate").alias("est_union")
+    )
+    j = (
+        eu.join(ea, group_cols, "left")
+        .join(eb, group_cols, "left")
+        .withColumn("est_a", F.coalesce("est_a", F.lit(0.0)))
+        .withColumn("est_b", F.coalesce("est_b", F.lit(0.0)))
+    )
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return j.withColumn("est_inter", inter).withColumn(
+        "jaccard", F.round(F.col("est_inter") / F.col("est_union"), 6)
+    ).select(
+        *group_cols, "est_a", "est_b", "est_union", "est_inter", "jaccard"
+    )

@@ -212,3 +212,52 @@ class TestHLLOverlap:
             got["est_a"], got["est_b"], got["est_union"],
             got["est_inter"], got["jaccard"],
         ) == want
+
+
+class TestGroupedOverlap:
+    def test_per_group_equals_filtered_ungrouped(self, spark):
+        """Each group's row must equal the UNGROUPED overlap computed
+        on that group's rows alone (the grouped-HLL equivalence that
+        makes the per-language readout trustworthy)."""
+        from pyspark.sql import functions as F
+        from beats_spark.operators.sketch import hll_overlap, hll_overlap_by
+
+        a = spark.createDataFrame(
+            [(f"l{i % 2}", f"x{i}") for i in range(400)], "g string, v string"
+        )
+        b = spark.createDataFrame(
+            [(f"l{i % 2}", f"x{i}") for i in range(200, 600)],
+            "g string, v string",
+        )
+        rows = {
+            r["g"]: r
+            for r in hll_overlap_by(a, b, ["g"], F.col("v")).collect()
+        }
+        assert set(rows) == {"l0", "l1"}
+        for g in ("l0", "l1"):
+            single = hll_overlap(
+                a.where(F.col("g") == g), F.col("v"),
+                b.where(F.col("g") == g), F.col("v"),
+            ).collect()[0]
+            got = rows[g]
+            for c in ("est_a", "est_b", "est_union", "est_inter", "jaccard"):
+                assert got[c] == single[c], (g, c)
+
+    def test_one_sided_group_is_fully_novel(self, spark):
+        from pyspark.sql import functions as F
+        from beats_spark.operators.sketch import hll_overlap_by
+
+        a = spark.createDataFrame(
+            [("only_a", f"x{i}") for i in range(100)], "g string, v string"
+        )
+        b = spark.createDataFrame(
+            [("only_b", f"y{i}") for i in range(100)], "g string, v string"
+        )
+        rows = {
+            r["g"]: r
+            for r in hll_overlap_by(a, b, ["g"], F.col("v")).collect()
+        }
+        assert rows["only_a"]["est_b"] == 0.0
+        assert rows["only_a"]["est_inter"] == 0.0
+        assert rows["only_b"]["est_a"] == 0.0
+        assert rows["only_b"]["jaccard"] == 0.0
