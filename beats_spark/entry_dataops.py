@@ -561,9 +561,13 @@ def q_pack_sequences(spark, sf_dir):
     z-ordered dimension via parquet min/max stats. 'offsets' (r4,
     pack_manifest) = the attention-reset manifest: within-pack token
     spans per doc (eff_len=tok_start, shuffle_key=tok_end) — what a
-    doc-boundary-masking trainer loads next to the pack ids."""
+    doc-boundary-masking trainer loads next to the pack ids.
+    'hilbert' (r4) = the same layout contract on the HILBERT curve
+    (perfect step locality — consecutive indices always grid-adjacent,
+    proven in tests/test_layout.py) — shuffle_key=hilbert index,
+    pack_id=its 16-tile bucket."""
     from .functions.textstats import word_code
-    from .operators.layout import add_zorder, ztile
+    from .operators.layout import add_hilbert, add_zorder, ztile
     from .operators.sampling import (
         assign_shards,
         histogram_pack,
@@ -610,6 +614,19 @@ def q_pack_sequences(spark, sf_dir):
         F.col("zorder").alias("shuffle_key"),
         nl.cast("long").alias("shard_pos"),
     )
+    hv = add_hilbert(
+        docs, [F.col("n_chars"), word_code(F.col("source"))], bits=10
+    ).select(
+        F.lit("hilbert").alias("variant"),
+        "source",
+        "doc_id",
+        nl.cast("long").alias("n_tokens"),
+        nl.cast("long").alias("eff_len"),
+        F.shiftright(F.col("hilbert"), 16).cast("long").alias("pack_id"),
+        nl.cast("int").alias("shard"),
+        F.col("hilbert").alias("shuffle_key"),
+        nl.cast("long").alias("shard_pos"),
+    )
     off = pack_manifest(docs, token_budget=256).select(
         F.lit("offsets").alias("variant"),
         "source",
@@ -622,7 +639,10 @@ def q_pack_sequences(spark, sf_dir):
         nl.cast("long").alias("shard_pos"),
     )
     return (
-        contig.unionByName(hist).unionByName(zv).unionByName(off)
+        contig.unionByName(hist)
+        .unionByName(zv)
+        .unionByName(off)
+        .unionByName(hv)
     )
 
 
@@ -1686,7 +1706,7 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     ]),
     "ann_ivf": ("nprobe", [1, 2]),
     "decontaminate": ("variant", ["exact", "frac", "fuzzy"]),
-    "pack_sequences": ("variant", ["contig", "hist", "zorder", "offsets"]),
+    "pack_sequences": ("variant", ["contig", "hist", "zorder", "offsets", "hilbert"]),
     "heavy_hitters": ("variant", ["topk", "mg", "cms", "skew", "hq"]),
 }
 
@@ -1870,6 +1890,11 @@ def _pack_sequences_oracle() -> str:
 
     pm = pack_manifest_sql("documents", token_budget=256)
     code = word_code_sql("source")
+    from .operators.layout import hilbert_sql
+
+    hil = hilbert_sql(
+        "documents", ["n_chars", code], bits=10, cols="source, doc_id"
+    )
     c0 = scale_cell_sql(
         "n_chars", "(SELECT lo0 FROM _zb)", "(SELECT hi0 FROM _zb)", 10
     )
@@ -1912,6 +1937,13 @@ SELECT 'offsets' AS variant, source, doc_id, n_tokens,
        CAST(NULL AS INTEGER) AS shard, tok_end AS shuffle_key,
        CAST(NULL AS BIGINT) AS shard_pos
 FROM ({pm})
+UNION ALL
+SELECT 'hilbert' AS variant, source, doc_id,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS eff_len,
+       CAST(hilbert >> 16 AS BIGINT) AS pack_id,
+       CAST(NULL AS INTEGER) AS shard, hilbert AS shuffle_key,
+       CAST(NULL AS BIGINT) AS shard_pos
+FROM ({hil})
 """
 
 

@@ -325,3 +325,121 @@ def skip_rate_and(report: DataFrame, preds: dict[str, tuple]) -> float:
             )
         )
     return 1.0 - hit.count() / n
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (d=2): better locality than Z-order, same contract
+
+
+def add_hilbert(
+    df: DataFrame,
+    dims: list[Column],
+    bits: int = ZBITS,
+    bounds: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Append a ``hilbert`` BIGINT column: the Hilbert-curve index of
+    the two scaled cells. The Hilbert curve is the locality upgrade
+    over Morton — EVERY consecutive pair of indices is grid-adjacent
+    (|Δx|+|Δy| = 1, no Z-shape jumps), so range-partitioned files
+    cover tighter tiles; Databricks ships it as liquid clustering's
+    curve. d=2 only (the standard xy→d transform; Hamilton 1891 /
+    the classic bit-twiddling loop).
+
+    The per-bit state transition mutates (x, y, d) with conditionals
+    that reuse x and y several times — inlining the whole loop would
+    blow the expression tree up 3^bits-fold (the expression-reuse
+    gotcha at its worst), so each iteration is its OWN projection
+    over concrete columns: ``bits`` chained map-stage selects, each
+    O(1) expressions, zero exchanges. The DuckDB twin
+    (:func:`hilbert_sql`) materializes the same chain as CTEs; all
+    arithmetic is integer CASE work — exact in both engines."""
+    if len(dims) != 2:
+        raise ValueError("add_hilbert supports exactly 2 dimensions")
+    if bounds is None:
+        bounds = minmax_bounds(df, dims)
+    staged = df.select(
+        "*",
+        scale_cell(dims[0], *bounds[0], bits).alias("_hx"),
+        scale_cell(dims[1], *bounds[1], bits).alias("_hy"),
+    ).withColumn("_hd", F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        d_new = F.col("_hd") + F.lit(s).cast("long") * F.lit(s) * quad
+        # rotation: ry==1 keeps (x,y); ry==0 swaps, flipping both
+        # when rx==1
+        xf = F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        yf = F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        x_new = F.when(ry == 1, F.col("_hx")).otherwise(yf)
+        y_new = F.when(ry == 1, F.col("_hy")).otherwise(xf)
+        staged = staged.select(
+            *df.columns,
+            x_new.cast("long").alias("_hx"),
+            y_new.cast("long").alias("_hy"),
+            d_new.cast("long").alias("_hd"),
+        )
+    return staged.select(*df.columns, F.col("_hd").alias("hilbert"))
+
+
+def hilbert_sql(
+    table: str,
+    dim_exprs: list[str],
+    bits: int = ZBITS,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`add_hilbert` — the same per-bit chain as
+    MATERIALIZED CTEs (the unrolled-loop precedent: classifier GD),
+    bounds computed in a leading CTE exactly like the zorder twin."""
+    if len(dim_exprs) != 2:
+        raise ValueError("hilbert_sql supports exactly 2 dimensions")
+    e0, e1 = dim_exprs
+    c0 = scale_cell_sql(e0, "(SELECT lo0 FROM _hb)", "(SELECT hi0 FROM _hb)", bits)
+    c1 = scale_cell_sql(e1, "(SELECT lo1 FROM _hb)", "(SELECT hi1 FROM _hb)", bits)
+    parts = [
+        f"""
+WITH _hb AS MATERIALIZED (
+  SELECT min(CAST({e0} AS BIGINT)) lo0, max(CAST({e0} AS BIGINT)) hi0,
+         min(CAST({e1} AS BIGINT)) lo1, max(CAST({e1} AS BIGINT)) hi1
+  FROM {table}
+),
+_h{bits} AS MATERIALIZED (
+  SELECT {cols}, {c0} AS hx, {c1} AS hy, CAST(0 AS BIGINT) AS hd
+  FROM {table}
+)"""
+    ]
+    prev = f"_h{bits}"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        xf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        yf = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        parts.append(
+            f""",
+_h{i} AS MATERIALIZED (
+  SELECT {cols},
+         CAST(CASE WHEN {ry} = 1 THEN hx ELSE {yf} END AS BIGINT) AS hx,
+         CAST(CASE WHEN {ry} = 1 THEN hy ELSE {xf} END AS BIGINT) AS hy,
+         CAST(hd + {s}::BIGINT * {s} * {quad} AS BIGINT) AS hd
+  FROM {prev}
+)"""
+        )
+        prev = f"_h{i}"
+    parts.append(f"\nSELECT {cols}, hd AS hilbert FROM {prev}")
+    return "".join(parts)

@@ -326,3 +326,76 @@ class TestConjunctiveSkip:
         # a 1/8 × 1/8 tile on a 16-file z-layout: nearly everything
         # prunes
         assert both >= 0.8
+
+
+def _py_hilbert(x: int, y: int, bits: int) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbert:
+    def test_matches_python_reference(self, spark):
+        from beats_spark.operators.layout import add_hilbert
+
+        pts = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["hilbert"]
+            for r in add_hilbert(
+                df, [F.col("x"), F.col("y")], bits=3, bounds=[(0, 7), (0, 7)]
+            ).collect()
+        }
+        for x, y in pts:
+            assert got[(x, y)] == _py_hilbert(x, y, 3), (x, y)
+
+    def test_perfect_locality(self, spark):
+        """THE Hilbert property Morton lacks: consecutive indices are
+        always grid-adjacent (|Δx|+|Δy| == 1 for every step)."""
+        from beats_spark.operators.layout import add_hilbert
+
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = add_hilbert(
+            df, [F.col("x"), F.col("y")], bits=4, bounds=[(0, 15), (0, 15)]
+        ).collect()
+        by_d = {r["hilbert"]: (r["x"], r["y"]) for r in rows}
+        assert sorted(by_d) == list(range(256))  # a bijection
+        for d in range(255):
+            (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+            assert abs(x1 - x0) + abs(y1 - y0) == 1, d
+
+    def test_duckdb_parity_on_documents(self, spark):
+        from beats_spark.operators.layout import add_hilbert, hilbert_sql
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = {
+            r["doc_id"]: r["hilbert"]
+            for r in add_hilbert(
+                docs, [F.col("n_chars"), F.col("doc_id") % 97], bits=6
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/documents.parquet')"
+        )
+        want = dict(
+            con.execute(
+                hilbert_sql(
+                    "documents", ["n_chars", "doc_id % 97"], bits=6,
+                    cols="doc_id",
+                )
+            ).fetchall()
+        )
+        assert got == want
