@@ -185,14 +185,24 @@ def zorder_write(
     n_files: int,
     bits: int = ZBITS,
     bounds: list[tuple[int, int]] | None = None,
+    curve: str = "zorder",
 ) -> None:
-    """The OPTIMIZE-ZORDER analog: one range exchange on the z-code,
-    curve-sorted within each output file. Every later scan filtering
-    on ANY of ``dims`` prunes files via parquet min/max stats."""
-    zdf = add_zorder(df, dims, bits=bits, bounds=bounds)
+    """The OPTIMIZE-ZORDER analog: one range exchange on the curve
+    code, curve-sorted within each output file. Every later scan
+    filtering on ANY of ``dims`` prunes files via parquet min/max
+    stats. ``curve='hilbert'`` (2 dims only) swaps in the
+    Hilbert index — tighter tiles, same write shape."""
+    if curve == "hilbert":
+        zdf = add_hilbert(df, dims, bits=bits, bounds=bounds)
+        key = "hilbert"
+    elif curve == "zorder":
+        zdf = add_zorder(df, dims, bits=bits, bounds=bounds)
+        key = "zorder"
+    else:
+        raise ValueError(f"unknown curve: {curve!r}")
     (
-        zdf.repartitionByRange(n_files, "zorder")
-        .sortWithinPartitions("zorder")
+        zdf.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
         .write.mode("overwrite")
         .parquet(path)
     )

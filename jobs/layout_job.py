@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
         "are hashed to their portable 32-bit word code",
     )
     p.add_argument("--bits", type=int, default=10)
+    p.add_argument("--curve", default="zorder",
+                   choices=["zorder", "hilbert"])
     p.add_argument("--files", type=int, default=16)
     p.add_argument("--compact-target-mb", type=int, default=0)
     p.add_argument("--audit-col", default=None)
@@ -78,8 +80,11 @@ def main(argv: list[str] | None = None) -> int:
         for d in dim_names
     ]
 
-    zpath = f"{args.output}/zorder"
-    zorder_write(df, zpath, dims, n_files=args.files, bits=args.bits)
+    zpath = f"{args.output}/{args.curve}"
+    zorder_write(
+        df, zpath, dims, n_files=args.files, bits=args.bits,
+        curve=args.curve,
+    )
     n_files, n_bytes = dataset_file_stats(zpath)
 
     audit_cols = [d for d in dim_names if d in numeric and d in df.columns]
@@ -98,12 +103,13 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             zpath,
             f"{args.output}/compact",
-            order_col="zorder",
+            order_col=args.curve,
             target_bytes=args.compact_target_mb << 20,
         )
 
     out = {
         "rows": df.count(),
+        "curve": args.curve,
         "dims": dim_names,
         "n_files": n_files,
         "bytes": n_bytes,

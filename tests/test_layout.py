@@ -399,3 +399,28 @@ class TestHilbert:
             ).fetchall()
         )
         assert got == want
+
+
+class TestHilbertWrite:
+    def test_hilbert_layout_prunes_both_dims(
+        self, spark, tmp_path_factory
+    ):
+        from beats_spark.operators.layout import (
+            file_skip_report,
+            skip_rate,
+            zorder_write,
+        )
+
+        grid = spark.range(64 * 64).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        root = tmp_path_factory.mktemp("hilb")
+        hpath = str(root / "h")
+        zorder_write(
+            grid, hpath, [F.col("x"), F.col("y")], n_files=16, bits=6,
+            bounds=[(0, 63), (0, 63)], curve="hilbert",
+        )
+        rep = file_skip_report(spark, hpath, ["x", "y"])
+        assert skip_rate(rep, "x", 8, 15) >= 0.5
+        assert skip_rate(rep, "y", 8, 15) >= 0.5
