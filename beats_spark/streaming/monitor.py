@@ -98,3 +98,67 @@ class StreamingCms:
             depth=self.depth,
             width=self.width,
         )
+
+
+class StreamingHll:
+    """foreachBatch sink: per-batch HLL registers into the same
+    idempotent ``batch_id``-partitioned store shape — the continuous
+    "distinct conversations/documents seen so far" companion to
+    :class:`StreamingCms`.
+
+    Where CMS registers merge by SUM (linear), HLL registers merge by
+    element-wise MAX (operators/sketch.py merge property) — so the
+    read-time merge is a ``groupBy(register).max`` over committed
+    batch partitions, and an at-least-once replay of a batch is
+    DOUBLY harmless: the partition overwrite rewrites identical
+    bytes, and even a hypothetical duplicate register row cannot
+    move a max. State is ≤ 2^p longs per batch partition, never one
+    row per distinct key."""
+
+    def __init__(
+        self,
+        output_root: str,
+        value_col: str = "conv_id",
+        p: int = 8,
+    ) -> None:
+        self.output_root = output_root
+        self.value_col = value_col
+        self.p = p
+
+    # -- write side ------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.sketch import hll_registers
+
+        regs = hll_registers(
+            batch_df, F.col(self.value_col), p=self.p
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        (
+            regs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{self.output_root}/registers")
+        )
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- read side -------------------------------------------------------
+
+    def merged_registers(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.parquet(f"{self.output_root}/registers")
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+
+    def estimate(self, spark: SparkSession) -> DataFrame:
+        """One-row (m, n_nonzero, estimate) over everything committed."""
+        from ..operators.sketch import hll_estimate
+
+        return hll_estimate(self.merged_registers(spark), p=self.p)

@@ -166,3 +166,53 @@ class TestStreamingCms:
             tuple(r) for r in mon.merged_registers(spark).collect()
         )
         assert once == twice
+
+
+class TestStreamingHll:
+    def test_streamed_estimate_equals_batch_sketch(self, spark, tmp_path):
+        """Registers max-merged across micro-batches must equal the
+        one-shot batch sketch on the union — and the estimate is
+        replay-safe (rewriting a batch partition changes nothing)."""
+        import time as _t
+        from pyspark.sql import functions as F
+        from beats_spark.operators.sketch import hll_cardinality
+        from beats_spark.streaming.monitor import StreamingHll
+
+        src = tmp_path / "in"
+        src.mkdir()
+        df1 = spark.range(0, 600).select(
+            F.concat(F.lit("c"), F.col("id")).alias("conv_id")
+        )
+        df2 = spark.range(300, 900).select(
+            F.concat(F.lit("c"), F.col("id")).alias("conv_id")
+        )
+        df1.coalesce(1).write.mode("append").parquet(str(src))
+
+        mon = StreamingHll(str(tmp_path / "hll"))
+        stream = (
+            spark.readStream.schema("conv_id string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = mon.attach(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        df2.coalesce(1).write.mode("append").parquet(str(src))
+        q2 = mon.attach(
+            spark.readStream.schema("conv_id string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src)),
+            str(tmp_path / "ckpt"),
+        )
+        q2.awaitTermination(120)
+
+        got = mon.estimate(spark).collect()[0]
+        want = hll_cardinality(
+            df1.unionByName(df2), F.col("conv_id")
+        ).collect()[0]
+        assert got["estimate"] == want["estimate"]
+        assert got["n_nonzero"] == want["n_nonzero"]
+        # replay batch 0: identical partition bytes, estimate unmoved
+        mon.process_batch(df1, 0)
+        again = mon.estimate(spark).collect()[0]
+        assert again["estimate"] == got["estimate"]
