@@ -226,7 +226,7 @@ def q_dedup_exact(spark, sf_dir):
         docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0),
         F.col("text"),
     )
-    nl_l, nl_d = F.lit(None).cast("long"), F.lit(None).cast("double")
+    nl_l = F.lit(None).cast("long")
     ovx = ov.select(
         F.explode(
             F.array(

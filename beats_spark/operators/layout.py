@@ -109,8 +109,19 @@ def interleave_cells(cells: list[Column], bits: int = ZBITS) -> Column:
     """z = OR over bit j, dim i of ``bit_j(cell_i) << (j·d + i)`` —
     literal shift amounts only (pyspark's shiftleft/shiftright
     restriction), so the whole code is one codegen-friendly long
-    expression."""
+    expression.
+
+    Guard: the interleaved code must fit a signed 64-bit long. Java
+    shiftleft wraps the shift amount mod 64 (7 dims × 10 bits would
+    silently corrupt codes) while DuckDB's ``<<`` does not wrap — the
+    engines would diverge, so refuse up front."""
     d = len(cells)
+    if d * bits > 63:
+        raise ValueError(
+            f"interleave_cells: {d} dims x {bits} bits = {d * bits} "
+            "code bits > 63 — shift amounts would wrap mod 64 on the "
+            "JVM; lower bits or dims"
+        )
     parts = [
         F.shiftleft(
             F.shiftright(c, j).bitwiseAND(F.lit(1)), j * d + i
@@ -129,6 +140,10 @@ def interleave_cells_sql(exprs: list[str], bits: int = ZBITS) -> str:
     an unwrapped ``a << 0 | b << 2`` parses as ``((a << 0) | b) << 2``
     and overflows."""
     d = len(exprs)
+    if d * bits > 63:
+        raise ValueError(
+            f"interleave_cells_sql: {d} dims x {bits} bits > 63"
+        )
     terms = [
         f"(((({e}) >> {j}) & 1) << {j * d + i})"
         for j in range(bits)

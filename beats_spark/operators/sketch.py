@@ -109,12 +109,18 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         + (F.lit(m).cast("long") - F.col("n_nonzero")) * F.lit(empty_unit)
     )
     num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
+    # Empty register table (empty input corpus): the raw harmonic-sum
+    # estimator would read α·m (and an un-coalesced sum reads NULL,
+    # which Spark's greatest SKIPS while DuckDB's propagates — the
+    # least/greatest null-skip gotcha). Pin the empty case to 0.0 in
+    # BOTH engines so overlap/inclusion–exclusion stays cross-engine
+    # deterministic.
     return agg.select(
         F.lit(m).cast("long").alias("m"),
         "n_nonzero",
-        F.round(F.lit(num) / total_units.cast("double"), 6).alias(
-            "estimate"
-        ),
+        F.when(F.col("n_nonzero") == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(num) / total_units.cast("double"), 6))
+        .alias("estimate"),
     )
 
 
@@ -267,9 +273,10 @@ agg AS (
   FROM regs
 )
 SELECT CAST({m} AS BIGINT) AS m, n_nonzero,
+       CASE WHEN n_nonzero = 0 THEN 0.0 ELSE
        round({num!r} / CAST(present_units
              + ({m} - n_nonzero) * ({1 << (bits + 1)}::BIGINT)
-             AS DOUBLE), 6) AS estimate
+             AS DOUBLE), 6) END AS estimate
 FROM agg
 """
 
@@ -338,10 +345,11 @@ def _estimate_from_regs_sql(regs_cte: str, p: int = 8) -> str:
     alpha = _alpha(m)
     num = float(alpha) * float(m) * float(m) * float(1 << (bits + 1))
     return f"""
-SELECT round({num!r} / CAST(
+SELECT CASE WHEN count(*) = 0 THEN 0.0 ELSE
+       round({num!r} / CAST(
          CAST(sum(1::BIGINT << ({bits + 1} - max_rho)) AS BIGINT)
          + ({m} - CAST(count(*) AS BIGINT)) * ({1 << (bits + 1)}::BIGINT)
-         AS DOUBLE), 6) AS estimate
+         AS DOUBLE), 6) END AS estimate
 FROM {regs_cte}
 """
 

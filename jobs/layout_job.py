@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     audit_cols = [d for d in dim_names if d in numeric and d in df.columns]
     rep = file_skip_report(spark, zpath, audit_cols) if audit_cols else None
     audits = {}
+    if args.audit_col and args.audit_col not in audit_cols:
+        raise SystemExit(
+            f"--audit-col {args.audit_col!r} is not a numeric layout "
+            f"dimension (have: {audit_cols}) — the skip audit would "
+            "silently never run"
+        )
     if rep is not None:
         acol = args.audit_col or (audit_cols[0] if audit_cols else None)
         if acol in audit_cols:

@@ -424,3 +424,25 @@ class TestHilbertWrite:
         rep = file_skip_report(spark, hpath, ["x", "y"])
         assert skip_rate(rep, "x", 8, 15) >= 0.5
         assert skip_rate(rep, "y", 8, 15) >= 0.5
+
+
+class TestInterleaveGuard:
+    def test_rejects_codes_wider_than_63_bits(self):
+        """Java shiftleft wraps shift amounts mod 64 (silent z-code
+        corruption) while DuckDB's << does not — both builders refuse
+        d*bits > 63 up front (ADVICE r4)."""
+        import pytest
+        from pyspark.sql import functions as F
+        from beats_spark.operators.layout import (
+            interleave_cells,
+            interleave_cells_sql,
+        )
+
+        cols = [F.col(f"c{i}") for i in range(7)]
+        with pytest.raises(ValueError, match="63"):
+            interleave_cells(cols, bits=10)
+        with pytest.raises(ValueError, match="63"):
+            interleave_cells_sql([f"c{i}" for i in range(7)], bits=10)
+        # 63 bits exactly is legal (7 dims x 9 bits)
+        interleave_cells(cols, bits=9)
+        interleave_cells_sql([f"c{i}" for i in range(7)], bits=9)

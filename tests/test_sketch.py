@@ -261,3 +261,44 @@ class TestGroupedOverlap:
         assert rows["only_a"]["est_inter"] == 0.0
         assert rows["only_b"]["est_a"] == 0.0
         assert rows["only_b"]["jaccard"] == 0.0
+
+    def test_empty_corpus_overlap_is_zero_both_engines(self, spark):
+        """An EMPTY input corpus must read estimate 0.0, not NULL or
+        the raw-estimator α·m: an un-coalesced empty register sum is
+        NULL, and Spark's greatest SKIPS NULLs while DuckDB's
+        propagates — the overlap row would diverge cross-engine
+        (ADVICE r4)."""
+        import duckdb
+        from beats_spark.operators.sketch import (
+            hll_cardinality,
+            hll_cardinality_sql,
+            hll_overlap,
+            hll_overlap_sql,
+        )
+        from pyspark.sql import functions as F
+
+        empty = spark.createDataFrame([], "v string")
+        full = spark.createDataFrame(
+            [(f"z{i}",) for i in range(200)], "v string"
+        )
+        card = hll_cardinality(empty, F.col("v")).collect()[0]
+        assert card["estimate"] == 0.0 and card["n_nonzero"] == 0
+
+        row = hll_overlap(empty, F.col("v"), full, F.col("v")).collect()[0]
+        assert row["est_a"] == 0.0
+        assert row["est_inter"] == 0.0
+        assert row["jaccard"] == 0.0
+        assert row["est_union"] == row["est_b"]
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(v VARCHAR)")
+        con.execute("CREATE TABLE f(v VARCHAR)")
+        con.executemany(
+            "INSERT INTO f VALUES (?)", [(f"z{i}",) for i in range(200)]
+        )
+        dcard = con.execute(hll_cardinality_sql("e", "v")).fetchone()
+        assert dcard[-1] == 0.0
+        drow = con.execute(hll_overlap_sql("e", "v", "f", "v")).fetchone()
+        srow = (row["est_a"], row["est_b"], row["est_union"],
+                row["est_inter"], row["jaccard"])
+        assert tuple(drow) == srow
