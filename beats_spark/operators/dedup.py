@@ -720,6 +720,9 @@ def explode_band_keys(
     )
 
 
+LSH_BUCKET_CAP = 256  # anchors per (band, key) bucket — see below
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -728,13 +731,30 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified by true shingle Jaccard.
 
     Scale path: signatures are fixed-width, band keys have bounded
     fanout, and the verify join touches only candidate pairs. The
     band bucket join is the 100 TB-safe replacement for the
-    all-pairs shingle join."""
+    all-pairs shingle join.
+
+    Hot-bucket guard (``bucket_cap``): a degenerate band bucket of B
+    near-identical documents (templated/boilerplate spam — common at
+    crawl scale; exact dedup upstream removes only byte-identical
+    docs) would emit B²/2 candidate rows from a bare self-join —
+    quadratic OUTPUT no AQE skew split can shrink. Instead the left
+    side of the candidate join is restricted to each bucket's first
+    ``bucket_cap`` members by id (``row_number`` within the bucket),
+    so a B-doc bucket emits O(B·cap) candidates. Buckets at or under
+    the cap produce the IDENTICAL full pair set (every member is an
+    anchor); oversized buckets keep duplicate-cluster connectivity —
+    every member still pairs with the bucket's minimum-id anchor, so
+    :func:`connected_components` groups the cluster exactly as
+    before — and only drop non-anchor×non-anchor candidate edges,
+    which are redundant for dedup. Same bounded-candidate contract
+    as the PPJoin prefix filter."""
     # one tokenization: the shingle table feeds BOTH the signature
     # chain and the verify join
     sh = df.select(
@@ -762,8 +782,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # anchors: first bucket_cap members of each (band, key) bucket by
+    # id — one sort-based window over the band table (spills, never
+    # collects); the anchor×member join reuses the (band, key)
+    # partitioning the window installed.
+    wb = Window.partitionBy("band", "key").orderBy("id")
+    anchors = (
+        bands.withColumn("_rk", F.row_number().over(wb))
+        .where(F.col("_rk") <= bucket_cap)
+        .drop("_rk")
+    )
     cand = (
-        bands.alias("a")
+        anchors.alias("a")
         .join(bands.alias("b"), on=["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -790,7 +820,11 @@ def minhash_lsh_pairs_sql(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> str:
+    """DuckDB twin — identical hot-bucket anchor rule (row_number
+    within (band, key) by id, left join side capped), so both engines
+    emit the same candidate set even past the cap."""
     n_bands = k // rows_per_band
     band_rows = ", ".join(
         "({b}, {key})".format(
@@ -807,9 +841,16 @@ bands AS (
   SELECT id, bk[1]::INTEGER AS band, bk[2] AS key
   FROM sig, unnest([{band_rows}]) AS t(bk)
 ),
+anchors AS (
+  SELECT id, band, key FROM (
+    SELECT id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY id) AS rk
+    FROM bands
+  ) WHERE rk <= {bucket_cap}
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b USING (band, key)
+  FROM anchors a JOIN bands b USING (band, key)
   WHERE a.id < b.id
 ),
 verified AS (
@@ -1068,6 +1109,7 @@ def simhash_hamming_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of each other's
     simhash — the ≤k-bit matching the r1 hamming-0 grouping promised.
@@ -1113,8 +1155,17 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # same hot-bucket anchor rule as minhash_lsh_pairs: identical
+    # boilerplate docs share every band key, and a bare self-join
+    # would emit B^2/2 candidates from one bucket.
+    wb = Window.partitionBy("band", "key").orderBy("id")
+    anchors = (
+        bands.withColumn("_rk", F.row_number().over(wb))
+        .where(F.col("_rk") <= bucket_cap)
+        .drop("_rk")
+    )
     cand = (
-        bands.alias("a")
+        anchors.alias("a")
         .join(bands.alias("b"), on=["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -1138,8 +1189,10 @@ def simhash_hamming_pairs_sql(
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> str:
-    """DuckDB twin of :func:`simhash_hamming_pairs` (lock-step)."""
+    """DuckDB twin of :func:`simhash_hamming_pairs` (lock-step,
+    including the hot-bucket anchor rule)."""
     width = bits // n_bands
     mask = (1 << width) - 1
     fp = simhash_sql(text_col, bits)
@@ -1152,9 +1205,16 @@ bands AS (
   SELECT id, b AS band, (fp >> (b * {width})) & {mask} AS key
   FROM sh, unnest([{band_list}]) AS t(b)
 ),
+anchors AS (
+  SELECT id, band, key FROM (
+    SELECT id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY id) AS rk
+    FROM bands
+  ) WHERE rk <= {bucket_cap}
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-  FROM bands a JOIN bands b2 USING (band, key)
+  FROM anchors a JOIN bands b2 USING (band, key)
   WHERE a.id < b2.id
 ),
 verified AS (

@@ -904,6 +904,9 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 # SemDeDup: semantic deduplication inside k-means clusters
 
 
+SEMDEDUP_CELL_CAP = 512  # anchors per cell — see semdedup docstring
+
+
 def semdedup(
     df: DataFrame,
     k: int = 8,
@@ -911,6 +914,7 @@ def semdedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int = SEMDEDUP_CELL_CAP,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -933,6 +937,19 @@ def semdedup(
     corpus shuffles once on id (vector re-attach) and once on cell;
     nothing is quadratic across cells.
 
+    Hot-cell guard (``cell_cap``, r4 verdict #8): a degenerate corpus
+    whose embeddings all collapse into ONE cell would emit B²/2 pair
+    cosines regardless of k. The pair join's left side is capped to
+    each cell's first ``cell_cap`` members ordered (dist DESC, id ASC)
+    — the FARTHEST-from-centroid members, i.e. exactly the members the
+    keep-the-most-atypical rule retains. Cells at/under the cap
+    produce the identical full pair set; oversized cells still pair
+    every member against the eventual survivors (the farthest anchors
+    dominate every drop decision), so keep/drop outcomes for dense
+    duplicate neighborhoods are preserved while pair cost drops to
+    O(|cell|·cap). Same bounded-candidate contract as the LSH
+    hot-bucket anchor rule in ``dedup.minhash_lsh_pairs``.
+
     Returns (id, cell, dist, n_dup_pairs, keep): one row per input
     vector; ``keep`` is False iff some same-cell vector within the
     cosine threshold sits strictly farther from the centroid (or
@@ -954,7 +971,15 @@ def semdedup(
         .withColumn("_nrm", norm(F.col(vec_col)))
         .localCheckpoint()
     )
-    lhs = av.select(
+    wc = Window.partitionBy("cell").orderBy(
+        F.col("dist").desc(), F.col(id_col).asc()
+    )
+    anchors = (
+        av.withColumn("_rk", F.row_number().over(wc))
+        .where(F.col("_rk") <= cell_cap)
+        .drop("_rk")
+    )
+    lhs = anchors.select(
         F.col(id_col).alias("id_a"),
         F.col("cell"),
         F.col("dist").alias("dist_a"),
@@ -968,9 +993,14 @@ def semdedup(
         F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
     )
+    # anchors are dist-ordered, not id-ordered, so an anchor×member
+    # pair can arrive in either id orientation — canonicalize to
+    # id_a < id_b AFTER the cosine (symmetric, identical rounding)
+    # and distinct on the scalar columns (anchor-anchor pairs appear
+    # in both orientations).
     dup = (
         lhs.join(rhs, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -983,6 +1013,22 @@ def semdedup(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.when(F.col("id_a") < F.col("id_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("dist_a"))
+            .otherwise(F.col("dist_b"))
+            .alias("dist_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("dist_b"))
+            .otherwise(F.col("dist_a"))
+            .alias("dist_b"),
+            "cos_sim",
+        )
+        .distinct()
     )
     # the dropped member of a pair: closer to the centroid; equal
     # (rounded) distances drop the larger id
@@ -1014,28 +1060,41 @@ def semdedup_sql(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int = SEMDEDUP_CELL_CAP,
 ) -> str:
     """DuckDB twin of :func:`semdedup` — reuses the unrolled k-means
-    generator so both engines derive identical cells and distances."""
+    generator so both engines derive identical cells and distances,
+    and applies the IDENTICAL hot-cell anchor rule (row_number within
+    cell by (dist DESC, id ASC), left join side capped)."""
     km = kmeans_ivf_sql(
         table, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
     return f"""
 WITH assigned AS ({km}),
-av AS (
+av AS MATERIALIZED (
   SELECT a.{id_col}, a.cell, a.dist, e.{vec_col}
   FROM assigned a JOIN {table} e USING ({id_col})
 ),
+anchors AS (
+  SELECT {id_col}, cell, dist, {vec_col} FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY dist DESC, {id_col} ASC
+    ) AS rk FROM av
+  ) WHERE rk <= {cell_cap}
+),
 dup AS (
-  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-         a.dist AS dist_a, b.dist AS dist_b,
+  SELECT DISTINCT
+         least(a.{id_col}, b.{id_col}) AS id_a,
+         greatest(a.{id_col}, b.{id_col}) AS id_b,
+         CASE WHEN a.{id_col} < b.{id_col} THEN a.dist ELSE b.dist END AS dist_a,
+         CASE WHEN a.{id_col} < b.{id_col} THEN b.dist ELSE a.dist END AS dist_b,
          round(
            list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}),
                                    p -> p[1]::DOUBLE * p[2]::DOUBLE))
            / (sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
               * sqrt(list_sum(list_transform(b.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
            6) AS cos_sim
-  FROM av a JOIN av b ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+  FROM anchors a JOIN av b ON a.cell = b.cell AND a.{id_col} <> b.{id_col}
 ),
 losers AS (
   SELECT CASE WHEN dist_a < dist_b OR (dist_a = dist_b AND id_a > id_b)

@@ -346,6 +346,47 @@ class TestSemDeDup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_hot_cell_capped_pairs_bounded(self, spark):
+        """One-cluster degenerate corpus (r4 verdict #8): all B
+        embeddings land in a single cell; the cell_cap anchor rule
+        keeps pair cost O(B*cap), still keeps exactly one survivor,
+        and the DuckDB twin applies the identical rule."""
+        import duckdb
+        from beats_spark.operators.similarity import semdedup_sql
+
+        B, cap = 400, 4
+        rows = [(i, [1.0, 0.0, 0.0]) for i in range(B)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = semdedup(
+            df, k=2, iters=1, threshold=0.9, cell_cap=cap
+        ).collect()
+        assert len(out) == B
+        keeps = [r["vec_id"] for r in out if r["keep"]]
+        assert keeps == [0]  # identical dists: ties drop the larger id
+        total_pairs = sum(r["n_dup_pairs"] for r in out)
+        assert 0 < total_pairs <= cap * B
+        assert total_pairs < B * (B - 1) // 2 / 10
+
+        con = duckdb.connect()
+        con.register(
+            "emb_v",
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).toPandas(),
+        )
+        con.execute("CREATE TABLE embs AS SELECT * FROM emb_v")
+        want = con.execute(
+            semdedup_sql("embs", k=2, iters=1, threshold=0.9, cell_cap=cap)
+            + " ORDER BY vec_id"
+        ).fetchall()
+        got = sorted(
+            (r["vec_id"], r["cell"], r["dist"], r["n_dup_pairs"], r["keep"])
+            for r in out
+        )
+        assert [tuple(w) for w in want] == got
+
     def test_impossible_threshold_keeps_all(self, spark):
         df = spark.createDataFrame(
             self.VECS, "vec_id long, embedding array<float>"
