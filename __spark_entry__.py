@@ -565,12 +565,14 @@ def q_ingest_steps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ua_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """user_agent + geoip as broadcast-dimension enriches (§2.5, r2
-    verdict item #6): exact-UA join plus longest-prefix CIDR match
-    (one equi-join per distinct prefix length — never a range join),
-    standing in for the ingest node's regexes.yaml / GeoLite2 lookups
-    (filebeat/module/apache/access/ingest/default.json user_agent +
-    geoip steps)."""
+    """user_agent + geoip enriches (§2.5): exact-UA broadcast dim as
+    the cache tier, with dim MISSES resolved through the bounded
+    uap-core-style regex tables (r4 verdict #6 — the synthetic
+    'UnknownBot/0.1' is a deliberate dim miss that now resolves to
+    the Spider family), plus longest-prefix CIDR match (one equi-join
+    per distinct prefix length — never a range join); the ingest
+    node's regexes.yaml / GeoLite2 steps
+    (filebeat/module/apache/access/ingest/default.json)."""
     from beats_spark.operators.enrich import (
         UA_DIM_ROWS,
         GeoIPEnrich,
@@ -630,7 +632,8 @@ def q_ua_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(100, "nginx"), (101, "python"), (102, "bash")], "pid long, name string"
     )
     out = UserAgentEnrich(
-        dim=dim_user_agents(spark), field="ua", target_prefix="user_agent"
+        dim=dim_user_agents(spark), field="ua", target_prefix="user_agent",
+        regex_fallback=True,
     ).apply(src)
     out = GeoIPEnrich(
         dim=dim_geoip(spark), field="ip", target_prefix="source.geo"
@@ -1155,7 +1158,11 @@ def _ua_geo_oracle() -> str:
         GEO_DIM_ROWS,
         IP_TO_LONG_SQL,
         UA_DIM_ROWS,
+        ua_regex_sql,
     )
+
+    rx = ua_regex_sql("s.ua")
+    rx_name, rx_device = rx["name"], rx["device"]
 
     ua_values = ",\n    ".join(
         "('{}', '{}', '{}', '{}')".format(*r) for r in UA_DIM_ROWS
@@ -1204,7 +1211,8 @@ matched AS (
     ON ({ip_long} >> (32 - g.plen)) = (g.net >> (32 - g.plen))
 ),
 best AS (SELECT event_id, country, city FROM matched WHERE rn = 1)
-SELECT u.name AS ua_name, u.device AS ua_device,
+SELECT coalesce(u.name, {rx_name}) AS ua_name,
+       coalesce(u.device, {rx_device}) AS ua_device,
        b.country AS geo_country, b.city AS geo_city,
        count(*) AS n_rows, count(DISTINCT s.user_id) AS n_users,
        count(CASE WHEN d.cname = 'web-1' THEN 1 END) AS n_docker_web,

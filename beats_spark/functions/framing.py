@@ -64,7 +64,19 @@ def decode_blob(blob: Column, charset: str = "utf-8") -> Column:
     - ``utf-16``: BOM REQUIRED (``utf16BOMRequired`` — no fallback).
       The reference fails the file open; the batch analog yields NULL
       for the caller to flag/route.
-    - ``iso8859-1`` / ``latin1``: single-byte charmap.
+    - ``iso8859-1`` / ``latin1``: single-byte charmap (conf-free JVM
+      decode).
+    - every other single-byte charmap in the reference registry
+      (iso8859-2..16 + 6e/6i/8e/8i, cp437..866, ebcdic-037/1040,
+      koi8r/u, macintosh(+cyrillic), windows1250..1258, windows874):
+      conf-free via ISO-8859-1 pass-through + one ``F.translate``
+      built from the published byte table (``_CHARMAPS``).
+    - multi-byte codecs (gbk from the registry; shift-jis / euc-jp /
+      euc-kr / big5 / gb18030 via the reference's htmlindex fallback;
+      ebcdic-1047): JVM decode — needs
+      ``spark.sql.legacy.javaCharsets=true`` (and codingErrorAction
+      for replace-on-malformed); :func:`session.build_session` sets
+      both.
 
     Spark 4 ANSI gotcha: ``decode()`` ABORTS THE JOB on malformed
     UTF-16 input. On dirty transports set
@@ -76,18 +88,102 @@ def decode_blob(blob: Column, charset: str = "utf-8") -> Column:
         return F.call_function("make_valid_utf8", blob.cast("string"))
     if cs in ("iso8859-1", "iso-8859-1", "latin1"):
         return F.decode(blob, "ISO-8859-1")
-    if cs in ("utf-16le", "utf-16be", "utf-16"):
+    if cs in ("utf-16le", "utf-16be", "utf-16",
+              "utf-16le-bom", "utf-16be-bom", "utf-16-bom"):
         bom2 = F.substring(blob, 1, 2)
         rest = F.substring(blob, 3, _MAX_LEN)
         detected = F.when(
             bom2 == F.lit(_BOM_BE), F.decode(rest, "UTF-16BE")
         ).when(bom2 == F.lit(_BOM_LE), F.decode(rest, "UTF-16LE"))
-        if cs == "utf-16be":
+        if cs in ("utf-16be", "utf-16be-bom"):
             return detected.otherwise(F.decode(blob, "UTF-16BE"))
-        if cs == "utf-16le":
+        if cs in ("utf-16le", "utf-16le-bom"):
             return detected.otherwise(F.decode(blob, "UTF-16LE"))
         return detected  # BOM required: NULL when absent
+    codec = _CHARMAPS.get(cs)
+    if codec is not None:
+        return _charmap_translate(blob, codec)
+    jvm = _JVM_MULTIBYTE.get(cs)
+    if jvm is not None:
+        # multi-byte stateful codecs can't be a 1:1 byte translate —
+        # the JVM decodes them, gated behind Spark 4's
+        # spark.sql.legacy.javaCharsets=true (+ codingErrorAction for
+        # replace-on-malformed); build_session sets both.
+        return F.decode(blob, jvm)
     raise ValueError(f"unsupported charset: {charset}")
+
+
+#: reference charset name → Python codec name for every SINGLE-BYTE
+#: charmap in the reference registry (encoding.go:47-104). Each
+#: decodes conf-free on the Spark side: bytes pass through the
+#: allowed ISO-8859-1 decode (byte b → char U+00b), then ONE
+#: ``F.translate`` rewrites the bytes whose target differs, with the
+#: same undefined-byte → U+FFFD rule as x/text charmaps. The 6e/6i
+#: and 8e/8i bidi variants share their base charmap's byte table.
+_CHARMAPS = {
+    "iso8859-2": "iso8859_2", "iso8859-3": "iso8859_3",
+    "iso8859-4": "iso8859_4", "iso8859-5": "iso8859_5",
+    "iso8859-6": "iso8859_6", "iso8859-7": "iso8859_7",
+    "iso8859-8": "iso8859_8", "iso8859-9": "iso8859_9",
+    "iso8859-10": "iso8859_10", "iso8859-13": "iso8859_13",
+    "iso8859-14": "iso8859_14", "iso8859-15": "iso8859_15",
+    "iso8859-16": "iso8859_16",
+    "iso8859-6e": "iso8859_6", "iso8859-6i": "iso8859_6",
+    "iso8859-8e": "iso8859_8", "iso8859-8i": "iso8859_8",
+    "cp437": "cp437", "cp850": "cp850", "cp852": "cp852",
+    "cp855": "cp855", "cp858": "cp858", "cp860": "cp860",
+    "cp862": "cp862", "cp863": "cp863", "cp865": "cp865",
+    "cp866": "cp866",
+    "ebcdic-037": "cp037",
+    # the reference's own registry maps the name "ebcdic-1040" to
+    # CodePage1140 (encoding.go:81) — mirrored verbatim
+    "ebcdic-1040": "cp1140",
+    "koi8r": "koi8_r", "koi8u": "koi8_u",
+    "macintosh": "mac_roman", "macintosh-cyrillic": "mac_cyrillic",
+    # htmlindex-fallback spellings (encoding.go:128: any WHATWG
+    # name resolves too — the dashed forms are the common ones)
+    "koi8-r": "koi8_r", "koi8-u": "koi8_u",
+    "windows-874": "cp874",
+    "windows-1250": "cp1250", "windows-1251": "cp1251",
+    "windows-1252": "cp1252", "windows-1253": "cp1253",
+    "windows-1254": "cp1254", "windows-1255": "cp1255",
+    "windows-1256": "cp1256", "windows-1257": "cp1257",
+    "windows-1258": "cp1258",
+    "windows1250": "cp1250", "windows1251": "cp1251",
+    "windows1252": "cp1252", "windows1253": "cp1253",
+    "windows1254": "cp1254", "windows1255": "cp1255",
+    "windows1256": "cp1256", "windows1257": "cp1257",
+    "windows1258": "cp1258", "windows874": "cp874",
+}
+
+#: multi-byte codecs (reference: gbk in the registry, the rest via
+#: the htmlindex fallback, encoding.go:128-132) → JVM charset names.
+#: ebcdic-1047 has no Python codec; the JVM carries it.
+_JVM_MULTIBYTE = {
+    "gbk": "GBK",
+    "shift-jis": "Shift_JIS", "shiftjis": "Shift_JIS",
+    "sjis": "Shift_JIS",
+    "euc-jp": "EUC-JP", "euc-kr": "EUC-KR",
+    "big5": "Big5", "gb18030": "GB18030",
+    "ebcdic-1047": "IBM1047",
+}
+
+
+def _charmap_translate(blob: Column, codec: str):
+    """Single-byte charmap decode as ISO-8859-1 + one ``translate``
+    (module table above). Built at compile time from the Python
+    codec's byte table — identical mapping to x/text's charmap
+    package (both implement the same published code pages)."""
+    latin = F.decode(blob, "ISO-8859-1")
+    src, dst = [], []
+    for b in range(256):
+        ch = bytes([b]).decode(codec, errors="replace")
+        if ch != chr(b):
+            src.append(chr(b))
+            dst.append(ch)
+    if not src:
+        return latin
+    return F.translate(latin, "".join(src), "".join(dst))
 
 
 def frame_delimited(blob: Column, delimiter: str = "\n") -> Column:

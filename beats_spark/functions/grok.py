@@ -96,6 +96,17 @@ PATTERNS: dict[str, str] = {
     # names the module ingest corpus references beyond the r2 set
     # (apache/error, icinga, kafka, iis, postgresql, system/* module
     # ingest JSONs); regexes written fresh, non-capturing
+    # timezone abbreviations (upstream grok-patterns TZ)
+    "TZ": r"(?:[APMCE][SD]T|UTC|GMT)",
+    # MAC addresses (upstream grok-patterns; iptables NETFILTERMAC
+    # builds on MAC)
+    "CISCOMAC": r"(?:(?:[A-Fa-f0-9]{2}){2}(?:\.(?:[A-Fa-f0-9]{2}){2}){2})",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}(?:-[A-Fa-f0-9]{2}){5})",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}(?::[A-Fa-f0-9]{2}){5})",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # hex number with optional sign/0x (upstream BASE16NUM, sans the
+    # lookbehind guard — anchored use in the iptables patterns)
+    "BASE16NUM": r"(?:[+-]?(?:0x)?[0-9A-Fa-f]+)",
     "DAY": (
         r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
         r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
@@ -316,13 +327,17 @@ def _analyze_participation(
     ancestor cannot match empty text."""
 
     class _Frame:
-        __slots__ = ("parent", "cap", "pipe", "optional", "start", "end")
+        __slots__ = (
+            "parent", "cap", "pipe", "optional", "lazy_opt", "start",
+            "end",
+        )
 
         def __init__(self, parent: int, cap: int | None, start: int):
             self.parent = parent
             self.cap = cap
             self.pipe = False
             self.optional = False
+            self.lazy_opt = False
             self.start = start
             self.end = -1
 
@@ -358,6 +373,7 @@ def _analyze_participation(
             fr.end = i
             nxt = pattern[i + 1 : i + 3]
             fr.optional = bool(nxt[:1] in ("?", "*") or nxt == "{0")
+            fr.lazy_opt = nxt == "??"
         i += 1
 
     def cannot_match_empty(fr: _Frame) -> bool:
@@ -397,15 +413,33 @@ def _analyze_participation(
             j = unit_end
         return False
 
+    def surely_matches_empty(fr: _Frame) -> bool:
+        """True when the frame's body is exactly ``.*`` / ``.*?`` (the
+        DATA/GREEDYDATA expansions) — it matches '' wherever tried."""
+        return bool(
+            re.fullmatch(r"\.\*\??", pattern[fr.start : fr.end])
+        )
+
     conditional: set[int] = set()
     anchors: dict[int, int] = {}
     for g, fi in group_frame.items():
-        # is g conditional? own-or-ancestor optional, or container pipe
+        # is g conditional? own-or-ancestor optional, or container
+        # pipe. Exception: a SELF-optional GREEDY group whose body
+        # surely matches empty always participates — java tries the
+        # group first and ``.*?`` takes '' (iptables
+        # ``OUT=%{DATA:...}?`` captures '' per the ES golden), so it
+        # is conditional only through its ancestors.
         cond = False
         p = fi
         first = True
         while p >= 0:
             fr = frames[p]
+            if first and fr.optional and not fr.lazy_opt and (
+                surely_matches_empty(fr)
+            ):
+                first = False
+                p = fr.parent
+                continue
             if fr.optional or (not first and fr.pipe):
                 cond = True
                 break

@@ -154,6 +154,52 @@ class EmptyMap:
 
 
 @dataclass
+class ListLit:
+    items: tuple
+
+
+@dataclass
+class Cast:
+    type: str
+    expr: Any
+
+
+@dataclass
+class Index:
+    recv: Any
+    idx: Any
+
+
+@dataclass
+class Method:
+    recv: Any
+    name: str
+    args: tuple
+
+
+@dataclass
+class LocalRef:
+    name: str
+
+
+@dataclass
+class Local:
+    name: str
+    expr: Any
+
+
+@dataclass
+class RemoveStmt:
+    path: tuple
+
+
+@dataclass
+class AddStmt:
+    path: tuple
+    expr: Any
+
+
+@dataclass
 class Assign:
     target: Path
     op: str  # '=' or '+='
@@ -204,9 +250,20 @@ class _Parser:
     def parse_stmt(self):
         if self.accept("if"):
             return self.parse_if()
-        # declarations / loops / functions are outside the subset
         kind, val = self.peek()
-        if kind == "id" and val in ("for", "while", "def", "String",
+        # `def name = expr;` local declaration (coredns source split)
+        if kind == "id" and val == "def":
+            self.next()
+            nkind, name = self.next()
+            if nkind != "id":
+                raise PainlessError("painless: bad local name")
+            self.expect("=")
+            expr = self.parse_expr()
+            self.accept(";")
+            return Local(name, expr)
+        # loops / functions stay outside the subset (the recognized
+        # shapes run before the generic parser)
+        if kind == "id" and val in ("for", "while", "String",
                                     "boolean", "int", "long", "return"):
             raise PainlessError(f"painless: unsupported statement {val!r}")
         return self.parse_assign()
@@ -234,13 +291,34 @@ class _Parser:
             return stmts
         return [self.parse_stmt()]
 
-    def parse_assign(self) -> Assign:
+    def parse_assign(self):
         kind, val = self.peek()
         if kind != "id" or val != "ctx":
             raise PainlessError(
                 f"painless: statement must assign a ctx field, got {val!r}"
             )
         target = self.parse_primary()
+        # expression-statements: ctx path method calls with effects
+        # (`ctx.remove('k')`, `ctx.tags.add(x)` — zeek/coredns/
+        # suricata)
+        if isinstance(target, Method):
+            if target.name == "remove":
+                (arg,) = target.args
+                if not isinstance(arg, Lit) or not isinstance(
+                    arg.value, str
+                ):
+                    raise PainlessError(
+                        "painless: remove needs a string literal"
+                    )
+                self.accept(";")
+                return RemoveStmt(target.recv.parts + (arg.value,))
+            if target.name == "add":
+                (arg,) = target.args
+                self.accept(";")
+                return AddStmt(target.recv.parts, arg)
+            raise PainlessError(
+                f"painless: method {target.name!r} is not a statement"
+            )
         if not isinstance(target, Path):
             raise PainlessError("painless: assignment target must be a path")
         op_kind, op = self.peek()
@@ -295,9 +373,24 @@ class _Parser:
             node = Bin(op, node, self.parse_unary())
         return node
 
+    _CAST_TYPES = ("long", "int", "short", "byte", "float", "double",
+                   "char")
+
     def parse_unary(self):
         if self.accept("!"):
             return Not(self.parse_unary())
+        # `(long)x` / `(char)("{")` C-style casts (zeek ts scale,
+        # coredns charAt comparison)
+        if (
+            self.peek()[1] == "("
+            and self.i + 2 < len(self.toks)
+            and self.toks[self.i + 1][1] in self._CAST_TYPES
+            and self.toks[self.i + 2][1] == ")"
+        ):
+            self.next()
+            typ = self.next()[1]
+            self.next()
+            return Cast(typ, self.parse_unary())
         return self.parse_primary()
 
     def parse_primary(self):
@@ -316,9 +409,14 @@ class _Parser:
             self.expect(")")
             return node
         if self.accept("["):
-            self.expect(":")
+            if self.accept(":"):
+                self.expect("]")
+                return EmptyMap()
+            items = [self.parse_expr()]
+            while self.accept(","):
+                items.append(self.parse_expr())
             self.expect("]")
-            return EmptyMap()
+            return self._postfix(ListLit(tuple(items)))
         if kind != "id":
             raise PainlessError(f"painless: unexpected token {val!r}")
         if val == "null":
@@ -344,11 +442,40 @@ class _Parser:
             if name not in self.params:
                 raise PainlessError(f"painless: missing param {name!r}")
             return Param(name)
+        if val == "new":
+            # `new HashMap()` — namespace creation, same no-op as [:]
+            self.next()
+            nkind, nval = self.next()
+            if nval != "HashMap":
+                raise PainlessError(
+                    f"painless: unsupported constructor {nval!r}"
+                )
+            self.expect("(")
+            self.expect(")")
+            return EmptyMap()
         if val == "ctx":
             self.next()
             parts: list[str] = []
-            while self.peek()[1] in (".", "?."):
-                self.next()
+            while self.peek()[1] in (".", "?.", "["):
+                sep = self.next()[1]
+                if sep == "[":
+                    # bracket segment: ctx['a']['@timestamp'] path
+                    # element, or an integer element index
+                    akind, aval = self.next()
+                    if akind == "str":
+                        parts.append(
+                            re.sub(r"\\(.)", r"\1", aval[1:-1])
+                        )
+                        self.expect("]")
+                        continue
+                    if akind == "num":
+                        self.expect("]")
+                        return self._postfix(
+                            Index(Path(tuple(parts)), int(aval))
+                        )
+                    raise PainlessError(
+                        f"painless: bad subscript {aval!r}"
+                    )
                 nkind, nval = self.next()
                 if nkind != "id":
                     raise PainlessError(
@@ -365,11 +492,62 @@ class _Parser:
                             "painless: containsKey needs a string literal"
                         )
                     return ContainsKey(tuple(parts) + (arg.value,))
+                if self.peek()[1] == "(":
+                    # method call on the path so far
+                    self.next()
+                    args = []
+                    if self.peek()[1] != ")":
+                        args.append(self.parse_expr())
+                        while self.accept(","):
+                            args.append(self.parse_expr())
+                    self.expect(")")
+                    if not parts and nval not in ("remove",):
+                        raise PainlessError(
+                            f"painless: bare ctx method {nval!r}"
+                        )
+                    return self._postfix(
+                        Method(Path(tuple(parts)), nval, tuple(args))
+                    )
                 parts.append(nval)
             if not parts:
                 raise PainlessError("painless: bare ctx is not a value")
             return Path(tuple(parts))
-        raise PainlessError(f"painless: unexpected identifier {val!r}")
+        # bare identifier: a `def` local
+        self.next()
+        return self._postfix(LocalRef(val))
+
+    def _postfix(self, node):
+        """Chained method calls / indexes after a primary
+        (``...substring(1, p)``, ``...session_ids[0]``)."""
+        while True:
+            if self.peek()[1] == ".":
+                save = self.i
+                self.next()
+                nkind, nval = self.next()
+                if nkind == "id" and self.peek()[1] == "(":
+                    self.next()
+                    args = []
+                    if self.peek()[1] != ")":
+                        args.append(self.parse_expr())
+                        while self.accept(","):
+                            args.append(self.parse_expr())
+                    self.expect(")")
+                    node = Method(node, nval, tuple(args))
+                    continue
+                self.i = save
+                break
+            if self.peek()[1] == "[":
+                self.next()
+                akind, aval = self.next()
+                if akind != "num":
+                    raise PainlessError(
+                        f"painless: bad subscript {aval!r}"
+                    )
+                self.expect("]")
+                node = Index(node, int(aval))
+                continue
+            break
+        return node
 
 
 # ---------------------------------------------------------------------------
@@ -403,9 +581,28 @@ class _Compiler:
         params: Mapping[str, Any],
         resolver: Any = None,
         float_columns: Sequence[str] = (),
+        map_parent: Any = None,
+        array_columns: Sequence[str] = (),
+        string_columns: Sequence[str] = (),
     ):
         self.columns = list(columns)
         self.params = params
+        #: flat ARRAY-typed columns: an [i] index reads them directly;
+        #: any other indexed operand is a JSON-text array out of a
+        #: map<string,string> home (zeek files rx_hosts) and parses
+        #: through from_json first
+        self.array_columns = set(array_columns)
+        #: STRING-typed flat columns: arithmetic over them coerces
+        #: through double (a numeric read out of a map<string,string>
+        #: json home is TEXT here but a Double in ES — zeek's
+        #: temp.duration * scale must not hit the string→bigint ANSI
+        #: cast)
+        self.string_columns = set(string_columns)
+        #: optional field → (map_column, full_key) resolver so
+        #: `.remove()` can clear a key out of its kv/json map home
+        self.map_parent = map_parent
+        #: `def` locals (assigned-once within their branch)
+        self.locals: dict[str, Column] = {}
         #: FloatType columns promoted to double on read (ES float
         #: storage, double painless arithmetic — see compile_statements)
         self.float_columns = set(float_columns)
@@ -420,7 +617,9 @@ class _Compiler:
     # -- reads ------------------------------------------------------------
     def read(self, name: str) -> Column:
         if name in self.store:
-            return self.store[name]
+            v = self.store[name]
+            # a removed field reads as absent
+            return F.lit(None).cast("string") if v is None else v
         # the resolver outranks a bare flat-column read: after a routed
         # `pipeline` union one ES field can have TWO homes — a flat
         # column (NULL on the other branch) and a kv/json map entry —
@@ -469,6 +668,10 @@ class _Compiler:
             return F.lit(v)
         if isinstance(node, Path):
             return self.read(node.name)
+        if isinstance(node, ListLit):
+            raise PainlessError(
+                "painless: list literal only valid with .contains"
+            )
         if isinstance(node, ContainsKey):
             return self._present(".".join(node.path))
         if isinstance(node, Round):
@@ -481,7 +684,102 @@ class _Compiler:
             raise PainlessError("painless: [:] only valid as assignment")
         if isinstance(node, Bin):
             return self._bin(node)
+        if isinstance(node, LocalRef):
+            if node.name not in self.locals:
+                raise PainlessError(
+                    f"painless: unknown identifier {node.name!r}"
+                )
+            return self.locals[node.name]
+        if isinstance(node, Cast):
+            return self._cast(node)
+        if isinstance(node, Index):
+            recv = self.expr(node.recv)
+            if (
+                isinstance(node.recv, Path)
+                and node.recv.name in self.array_columns
+            ):
+                return F.get(recv, node.idx)
+            return F.get(
+                F.from_json(recv.cast("string"), "array<string>"),
+                node.idx,
+            )
+        if isinstance(node, Method):
+            return self._method(node)
         raise PainlessError(f"painless: cannot compile {node!r}")
+
+    def _cast(self, node: Cast) -> Column:
+        v = self.expr(node.expr)
+        if node.type == "char":
+            # chars are modeled as one-char strings (charAt output /
+            # `(char)("{")` literals compare as strings)
+            return v.cast("string")
+        if node.type in ("long", "int", "short", "byte"):
+            # painless numeric narrowing truncates toward zero; so
+            # does Spark's double→integral cast. Dirty strings must
+            # not abort the job under ANSI, and a DECIMAL-TEXT operand
+            # (a float out of a map<string,string> json home, e.g.
+            # zeek's epoch-seconds ts) only converts through double —
+            # direct exact casts win so big longs keep precision.
+            t = node.type if node.type != "byte" else "tinyint"
+            return F.coalesce(
+                v.try_cast(t), v.try_cast("double").try_cast(t)
+            )
+        return v.cast(node.type)
+
+    def _method(self, node: Method) -> Column:
+        name, args = node.name, node.args
+        if isinstance(node.recv, ListLit):
+            # `["a","b"].contains(ctx.x)` membership (cisco asa
+            # message-id routing) → isin over the literal values
+            if name != "contains" or len(args) != 1:
+                raise PainlessError(
+                    f"painless: unsupported list method {name!r}"
+                )
+            vals = []
+            for it in node.recv.items:
+                if not isinstance(it, Lit):
+                    raise PainlessError(
+                        "painless: list literals must be constant"
+                    )
+                vals.append(it.value)
+            return self.expr(args[0]).isin(vals)
+        recv = self.expr(node.recv)
+        if name == "charAt":
+            (i,) = args
+            return recv.substr(self.expr(i) + 1, F.lit(1))
+        if name == "indexOf":
+            (sub,) = args
+            if not isinstance(sub, Lit) or not isinstance(sub.value, str):
+                raise PainlessError(
+                    "painless: indexOf needs a string literal"
+                )
+            # painless returns -1 on absence; instr returns 0
+            return F.instr(recv, sub.value) - 1
+        if name == "length":
+            if args:
+                raise PainlessError("painless: length() takes no args")
+            return F.length(recv)
+        if name == "substring":
+            if len(args) == 1:
+                start = self.expr(args[0])
+                return recv.substr(
+                    start + 1, F.lit(1 << 30) - start
+                )
+            start, end = self.expr(args[0]), self.expr(args[1])
+            return recv.substr(start + 1, end - start)
+        if name == "toLowerCase":
+            return F.lower(recv)
+        if name == "toUpperCase":
+            return F.upper(recv)
+        if name == "startsWith":
+            return recv.startswith(self.expr(args[0]))
+        if name == "endsWith":
+            return recv.endswith(self.expr(args[0]))
+        if name == "contains":
+            return recv.contains(self.expr(args[0]))
+        if name == "trim":
+            return F.trim(recv)
+        raise PainlessError(f"painless: unsupported method {name!r}")
 
     def _bin(self, node: Bin) -> Column:
         op = node.op
@@ -504,6 +802,9 @@ class _Compiler:
                 eq = self.expr(node.left).eqNullSafe(self.expr(node.right))
             return eq if op == "==" else ~eq
         l, r = self.expr(node.left), self.expr(node.right)
+        if op in ("*", "/", "-"):
+            l = self._as_num(node.left, l)
+            r = self._as_num(node.right, r)
         if op == "&&":
             return l & r
         if op == "||":
@@ -530,13 +831,35 @@ class _Compiler:
             return l >= r
         raise PainlessError(f"painless: unsupported operator {op!r}")
 
+    def _as_num(self, node: Any, col: Column) -> Column:
+        """Coerce a KNOWN-TEXT operand of numeric arithmetic through
+        double (see ``string_columns``); typed operands pass
+        untouched."""
+        if isinstance(node, Path) and node.name not in self.store:
+            name = node.name
+            if name in self.string_columns or name not in self.columns:
+                return col.try_cast("double")
+        return col
+
     # -- statements ---------------------------------------------------------
     def exec(self, stmts: list, cond: Column | None = None) -> None:
         for s in stmts:
             if isinstance(s, Assign):
                 self._assign(s, cond)
+            elif isinstance(s, Local):
+                self.locals[s.name] = self.expr(s.expr)
+            elif isinstance(s, RemoveStmt):
+                self._remove(s, cond)
+            elif isinstance(s, AddStmt):
+                self._add(s, cond)
             elif isinstance(s, If):
-                c = self.expr(s.cond)
+                # a json-map read used as a bare condition is a
+                # STRING "true"/"false" in our map<string,string>
+                # model (zeek `if (ctx...local_orig) tags.add`);
+                # try_cast keeps boolean conditions untouched and
+                # NULL-for-garbage (painless would NPE — neither
+                # branch runs, which matches when(null) semantics)
+                c = self.expr(s.cond).try_cast("boolean")
                 under = c if cond is None else (cond & c)
                 self.exec(s.then, under)
                 if s.orelse:
@@ -546,6 +869,50 @@ class _Compiler:
                     )
             else:
                 raise PainlessError(f"painless: cannot execute {s!r}")
+
+    def _remove(self, s: RemoveStmt, cond: Column | None) -> None:
+        """``ctx.remove('k')`` / ``ctx.a.b.remove('k')``: drop the
+        flat column (and every ``k.``-child column — 'k' may name an
+        object prefix, like coredns's remove('temp')), and filter the
+        key out of a kv/json map home when one exists (the two-homes
+        rule)."""
+        if cond is not None:
+            raise PainlessError(
+                "painless: conditional remove is not supported"
+            )
+        name = ".".join(s.path)
+        mp = self.map_parent(name) if self.map_parent else None
+        if mp is not None:
+            parent, full_key = mp
+            cur = self.read(parent)
+            self.store[parent] = F.map_filter(
+                cur, lambda k, _: k != full_key
+            )
+        for c in list(self.store) + self.columns:
+            if c == name or c.startswith(name + "."):
+                self.store[c] = None
+
+    def _add(self, s: AddStmt, cond: Column | None) -> None:
+        """``ctx.tags.add(x)``: append to an array field (painless
+        List.add — duplicates allowed, unlike the add_tags dedup)."""
+        name = ".".join(s.path)
+        absent = (
+            name not in self.store
+            and name not in self.columns
+            and (self.resolver is None or self.resolver(name) is None)
+        )
+        cur = (
+            F.lit(None).cast("array<string>")
+            if absent
+            else self.read(name)
+        )
+        val = F.concat(
+            F.coalesce(cur, F.array().cast("array<string>")),
+            F.array(self.expr(s.expr).cast("string")),
+        )
+        if cond is not None:
+            val = F.when(cond, val).otherwise(cur)
+        self.store[name] = val
 
     def _assign(self, s: Assign, cond: Column | None) -> None:
         if isinstance(s.expr, EmptyMap):
@@ -595,6 +962,9 @@ def compile_statements(
     params: Mapping[str, Any] | None = None,
     resolver: Any = None,
     float_columns: Sequence[str] = (),
+    map_parent: Any = None,
+    array_columns: Sequence[str] = (),
+    string_columns: Sequence[str] = (),
 ) -> dict[str, Column]:
     """Compile a painless script body to its net effect: a mapping of
     assigned ctx-field → Column expression (reads of unassigned fields
@@ -606,7 +976,11 @@ def compile_statements(
     float32 quantization happens at parse time, the math at 64-bit)."""
     params = params or {}
     stmts = _Parser(_tokenize(src), params).parse_program()
-    c = _Compiler(columns, params, resolver, float_columns=float_columns)
+    c = _Compiler(
+        columns, params, resolver,
+        float_columns=float_columns, map_parent=map_parent,
+        array_columns=array_columns, string_columns=string_columns,
+    )
     c.exec(stmts)
     return c.store
 
@@ -642,17 +1016,205 @@ _KV_NORMALIZE = re.compile(
 )
 
 
+_IPT_MAPPINGS_LOOP = re.compile(
+    r"^for \(action in params\.mappings\) \{ def src = "
+    r"ctx\[action\.source\.object\];"
+)
+
+_IPT_HEX_LOOP = re.compile(
+    r"^def (\w+) = ctx\['(\w+)'\]; if \1 != null\b"
+    r"|^def (\w+) = ctx\['(\w+)'\]; if \(\3 != null\)"
+)
+
+_DOMAIN_DISTINCT = re.compile(
+    r"^def domain = ctx\.([\w.]+)\?\.domain; "
+    r"if \(domain instanceof Collection\)"
+)
+
+_NETSUM = re.compile(
+    r"^long getOrZero\(def map, def key\).*"
+    r"def network=ctx\['network'\], source=ctx\['source'\], "
+    r"dest=ctx\['destination'\];",
+    re.S,
+)
+
+_HMS_DURATION = re.compile(
+    r"long parse_hms\(String s\).*"
+    r"parse_hms\(ctx\.([\w.]+?)\) \* 1000000000L",
+    re.S,
+)
+
+_INSTANT_DURATION = re.compile(
+    r"^Instant ins\(def d\)\{try\{return Instant\.parse\(d\);\}"
+    r".*ev\['duration'\] = Duration\.between\(start,end\)\.toNanos\(\)",
+    re.S,
+)
+
+
 def compile_recognized_script(
     source: str,
     params: Mapping[str, Any],
     columns: Sequence[str],
     string_columns: Sequence[str] | None = None,
+    resolver: Any = None,
 ) -> dict[str, Column] | None:
-    """Structural translations for the three module scripts that use
+    """Structural translations for the module scripts that use
     loops / helper functions (outside the statement subset). Returns
     the assignment mapping, or None when the source matches no shape.
     """
     src = " ".join(source.split())
+
+    def _read(name: str) -> Column:
+        if name in columns:
+            return _fcol(name)
+        if resolver is not None:
+            c = resolver(name)
+            if c is not None:
+                return c
+        return F.lit(None).cast("string")
+
+    m = _IPT_MAPPINGS_LOOP.match(src)
+    if m:
+        # x-pack iptables: per-action value translation through
+        # params.mappings — dst[key] assigned ONLY when map[src] hits
+        # (unmapped values leave the destination untouched, unlike
+        # the mysql remap loop which nulls them)
+        actions = params.get("mappings")
+        if not isinstance(actions, list):
+            raise PainlessError("painless: mappings param malformed")
+        out: dict[str, Column] = {}
+        for action in actions:
+            sname = f"{action['source']['object']}.{action['source']['key']}"
+            dname = (
+                f"{action['destination']['object']}"
+                f".{action['destination']['key']}"
+            )
+            sval = out.get(sname, _read(sname))
+            mapped: Column | None = None
+            for k, v in action["map"].items():
+                w = (sval == F.lit(k), F.lit(v))
+                mapped = F.when(*w) if mapped is None else mapped.when(*w)
+            prev = out.get(dname, _read(dname))
+            out[dname] = F.coalesce(mapped, prev)
+        return out
+
+    m = _IPT_HEX_LOOP.match(src)
+    if m:
+        # x-pack iptables: listed <prefix>.<key> hex strings → long.
+        # The script walks chars skipping non-hex (so "0x08" and
+        # "08:00" both read as plain hex digits) and yields 0 when no
+        # hex digit appears; null fields stay null.
+        prefix = m.group(2) or m.group(4)
+        keys = params.get("hex_fields_to_convert")
+        if not isinstance(keys, list):
+            raise PainlessError(
+                "painless: hex_fields_to_convert param malformed"
+            )
+        out = {}
+        for k in keys:
+            name = f"{prefix}.{k}"
+            col = _read(name)
+            cleaned = F.regexp_replace(
+                F.lower(col.cast("string")), "[^0-9a-f]", ""
+            )
+            out[name] = F.when(
+                col.isNotNull(),
+                F.coalesce(
+                    F.conv(cleaned, 16, 10).try_cast("long"), F.lit(0)
+                ),
+            )
+        return out
+
+    m = _DOMAIN_DISTINCT.match(src)
+    if m:
+        # suricata eve: dedup a multi-valued destination.domain and
+        # unwrap single-element lists to a scalar. In the
+        # map<string,string> document model a json LIST value is its
+        # JSON text — parse it, distinct, unwrap; a plain scalar (the
+        # `instanceof Collection` false branch) passes through.
+        name = f"{m.group(1)}.domain"
+        col = _read(name).cast("string")
+        # a LIST value inside the map<string,string> json home is the
+        # Spark cast rendering "[a, b]" (from_json coerces nested
+        # arrays via CAST, not JSON text)
+        inner = F.regexp_extract(col, r"^\[(.*)\]$", 1)
+        parsed = F.when(
+            col.rlike(r"^\[.*\]$"), F.split(inner, ", ")
+        )
+        distinct = F.array_distinct(parsed)
+        return {
+            name: F.when(parsed.isNull(), col)
+            .when(F.size(distinct) == 1, F.get(distinct, 0))
+            .otherwise(F.to_json(distinct))
+        }
+
+    if _NETSUM.search(src):
+        # suricata eve: network.bytes/packets = source+destination
+        # sums, assigned only when positive
+        def oz(name: str) -> Column:
+            return F.coalesce(_read(name).try_cast("long"), F.lit(0))
+
+        sb, db = oz("source.bytes"), oz("destination.bytes")
+        sp, dp = oz("source.packets"), oz("destination.packets")
+        return {
+            "network.bytes": F.when(sb + db > 0, sb + db).otherwise(
+                _read("network.bytes").try_cast("long")
+            ),
+            "network.packets": F.when(sp + dp > 0, sp + dp).otherwise(
+                _read("network.packets").try_cast("long")
+            ),
+        }
+
+    m = _HMS_DURATION.search(src)
+    if m:
+        # cisco asa: parse "h:mm:ss" elapsed time → event.duration
+        # nanos, event.end = @timestamp, event.start = end - duration.
+        # parse_hms returns 0 the moment any non-digit/colon appears.
+        hms_field = m.group(1)
+        sv = _read(hms_field).cast("string")
+        secs = F.when(
+            sv.rlike("^[0-9]+(:[0-9]+)*$"),
+            F.aggregate(
+                F.split(sv, ":"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 60 + x.cast("long"),
+            ),
+        ).otherwise(F.when(sv.isNotNull(), F.lit(0).cast("long")))
+        nanos = secs * F.lit(1_000_000_000).cast("long")
+        raw = _read("@timestamp").cast("string")
+        ts = F.try_to_timestamp(raw)
+        # String-valued copy of the Instant: ES renders ISO millis-Z
+        # ("2013-04-29T12:59:50.000Z"); a raw TimestampType cast would
+        # read "2013-04-29 12:59:50"
+        iso = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+        end = F.coalesce(F.date_format(ts, iso), raw)
+        start = F.date_format(
+            ts - F.make_interval(secs=secs.cast("double")), iso
+        )
+        return {
+            "event.end": end,
+            "event.duration": nanos,
+            "event.start": start,
+        }
+
+    if _INSTANT_DURATION.search(src):
+        # suricata eve: event.duration = nanos between event.start and
+        # event.end (both written by earlier date processors as
+        # millisecond-precision ISO 'Z' strings — Instant.parse
+        # accepts exactly that form). Parse failure or start>end
+        # leaves the field alone.
+        st = F.try_to_timestamp(_read("event.start").cast("string"))
+        en = F.try_to_timestamp(_read("event.end").cast("string"))
+        # ES's date processors emit MILLIS-truncated ISO strings, so
+        # Instant.parse sees ms precision — truncate before diffing
+        stms = F.floor(F.unix_micros(st) / 1000)
+        enms = F.floor(F.unix_micros(en) / 1000)
+        nanos = ((enms - stms) * 1_000_000).cast("long")
+        return {
+            "event.duration": F.when(
+                st.isNotNull() & en.isNotNull() & (st <= en), nanos
+            ).otherwise(_read("event.duration").try_cast("long"))
+        }
 
     m = _FIELD_REMAP_LOOP.match(src)
     if m:

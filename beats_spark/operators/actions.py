@@ -45,6 +45,26 @@ def _fcol(df: DataFrame, name: str) -> Column:
     return F.col(name)
 
 
+def guard_added_columns(
+    orig: DataFrame, out: DataFrame, guard: Column | None
+) -> DataFrame:
+    """Post-hoc ``when:`` guard for an enricher that only ADDS columns
+    (the broadcast-join family): columns the transform added read NULL
+    on guarded-out rows; pre-existing columns pass through untouched
+    (a left join never modifies them). One projection, no union
+    (conditionals.go:59-91 semantics for lookup processors)."""
+    if guard is None:
+        return out
+    orig_cols = set(orig.columns)
+    sel = [
+        F.when(guard, F.col(f"`{c}`")).alias(c)
+        if c not in orig_cols
+        else F.col(f"`{c}`")
+        for c in out.columns
+    ]
+    return out.select(*sel)
+
+
 class Processor:
     """Base: one pipeline step. apply() must be side-effect free."""
 
@@ -163,8 +183,6 @@ class Rename(Processor):
     ignore_missing: bool = False
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("rename under a when: guard is not supported")
         for spec in self.fields:
             src, dst = spec["from"], spec["to"]
             if dst in df.columns:
@@ -173,7 +191,20 @@ class Rename(Processor):
                 if self.ignore_missing:
                     continue
                 raise ValueError(f"rename: missing source column: {src!r}")
-            df = df.withColumnRenamed(src, dst)
+            if guard is None:
+                df = df.withColumnRenamed(src, dst)
+            else:
+                # guarded move (conditionals.go:59-91): matching rows
+                # carry the value under dst and lose src; others keep
+                # src and read dst as NULL. dst is materialized FIRST
+                # (it reads src, which the next withColumn rewrites —
+                # the lazy-name-resolution gotcha).
+                df = df.withColumn(
+                    dst, F.when(guard, F.col(f"`{src}`"))
+                ).withColumn(
+                    src,
+                    F.when(~F.coalesce(guard, F.lit(False)), F.col(f"`{src}`")),
+                )
         return df
 
 
@@ -197,9 +228,18 @@ class DropFields(Processor):
     fields: Sequence[str]
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("drop_fields under a when: guard is not supported")
-        return df.drop(*[f for f in self.fields if f in df.columns])
+        if guard is None:
+            return df.drop(*[f for f in self.fields if f in df.columns])
+        # guarded delete: the column must survive for non-matching
+        # rows, so matching rows read NULL (absent in the flat-column
+        # document model) instead of the column vanishing.
+        for f in self.fields:
+            if f in df.columns:
+                df = df.withColumn(
+                    f,
+                    F.when(~F.coalesce(guard, F.lit(False)), F.col(f"`{f}`")),
+                )
+        return df
 
 
 def _field_trie(specs: Sequence[str]) -> dict:
@@ -244,6 +284,32 @@ def _project_struct(col: Column, dtype, node: dict) -> Column | None:
     return F.struct(*out)
 
 
+def _mask_struct(col: Column, dtype, node: dict) -> Column:
+    """Schema-preserving variant of :func:`_project_struct` for the
+    guarded include_fields path: every subfield keeps its slot, but
+    non-whitelisted subtrees read NULL (the guard needs matching and
+    non-matching rows to share ONE struct type)."""
+    from pyspark.sql import types as T
+
+    out = []
+    for f in dtype.fields:
+        child = col[f.name]
+        if f.name in node:
+            sub = node[f.name]
+            if not sub:
+                out.append(child.alias(f.name))
+            elif isinstance(f.dataType, T.StructType):
+                out.append(
+                    _mask_struct(child, f.dataType, sub).alias(f.name)
+                )
+            else:
+                # deeper path through a non-struct: not kept
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.struct(*out)
+
+
 @dataclass
 class IncludeFields(Processor):
     """include_fields (actions/include_fields.go:68-89): whitelist
@@ -260,13 +326,37 @@ class IncludeFields(Processor):
     def apply(self, df, guard=None):
         from pyspark.sql import types as T
 
-        if guard is not None:
-            raise NotImplementedError("include_fields under a when: guard is not supported")
         flat = [s for s in self.fields if s in df.columns or "." not in s]
         nested = [s for s in self.fields if s not in flat]
         trie = _field_trie(nested)
         keep_whole = set(flat) | set(self.always_keep)
         schema = {f.name: f.dataType for f in df.schema.fields}
+        if guard is not None:
+            # guarded whitelist: the schema must not change per row,
+            # so non-whitelisted columns read NULL on matching rows
+            # (the flat-column form of "absent") and struct columns
+            # keep their slots through a schema-preserving mask.
+            g = F.coalesce(guard, F.lit(False))
+            out = []
+            for c in df.columns:
+                src = F.col("`" + c + "`")
+                if c in keep_whole:
+                    out.append(src)
+                elif c in trie:
+                    node = trie[c]
+                    if not node:
+                        out.append(src)
+                    elif isinstance(schema[c], T.StructType):
+                        out.append(
+                            F.when(g, _mask_struct(src, schema[c], node))
+                            .otherwise(src)
+                            .alias(c)
+                        )
+                    else:
+                        out.append(F.when(~g, src).alias(c))
+                else:
+                    out.append(F.when(~g, src).alias(c))
+            return df.select(*out)
         out = []
         for c in df.columns:
             if c in keep_whole:
@@ -426,15 +516,27 @@ class Dissect(Processor):
     tokenizer: str
     field: str = "text"
     target_prefix: str = ""
+    #: ES ingest-node dissect OVERWRITES existing fields (the x-pack
+    #: cisco/asa pipeline runs ~46 per-message-id guarded dissects all
+    #: writing the same ECS columns); the beats-side default stays
+    #: strict and raises on a clash (processor.go:85-108)
+    overwrite: bool = False
 
     def _out(self, key: str) -> str:
         return f"{self.target_prefix}{key}"
 
     def apply(self, df, guard=None):
         d = compile_tokenizer(self.tokenizer)
-        clash = [self._out(k) for k in d.output_keys if self._out(k) in df.columns]
-        if clash:
-            raise ValueError(f"dissect would overwrite existing columns: {clash}")
+        if not self.overwrite:
+            clash = [
+                self._out(k)
+                for k in d.output_keys
+                if self._out(k) in df.columns
+            ]
+            if clash:
+                raise ValueError(
+                    f"dissect would overwrite existing columns: {clash}"
+                )
         src = _fcol(df, self.field)
         tmp = None
         tmp_cols: list[str] = []
@@ -621,9 +723,19 @@ class Script(Processor):
     fn: Callable[[DataFrame], DataFrame]
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("script under a when: guard is not supported")
-        return self.fn(df)
+        if guard is None:
+            return self.fn(df)
+        # fn is an arbitrary whole-frame transform, so the guard is a
+        # split-union (the only exact restatement of "run this
+        # processor on matching events only", conditionals.go:59-91):
+        # matching rows flow through fn, the rest pass by, and
+        # unionByName(allowMissingColumns) NULLs fn-added columns on
+        # the pass-by branch. Both branches push complementary
+        # filters to the same scan.
+        g = F.coalesce(guard, F.lit(False))
+        return self.fn(df.where(g)).unionByName(
+            df.where(~g), allowMissingColumns=True
+        )
 
 
 @dataclass

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..plans.materialize import materialize as _materialize
 
 from ..functions.textstats import WORDS_SQL, word_code, word_code_sql, words
 from .lm import LM_SCALE
@@ -161,7 +162,7 @@ def train_logistic(
             "doc_id",
         )
         .repartition("doc_id")
-        .localCheckpoint()
+        .transform(_materialize)
     )
     n_docs = feats.select("doc_id").distinct().count()
     w = [0.0] * (n_buckets + 1)

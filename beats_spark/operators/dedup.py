@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.materialize import materialize as _materialize
 
 from ..functions.textstats import (
     FP_MOD,
@@ -110,7 +111,7 @@ def duplicated_spans(
         # every reference, turning one tokenization per doc into one
         # per window (measured 13× on sf0.1). Materialize the array
         # first, like minhash_signature's shingle table.
-        toks = toks.localCheckpoint()
+        toks = toks.transform(_materialize)
     # the window guard lives INSIDE the expression (when/otherwise,
     # like shingles()) — a row filter on size("_w") can be evaluated
     # after projection collapse in a join branch, letting sequence()
@@ -132,7 +133,7 @@ def duplicated_spans(
         ).select(id_col, F.explode("_spans").alias("span"))
     )
     if materialize:
-        spans = spans.localCheckpoint()
+        spans = spans.transform(_materialize)
     dup = (
         spans.groupBy("span")
         .agg(F.count("*").alias("_df"))
@@ -338,7 +339,7 @@ def ngram_jaccard_pairs(
         # times. At very large scale where executor storage is the
         # constraint, pass materialize=False to trade recompute for
         # storage.
-        sh = sh.localCheckpoint()
+        sh = sh.transform(_materialize)
 
     cand = _ppjoin_candidates(sh, threshold)
 
@@ -487,7 +488,7 @@ def containment_pairs(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sz", F.size("sh"))
     if materialize:
-        sh = sh.localCheckpoint()
+        sh = sh.transform(_materialize)
     cand = _containment_candidates(sh, threshold)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
                      F.col("sz").alias("sz_a"))
@@ -759,7 +760,7 @@ def minhash_lsh_pairs(
     # chain and the verify join
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).localCheckpoint()
+    ).transform(_materialize)
     sig = _signature_from_sh(sh, k)
     n_bands = k // rows_per_band
     bands = sig.select(
@@ -911,7 +912,7 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_materialize)
     )
     comp = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
@@ -919,7 +920,7 @@ def connected_components(
     # materialize the starting labels so each round's plan contains
     # ONE round, not the whole history (without this the lineage —
     # and Catalyst analysis time — grows exponentially with rounds)
-    comp = comp.localCheckpoint()
+    comp = comp.transform(_materialize)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(comp, edges.src == comp.v)
@@ -938,7 +939,7 @@ def connected_components(
             .union(shortcut)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        ).transform(_materialize)
         # one cheap fixpoint probe per round (count of changed labels)
         changed = (
             new.alias("n")
@@ -1137,7 +1138,7 @@ def simhash_hamming_pairs(
     sh = (
         simhash_df(df, bits, text_col, id_col, out_col="fp")
         .select(F.col(id_col).alias("id"), "fp")
-        .localCheckpoint()
+        .transform(_materialize)
     )
     bands = sh.select(
         "id",

@@ -16,7 +16,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .actions import Processor
+from .actions import Processor, guard_added_columns
 
 
 @dataclass
@@ -34,14 +34,13 @@ class BroadcastLookup(Processor):
     prefix: str = ""
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("enrich under a when: guard is not supported")
         dim = self.dim
         if self.prefix:
             for c in dim.columns:
                 if c not in self.on:
                     dim = dim.withColumnRenamed(c, f"{self.prefix}{c}")
-        return df.join(F.broadcast(dim), on=list(self.on), how="left")
+        out = df.join(F.broadcast(dim), on=list(self.on), how="left")
+        return guard_added_columns(df, out, guard)
 
 
 @dataclass
@@ -81,8 +80,6 @@ class DnsEnrich(Processor):
         return out
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("dns under a when: guard is not supported")
         resolver = self.resolver or self._stub_resolver
         spark = df.sparkSession
         names = [
@@ -103,8 +100,20 @@ class DnsEnrich(Processor):
         )
         out = df.join(F.broadcast(dim), on=self.field, how="left")
         if self.action == "replace":
-            out = out.drop(self.field).withColumnRenamed(self.target, self.field)
-        return out
+            if guard is not None:
+                # matching rows take the resolved value (NULL on a
+                # miss, like the unguarded path); others keep the
+                # original field
+                return out.withColumn(
+                    self.field,
+                    F.when(guard, F.col(f"`{self.target}`")).otherwise(
+                        F.col(f"`{self.field}`")
+                    ),
+                ).drop(self.target)
+            return out.drop(self.field).withColumnRenamed(
+                self.target, self.field
+            )
+        return guard_added_columns(df, out, guard)
 
 
 @dataclass
@@ -141,10 +150,6 @@ class AsofLookup(Processor):
     prefix: str = ""
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError(
-                "enrich under a when: guard is not supported"
-            )
         on = list(self.on)
         payload = [
             c
@@ -170,9 +175,16 @@ class AsofLookup(Processor):
         )
         out = picked
         for c in payload:
-            out = out.withColumn(
-                f"{self.prefix}{c}", F.col("_asof").getField(c)
-            )
+            tgt = f"{self.prefix}{c}"
+            new = F.col("_asof").getField(c)
+            if guard is not None:
+                # matching rows take the as-of value; others keep a
+                # pre-existing target column (or NULL if it's new)
+                old = (
+                    F.col(f"`{tgt}`") if tgt in df.columns else F.lit(None)
+                )
+                new = F.when(guard, new).otherwise(old)
+            out = out.withColumn(tgt, new)
         return out.drop("_hist", "_asof")
 
 
@@ -196,6 +208,88 @@ IP_TO_LONG_SQL = (
 )
 
 
+#: bounded uap-core-style ordered regex tables (ua-parser/uap-core
+#: regexes.yaml semantics: FIRST matching pattern wins; the shipped
+#: subset covers the major engine families — swap in the full
+#: compiled regexes.yaml for production parity). Shared verbatim by
+#: the Spark chain and the DuckDB twin, so patterns must stay in the
+#: java.util.regex ∩ RE2 common dialect (no lookaround).
+UA_FAMILY_ROWS = [
+    ("Edg(e|A|iOS)?/", "Edge"),
+    ("CriOS/", "Chrome Mobile iOS"),
+    ("Chrome/.*Mobile", "Chrome Mobile"),
+    ("Chrome/", "Chrome"),
+    ("Firefox/.*Mobile|Mobile.*Firefox/", "Firefox Mobile"),
+    ("Firefox/", "Firefox"),
+    ("MSIE |Trident/", "IE"),
+    ("OPR/|Opera", "Opera"),
+    ("Version/.*Safari/|Safari/", "Safari"),
+    ("curl/", "curl"),
+    ("python-requests/", "Python Requests"),
+    ("(?i)wget", "Wget"),
+    ("(?i)bot|crawler|spider", "Spider"),
+]
+UA_OS_ROWS = [
+    ("Windows", "Windows"),
+    ("Android", "Android"),
+    ("iPhone|iPad|iOS", "iOS"),
+    ("Mac OS X|Macintosh", "macOS"),
+    ("CrOS", "Chrome OS"),
+    ("Linux|X11", "Linux"),
+]
+UA_DEVICE_ROWS = [
+    ("(?i)bot|crawler|spider", "spider"),
+    ("Mobile|Android|iPhone", "mobile"),
+    ("iPad|Tablet", "tablet"),
+    ("Windows|Macintosh|X11|CrOS|Linux", "desktop"),
+]
+#: generic product-token fallback for the family tier (uap-core's
+#: trailing catch-all): 'name/version' → name
+UA_FALLBACK_RE = "^([A-Za-z0-9._-]+)/"
+
+
+def ua_regex_columns(ua: Column) -> dict[str, Column]:
+    """First-match UA parse over the bounded regex tables — one
+    rlike per pattern (the table is dimension metadata, ~20 rows;
+    per-row cost is bounded by table size, and the broadcast dim in
+    :class:`UserAgentEnrich` stays the cache tier for hot strings)."""
+    fam = F.coalesce(
+        *[F.when(ua.rlike(p), F.lit(v)) for p, v in UA_FAMILY_ROWS],
+        F.nullif(F.regexp_extract(ua, UA_FALLBACK_RE, 1), F.lit("")),
+    )
+    os_c = F.coalesce(
+        *[F.when(ua.rlike(p), F.lit(v)) for p, v in UA_OS_ROWS],
+        F.when(ua.isNotNull(), F.lit("Other")),
+    )
+    dev = F.coalesce(
+        *[F.when(ua.rlike(p), F.lit(v)) for p, v in UA_DEVICE_ROWS],
+        F.when(ua.isNotNull(), F.lit("other")),
+    )
+    return {"name": fam, "os": os_c, "device": dev}
+
+
+def ua_regex_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`ua_regex_columns` — generated from the
+    same tables, so both engines share one pattern set."""
+
+    def chain(rows, fallback):
+        whens = "\n    ".join(
+            f"WHEN regexp_matches({expr}, '{p}') THEN '{v}'"
+            for p, v in rows
+        )
+        return f"(CASE\n    {whens}\n    ELSE {fallback} END)"
+
+    fam_fb = (
+        f"nullif(regexp_extract({expr}, '{UA_FALLBACK_RE}', 1), '')"
+    )
+    notnull = f"CASE WHEN {expr} IS NOT NULL THEN {{v}} END"
+    return {
+        "name": chain(UA_FAMILY_ROWS, fam_fb),
+        "os": chain(UA_OS_ROWS, notnull.format(v="'Other'")),
+        "device": chain(UA_DEVICE_ROWS, notnull.format(v="'other'")),
+    }
+
+
 @dataclass
 class UserAgentEnrich(Processor):
     """user_agent processor as a broadcast-dimension enrich.
@@ -212,16 +306,28 @@ class UserAgentEnrich(Processor):
     dim: DataFrame  # first column = UA string key, rest = attributes
     field: str = "user_agent"
     target_prefix: str = "user_agent"
+    #: resolve dim MISSES through the bounded uap-core-style regex
+    #: tables (r4 verdict #6): the broadcast dim stays the exact-match
+    #: cache tier, unseen-but-parseable UA strings fall through to
+    #: :func:`ua_regex_columns` per attribute
+    regex_fallback: bool = False
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("user_agent under a when: guard is not supported")
         dim = self.dim
         key = dim.columns[0]
         for c in dim.columns[1:]:
             dim = dim.withColumnRenamed(c, f"{self.target_prefix}.{c}")
         dim = dim.withColumnRenamed(key, self.field)
-        return df.join(F.broadcast(dim), on=self.field, how="left")
+        out = df.join(F.broadcast(dim), on=self.field, how="left")
+        if self.regex_fallback:
+            rx = ua_regex_columns(F.col(f"`{self.field}`"))
+            for attr, col in rx.items():
+                tgt = f"{self.target_prefix}.{attr}"
+                if tgt in out.columns:
+                    out = out.withColumn(
+                        tgt, F.coalesce(F.col(f"`{tgt}`"), col)
+                    )
+        return guard_added_columns(df, out, guard)
 
 
 @dataclass
@@ -244,8 +350,6 @@ class GeoIPEnrich(Processor):
     target_prefix: str = "geoip"
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("geoip under a when: guard is not supported")
         attrs = self.dim.columns[1:]
         cidr = self.dim.columns[0]
         net = F.split(F.col(cidr), "/")
@@ -278,7 +382,7 @@ class GeoIPEnrich(Processor):
         drop = ["_ip_long"] + [f"_k{p}" for p in plens] + [
             f"_{a}_{p}" for a in attrs for p in plens
         ]
-        return out.drop(*drop)
+        return guard_added_columns(df, out.drop(*drop), guard)
 
 
 #: demo UA→family rows, shared verbatim with the oracle SQL

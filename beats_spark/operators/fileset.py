@@ -34,6 +34,7 @@ _IF_BLOCK = re.compile(
     r"\{<\s*if \.(\w+)\s*>\}(.*?)\{<\s*end\s*>\}", re.S
 )
 _PIPELINE_REF = re.compile(r'\{<\s*IngestPipeline "([-\w]+)"\s*>\}')
+_VAR_REF = re.compile(r"\{<\s*\.(\w+)\s*>\}")
 
 
 def render_fileset_template(
@@ -49,6 +50,16 @@ def render_fileset_template(
 
     out = _IF_BLOCK.sub(sub_if, text)
     out = _PIPELINE_REF.sub(lambda m: m.group(1), out)
+
+    def sub_var(m: re.Match) -> str:
+        # bare {< .var >} value substitution (the x-pack cisco/asa
+        # pipeline.yml interpolates .log_level into a drop condition)
+        name = m.group(1)
+        if name not in variables:
+            raise IngestError(f"fileset template var unset: {name!r}")
+        return str(variables[name])
+
+    out = _VAR_REF.sub(sub_var, out)
     leftover = re.search(r"\{<[^>]*>\}", out)
     if leftover:
         raise IngestError(
@@ -65,14 +76,32 @@ def load_fileset_pipeline(
     """Load a module's ingest pipeline FILE: render its template,
     parse the JSON, and recursively load any sibling sub-pipelines its
     ``pipeline`` steps reference (``{< IngestPipeline "x" >}`` →
-    ``<dir>/x.json``). ``kwargs`` (ignore_processors, ua_dim, geo_dim)
-    pass through to every loaded pipeline."""
+    ``<dir>/x.json``, or ``.yml``). ``kwargs`` (ignore_processors,
+    ua_dim, geo_dim) pass through to every loaded pipeline.
+
+    YAML pipelines (the x-pack modules ship at least one —
+    ``x-pack/filebeat/module/cisco/asa/ingest/pipeline.yml``; the
+    reference loads both via ``fileset.go:284-291`` which feeds the
+    rendered text to the ES _ingest API) parse through
+    ``yaml.safe_load``; everything downstream is format-agnostic."""
     with open(path) as fh:
         rendered = render_fileset_template(fh.read(), variables)
-    try:
-        doc = json.loads(rendered)
-    except json.JSONDecodeError as e:
-        raise IngestError(f"invalid pipeline JSON in {path}: {e}") from e
+    if path.endswith((".yml", ".yaml")):
+        import yaml
+
+        try:
+            doc = yaml.safe_load(rendered)
+        except yaml.YAMLError as e:
+            raise IngestError(
+                f"invalid pipeline YAML in {path}: {e}"
+            ) from e
+    else:
+        try:
+            doc = json.loads(rendered)
+        except json.JSONDecodeError as e:
+            raise IngestError(
+                f"invalid pipeline JSON in {path}: {e}"
+            ) from e
     if "processors" not in doc:
         raise IngestError(f"{path}: no 'processors'")
 
@@ -89,10 +118,16 @@ def load_fileset_pipeline(
             raise IngestError(f"{path}: pipeline step without a name")
         if short in subs:
             continue
-        sub_path = os.path.join(base, short + ".json")
-        if not os.path.exists(sub_path):
+        sub_path = None
+        for ext in (".json", ".yml", ".yaml"):
+            cand = os.path.join(base, short + ext)
+            if os.path.exists(cand):
+                sub_path = cand
+                break
+        if sub_path is None:
             raise IngestError(
-                f"{path}: referenced sub-pipeline file missing: {sub_path}"
+                f"{path}: referenced sub-pipeline file missing: "
+                f"{os.path.join(base, short)}.json/.yml"
             )
         subs[short] = load_fileset_pipeline(sub_path, variables, **kwargs)
 

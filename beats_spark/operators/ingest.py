@@ -192,7 +192,8 @@ def translate_joda(fmt: str) -> str:
 
 
 def _date_parse(
-    col: Column, formats: Sequence[str], tz_col: Column | None = None
+    col: Column, formats: Sequence[str], tz_col: Column | None = None,
+    default_year: int | None = None,
 ) -> Column:
     """First-parseable-format-wins (ingest date processor semantics):
     per-format try-parse, coalesced in declaration order. Epoch forms
@@ -263,6 +264,17 @@ def _date_parse(
                 raise IngestError(
                     f"date format with embedded day-of-week unsupported: {j!r}"
                 )
+            if default_year is not None and "y" not in j.replace(
+                "''", ""
+            ):
+                # a YEAR-LESS pattern (syslog "MMM  d HH:mm:ss")
+                # parses to 1970 in java.time; the ingest node
+                # defaults the year to the ingest-time year — pin it
+                # to the pipeline's reference year instead so replays
+                # are deterministic (iptables/cisco goldens were
+                # generated in 2019)
+                src = F.concat(src, F.lit(f" {default_year}"))
+                j = j + " yyyy"
             parsed = F.try_to_timestamp(src, F.lit(j))
             # joda zone tokens: Z/ZZ (offset) or z (zone name); the
             # translated java pattern keeps X/x/z/Z spellings. Only
@@ -328,7 +340,7 @@ def compile_painless_script(
         compile_statements,
     )
 
-    from pyspark.sql.types import FloatType, StringType
+    from pyspark.sql.types import ArrayType, FloatType, StringType
 
     strings = [
         f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
@@ -336,16 +348,30 @@ def compile_painless_script(
     floats = [
         f.name for f in df.schema.fields if isinstance(f.dataType, FloatType)
     ]
+    arrays = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)
+    ]
     try:
         recognized = compile_recognized_script(
-            source, params, df.columns, string_columns=strings
+            source, params, df.columns, string_columns=strings,
+            resolver=lambda f: _read_field(df, f),
         )
         if recognized is not None:
             return recognized
+        def _mp(field):
+            mp = _map_parent(df, field)
+            if mp is None:
+                return None
+            parent, key, residual = mp
+            return parent, (key + "." + residual if residual else key)
+
         return compile_statements(
             source, df.columns, params,
             resolver=lambda f: _read_field(df, f),
             float_columns=floats,
+            map_parent=_mp,
+            array_columns=arrays,
+            string_columns=strings,
         )
     except PainlessError as e:
         raise IngestError(
@@ -383,13 +409,19 @@ class IngestPipeline:
     #: elasticsearch module routes each document to a plaintext or
     #: json parser this way — see _step_pipeline)
     sub_pipelines: Mapping[str, "IngestPipeline"] | None = None
+    #: year assumed by YEAR-LESS date formats (syslog timestamps).
+    #: None keeps java.time's 1970 default; the ES ingest node uses
+    #: the wall-clock year at ingest — pass that explicitly for
+    #: deterministic replays
+    default_year: int | None = None
 
     #: steps that accept a per-document ``if`` guard: these compile to
     #: column assignments, so the guard folds into one
     #: when(cond, new).otherwise(old) projection — no branch, no union
     _GUARDABLE = frozenset(
         {"set", "convert", "script", "split", "remove", "date",
-         "urldecode", "lowercase", "uppercase", "append"}
+         "urldecode", "lowercase", "uppercase", "append",
+         "dissect", "grok", "geoip", "user_agent"}
     )
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -505,8 +537,22 @@ class IngestPipeline:
             if len(step) != 1:
                 raise IngestError(f"on_failure step must have one processor: {step}")
             (name, conf), = step.items()
-            if name not in ("set", "append"):
+            if name not in ("set", "append", "remove"):
                 raise IngestError(f"unsupported on_failure processor: {name}")
+            if name == "remove":
+                # failed rows lose the listed fields (a name may be an
+                # object prefix — cisco asa clears its _temp_ scratch
+                # object); others keep theirs, so NULL not drop
+                fields = conf["field"]
+                if isinstance(fields, str):
+                    fields = [fields]
+                for f in fields:
+                    for c in list(df.columns):
+                        if c == f or c.startswith(f + "."):
+                            df = df.withColumn(
+                                c, F.when(~failed, _fcol(c))
+                            )
+                continue
             field = conf["field"]
             val = conf["value"]
             if isinstance(val, str) and "_ingest.on_failure_message" in val:
@@ -530,7 +576,9 @@ class IngestPipeline:
 
     # -- steps ----------------------------------------------------------
 
-    def _step_grok(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_grok(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         from .actions import Grok
 
         field = conf["field"]
@@ -560,9 +608,11 @@ class IngestPipeline:
 
             _, ok = grok_first_match(_fcol(field), list(conf["patterns"]), defs)
             flag = "_grok_fail"
-            df = df.withColumn(
-                flag, _fcol(field).isNotNull() & ~F.coalesce(ok, F.lit(False))
-            )
+            failed = _fcol(field).isNotNull() & ~F.coalesce(ok, F.lit(False))
+            if cond is not None:
+                # a guarded-out row can never fail this step
+                failed = failed & F.coalesce(cond, F.lit(False))
+            df = df.withColumn(flag, failed)
         out = Grok(
             patterns=list(conf["patterns"]),
             field=field,
@@ -570,7 +620,7 @@ class IngestPipeline:
             # ingest-node grok overwrites existing fields (31/42
             # module pipelines re-grok fields earlier steps created)
             overwrite=True,
-        ).apply(df)
+        ).apply(df, guard=cond)
         if flag is not None:
             fail = F.col(flag)
             msg = f"Provided Grok expressions do not match field [{field}]"
@@ -772,7 +822,7 @@ class IngestPipeline:
             if tz in (None, "UTC")
             else self._template_value(df, tz)
         )
-        ts = _date_parse(src, formats, tz_col)
+        ts = _date_parse(src, formats, tz_col, self.default_year)
         fail = src.isNotNull() & ts.isNull()
         df = self._record_failure(
             df, conf,
@@ -830,7 +880,11 @@ class IngestPipeline:
             if conf.get("ignore_missing") or conf.get("ignore_failure"):
                 return df
             raise IngestError(f"case field missing: {field}")
-        return self._put(df, field, fn(src), cond)
+        # ES writes to target_field when given, leaving the source
+        # (suricata lowercases suricata.eve.proto INTO
+        # network.transport)
+        target = conf.get("target_field", field)
+        return self._put(df, target, fn(src), cond)
 
     def _step_urldecode(
         self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
@@ -856,29 +910,45 @@ class IngestPipeline:
         )
         return self._put(df, target, dec, cond)
 
-    def _step_dissect(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_dissect(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         """``dissect`` ingest step — the same tokenizer engine as the
         beats processor (functions/dissect.py), extracted keys landing
         as root-level flat columns (the ingest node's behavior; the
         beats processor defaults to a ``dissect.`` prefix instead).
-        Used by /root/reference/filebeat/module/traefik/access/ingest/pipeline.json."""
+        Used by /root/reference/filebeat/module/traefik/access/ingest/pipeline.json
+        and, heavily guarded (one dissect per message id), by
+        x-pack/filebeat/module/cisco/asa/ingest/pipeline.yml."""
         from .actions import Dissect
 
         field = conf["field"]
         if field not in df.columns:
-            if conf.get("ignore_missing") or conf.get("ignore_failure"):
-                return df
-            raise IngestError(f"dissect field missing: {field}")
+            # map-backed source (json/kv key — coredns dissects
+            # json.message out of the json map): materialize the flat
+            # column, then proceed
+            src = _read_field(df, field)
+            if src is None:
+                if conf.get("ignore_missing") or conf.get("ignore_failure"):
+                    return df
+                raise IngestError(f"dissect field missing: {field}")
+            df = df.withColumn(field, src)
         from .actions import FLAG_PARSING_ERROR, FLAGS_FIELD
 
         out = Dissect(
-            tokenizer=conf["pattern"], field=field, target_prefix=""
-        ).apply(df)
+            tokenizer=conf["pattern"], field=field, target_prefix="",
+            overwrite=True,
+        ).apply(df, guard=cond)
         if self.on_failure:
             # the Dissect operator tags parse failures in log_flags
             fail = F.array_contains(
                 F.col(FLAGS_FIELD), FLAG_PARSING_ERROR
             )
+            if cond is not None:
+                # the flag array accumulates across the pipeline's
+                # many guarded dissects — only THIS step's rows
+                # (guard-matching) may record the failure
+                fail = fail & F.coalesce(cond, F.lit(False))
             out = self._record_failure(
                 out, conf, fail,
                 f"Unable to find match for dissect pattern on [{field}]",
@@ -1067,16 +1137,23 @@ class IngestPipeline:
         drops = [c for c, v in assigns.items() if v is None]
         assigns = {c: v for c, v in assigns.items() if v is not None}
         if cond is not None:
-            if drops:
-                raise IngestError(
-                    "script: cannot guard a column-dropping script with if"
-                )
             assigns = {
                 c: F.when(cond, v).otherwise(
                     _fcol(c) if c in df.columns else F.lit(None)
                 )
                 for c, v in assigns.items()
             }
+            # a guarded remove can't drop the column (other rows keep
+            # their values) — NULL the matching rows instead (flat
+            # NULL = absent; coredns's source-split script removes
+            # `temp` under its step `if`)
+            for c in drops:
+                if c in df.columns:
+                    assigns[c] = F.when(
+                        ~F.coalesce(cond, F.lit(False)), _fcol(c)
+                    )
+            df = df.withColumns(dict(assigns))
+            return df
         df = df.withColumns(dict(assigns))
         return df.drop(*drops) if drops else df
 
@@ -1141,7 +1218,7 @@ class IngestPipeline:
         return a, b
 
     def _step_user_agent(
-        self, df: DataFrame, conf: Mapping[str, Any]
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
     ) -> DataFrame:
         """``user_agent`` as a broadcast-dimension enrich: the ingest
         node ships a regexes.yaml database; here the parsed fields come
@@ -1160,9 +1237,11 @@ class IngestPipeline:
             dim=self.ua_dim,
             field=conf.get("field", "user_agent"),
             target_prefix=conf.get("target_field", "user_agent"),
-        ).apply(df)
+        ).apply(df, guard=cond)
 
-    def _step_geoip(self, df: DataFrame, conf: Mapping[str, Any]) -> DataFrame:
+    def _step_geoip(
+        self, df: DataFrame, conf: Mapping[str, Any], cond: Column | None = None
+    ) -> DataFrame:
         """``geoip`` as a broadcast CIDR-dimension enrich: longest-
         prefix match against a caller-provided (cidr → geo) table
         (operators/enrich.py GeoIPEnrich — per-prefix-length equi-join,
@@ -1178,7 +1257,7 @@ class IngestPipeline:
             dim=self.geo_dim,
             field=conf["field"],
             target_prefix=conf.get("target_field", "geoip"),
-        ).apply(df)
+        ).apply(df, guard=cond)
 
 
 class IngestProcessor:

@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .actions import Processor
+from .actions import Processor, guard_added_columns
 
 #: container.id is a 64-char hex string (matchers.go:74)
 _CID_LEN = 64
@@ -133,8 +133,7 @@ class AddDockerMetadata(Processor):
     containers: Sequence | None = None
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("enrich under a when: guard is not supported")
+        orig = df
         dim = _resolve_dim(
             self.dim if self.dim is not None else self.containers,
             df,
@@ -179,9 +178,10 @@ class AddDockerMetadata(Processor):
             meta = meta.unionByName(
                 meta.withColumn("_adm_key", F.substring("_adm_key", 1, 12))
             )
-        return df.join(F.broadcast(meta), df["_adm_cid"] == meta["_adm_key"], "left").drop(
-            "_adm_cid", "_adm_key"
-        )
+        out = df.join(
+            F.broadcast(meta), df["_adm_cid"] == meta["_adm_key"], "left"
+        ).drop("_adm_cid", "_adm_key")
+        return guard_added_columns(orig, out, guard)
 
 
 @dataclass
@@ -234,18 +234,18 @@ class AddKubernetesMetadata(Processor):
         return F.when(ok, F.substring(src, len(lp) + 1, _CID_LEN))
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("enrich under a when: guard is not supported")
         if self.source_col not in df.columns:
             return df
+        orig = df
         dim = _resolve_dim(
             self.dim if self.dim is not None else self.pods, df, None, ("key",)
         )
         df = df.withColumn("_akm_key", self._index_expr(F.col(f"`{self.source_col}`")))
         meta = dim.withColumnRenamed("key", "_akm_dim_key")
-        return df.join(
+        out = df.join(
             F.broadcast(meta), df["_akm_key"] == meta["_akm_dim_key"], "left"
         ).drop("_akm_key", "_akm_dim_key")
+        return guard_added_columns(orig, out, guard)
 
 
 #: the default (non-restricted) process fields, config.go:31-41
@@ -280,8 +280,7 @@ class AddProcessMetadata(Processor):
     processes: Sequence | None = None
 
     def apply(self, df, guard=None):
-        if guard is not None:
-            raise NotImplementedError("enrich under a when: guard is not supported")
+        orig = df
         fields = tuple(self.include_fields) if self.include_fields else PROCESS_FIELDS
         unknown = [f for f in fields if f not in PROCESS_FIELDS]
         if unknown:
@@ -309,6 +308,7 @@ class AddProcessMetadata(Processor):
             F.col("pid").cast("long").alias("_apm_dim_pid"),
             *[F.col(f).alias(t) for f, t in zip(fields, targets) if f in dim.columns],
         )
-        return df.join(
+        out = df.join(
             F.broadcast(meta), df["_apm_pid"] == meta["_apm_dim_pid"], "left"
         ).drop("_apm_pid", "_apm_dim_pid")
+        return guard_added_columns(orig, out, guard)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.materialize import materialize as _materialize
 
 from .similarity import KMEANS_SCALE, _km_scaled, _km_train, kmeans_ivf_sql
 
@@ -48,7 +49,7 @@ def pq_train(
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ``m`` per-subspace codebooks (``ks`` centroids each).
     Returns driver-side centroid literals, one book per subspace."""
-    xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
+    xq = _km_scaled(df, id_col, vec_col).transform(_materialize)
     dim = xq.select(F.size("xq").alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -282,7 +283,7 @@ def ivf_pq_topk(
     # queries probe their nprobe nearest IVF cells: rebuild the full
     # centroids the same way kmeans_ivf trains them, score the (tiny)
     # query side, explode to (q_id, cell) probe rows
-    xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
+    xq = _km_scaled(df, id_col, vec_col).transform(_materialize)
     cents = _km_train(xq, n_cells, ivf_iters)
     qonly = xq.where(F.col("vid").isin(query_ids))
     probe_scored = F.array(

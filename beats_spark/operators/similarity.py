@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.materialize import materialize as _materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -386,7 +387,7 @@ def ann_ivf_topk_multi(
             / (F.col("q_nrm") * F.col("_nrm")),
             6,
         ).alias("cos_sim"),
-    ).localCheckpoint()  # one probe join feeds every width's ranking
+    ).transform(_materialize)  # one probe join feeds every width's ranking
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -692,7 +693,7 @@ def kmeans_ivf(
     # final assignment) scans it; without this each pass re-reads and
     # re-scales the raw embeddings (MLlib's KMeans caches its input
     # for the same reason)
-    xq = _km_scaled(df, id_col, vec_col).localCheckpoint()
+    xq = _km_scaled(df, id_col, vec_col).transform(_materialize)
     final = _km_assign(xq, _km_train(xq, k, iters))
     return final.select(
         F.col("vid").alias(id_col),
@@ -969,7 +970,7 @@ def semdedup(
     av = (
         assigned.join(df.select(id_col, vec_col), id_col)
         .withColumn("_nrm", norm(F.col(vec_col)))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     wc = Window.partitionBy("cell").orderBy(
         F.col("dist").desc(), F.col(id_col).asc()

@@ -41,6 +41,13 @@ def build_session(
         # Dynamic partition overwrite: resume replaces only the sink
         # partitions it recomputes (idempotent fan-out, FIXTURES.md §6).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Multi-byte reader codecs (framing.decode_blob: gbk,
+        # shift-jis, euc-*, big5, ebcdic-1047): Spark 4 restricts
+        # decode() to 7 charsets unless the legacy JVM set is opened,
+        # and ANSI decode aborts the job on malformed bytes — the
+        # reference line reader replaces with U+FFFD instead.
+        .config("spark.sql.legacy.javaCharsets", "true")
+        .config("spark.sql.legacy.codingErrorAction", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -138,7 +138,55 @@ class TestDecodeBlob:
         from beats_spark.functions.framing import decode_blob
 
         with pytest.raises(ValueError, match="unsupported"):
-            decode_blob(F.col("b"), "koi8-r")
+            decode_blob(F.col("b"), "no-such-charset")
+
+    def test_every_reference_charmap_decodes_all_256_bytes(self, spark):
+        """Per-charset round-trip vectors mirroring the reference
+        registry table (encoding.go:47-104): every single-byte charmap
+        decodes all 256 byte values exactly like the published code
+        page (Python codecs == x/text charmap tables), undefined
+        bytes included (→ U+FFFD)."""
+        from beats_spark.functions.framing import _CHARMAPS, decode_blob
+
+        payload = bytes(range(256))
+        df = spark.createDataFrame([(payload,)], "b binary")
+        cols = [
+            decode_blob(F.col("b"), cs).alias(f"c{i}")
+            for i, cs in enumerate(_CHARMAPS)
+        ]
+        row = df.select(*cols).first()
+        for i, (cs, codec) in enumerate(_CHARMAPS.items()):
+            want = payload.decode(codec, errors="replace")
+            assert row[f"c{i}"] == want, cs
+
+    def test_multibyte_jvm_codecs(self, spark):
+        """gbk (registry) + the htmlindex-fallback multi-byte codecs
+        decode valid sequences identically to the published codecs
+        (JVM charset == Python codec for well-formed input)."""
+        cases = [
+            ("gbk", "中文日志", "gbk"),
+            ("shift-jis", "ログ出力", "shift_jis"),
+            ("euc-jp", "ログ出力", "euc_jp"),
+            ("euc-kr", "로그라인", "euc_kr"),
+            ("big5", "日誌輸出", "big5"),
+            ("gb18030", "中文日志€", "gb18030"),
+        ]
+        for cs, text, codec in cases:
+            assert self._dec(spark, text.encode(codec), cs) == text, cs
+
+    def test_ebcdic(self, spark):
+        assert (
+            self._dec(spark, "HELLO 123".encode("cp037"), "ebcdic-037")
+            == "HELLO 123"
+        )
+        # the reference maps the NAME ebcdic-1040 to code page 1140
+        assert (
+            self._dec(spark, "A@B".encode("cp1140"), "ebcdic-1040")
+            == "A@B"
+        )
+        assert (
+            self._dec(spark, bytes([0xC8, 0xC9]), "ebcdic-1047") == "HI"
+        )
 
     def test_frame_events_charset_tier(self, spark):
         # raw UTF-16LE connection blob with BOM → decode, then the Go

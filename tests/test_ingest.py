@@ -358,9 +358,11 @@ class TestNewSteps:
             }}]
         ).apply(df)
         assert sorted(r["id"] for r in both.collect()) == [1, 2]
+        # .contains is a supported string method since the x-pack
+        # wave — probe with a genuinely unsupported one
         with pytest.raises(IngestError):
             IngestPipeline(
-                steps=[{"drop": {"if": "ctx.x.y.contains('z')"}}]
+                steps=[{"drop": {"if": "ctx.x.y.matches('z')"}}]
             ).apply(df)
 
     def test_date_iso8601_zoneless_defaults_utc(self, spark):

@@ -563,3 +563,35 @@ class TestLayoutAndEvalPlans:
         plan = _plan(eval_topk(t, c, k=5))
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+
+class TestMaterializeTiers:
+    def test_tiers_select_by_conf(self, spark):
+        """spark.beats.materialize picks the lineage-cut tier (r4
+        verdict #2: bare localCheckpoint is executor-storage-only on
+        a real cluster)."""
+        import pytest
+        from beats_spark.plans.materialize import materialize
+
+        df = spark.range(100)
+        try:
+            spark.conf.set("spark.beats.materialize", "disk")
+            out = materialize(df)
+            assert out.storageLevel.useDisk and not out.storageLevel.useMemory
+            assert out.count() == 100
+            out.unpersist()
+
+            spark.conf.set("spark.beats.materialize", "reliable")
+            import tempfile
+
+            spark.sparkContext.setCheckpointDir(tempfile.mkdtemp())
+            out = materialize(df)
+            assert out.count() == 100
+
+            spark.conf.set("spark.beats.materialize", "bogus")
+            with pytest.raises(ValueError, match="bogus"):
+                materialize(df)
+        finally:
+            spark.conf.unset("spark.beats.materialize")
+        # default tier: localCheckpoint
+        assert materialize(df).count() == 100

@@ -226,3 +226,81 @@ SELECT f.id, d.rev FROM f ASOF LEFT JOIN d
             .collect()[0]
         )
         assert out["cfg_rev"] == 2 and out["cfg_tag"] == "r2"
+
+
+class TestUARegexTier:
+    def test_unseen_ua_resolves_and_engines_agree(self, spark):
+        """r4 verdict #6: the exact-string dim is only the cache tier;
+        a dim MISS falls through to the bounded uap-core-style regex
+        tables — first match wins, both engines share the table."""
+        import duckdb
+        from pyspark.sql import functions as F
+        from beats_spark.operators.enrich import (
+            UserAgentEnrich,
+            dim_user_agents,
+            ua_regex_sql,
+        )
+
+        uas = [
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120.0",
+            "UnknownBot/0.1",
+            "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Firefox/115.0",
+            "Mozilla/5.0 (Linux; Android 13) Chrome/118.0 Mobile Safari",
+            "Wget/1.21.3",
+            "customtool/2.0",
+            "???",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(uas)], "i long, user_agent string"
+        )
+        out = UserAgentEnrich(
+            dim=dim_user_agents(spark), regex_fallback=True
+        ).apply(df)
+        rows = {r["i"]: r for r in out.collect()}
+        # dim hit wins (cache tier)
+        assert rows[0]["user_agent.name"] == "Chrome"
+        # unseen strings RESOLVE (the r3/r4 semantic gap)
+        assert rows[1]["user_agent.name"] == "Spider"
+        assert rows[1]["user_agent.device"] == "spider"
+        assert rows[2]["user_agent.name"] == "Firefox"
+        assert rows[2]["user_agent.os"] == "Linux"
+        assert rows[3]["user_agent.name"] == "Chrome Mobile"
+        assert rows[3]["user_agent.device"] == "mobile"
+        assert rows[4]["user_agent.name"] == "Wget"
+        # generic product-token fallback
+        assert rows[5]["user_agent.name"] == "customtool"
+        # unparseable: family NULL, os/device fall back to Other
+        assert rows[6]["user_agent.name"] is None
+        assert rows[6]["user_agent.os"] == "Other"
+        assert rows[7]["user_agent.name"] is None
+
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        rx = ua_regex_sql("user_agent")
+        want = con.execute(
+            f"SELECT i, {rx['name']}, {rx['os']}, {rx['device']} "
+            "FROM t ORDER BY i"
+        ).fetchall()
+        # rows 1.. have no dim hit: regex result must match per engine
+        for i, n, o, d in want:
+            if i == 0:
+                continue
+            assert rows[i]["user_agent.name"] == n, i
+            assert rows[i]["user_agent.os"] == o, i
+            assert rows[i]["user_agent.device"] == d, i
+
+    def test_first_match_priority_order(self, spark):
+        """Chrome UAs also contain 'Safari/' — table order must give
+        Chrome (uap-core first-match semantics)."""
+        from beats_spark.operators.enrich import ua_regex_columns
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("Mozilla/5.0 Chrome/120.0 Safari/537.36",),
+             ("Mozilla/5.0 Version/16.5 Safari/605.1",)],
+            "ua string",
+        )
+        cols = ua_regex_columns(F.col("ua"))
+        got = [r["n"] for r in df.select(cols["name"].alias("n")).collect()]
+        assert got == ["Chrome", "Safari"]
