@@ -136,6 +136,113 @@ class AddLabels(Processor):
         return df
 
 
+#: IANA protocol numbers the community-id spec hashes (the beats
+#: processor's protos table, libbeat/processors/communityid)
+_CID_PROTO = {
+    "icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
+    "icmp6": 58, "icmpv6": 58, "ipv6-icmp": 58, "eigrp": 88,
+    "ospf": 89, "pim": 103, "sctp": 132,
+}
+
+
+def _cid_ip_hex(ip: Column) -> Column:
+    """Dotted-quad or IPv6 text → the address's big-endian bytes as
+    fixed-width lowercase hex (so string comparison == bytewise
+    comparison). IPv6 handles both the full 8-hextet form and ``::``
+    compression."""
+    parts = F.split(ip, r"\.")
+    v4_long = (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+    v4 = F.lpad(F.lower(F.hex(v4_long)), 8, "0")
+    halves = F.split(ip, "::", -1)
+    nonempty = lambda x: x != F.lit("")  # noqa: E731
+    lseg = F.filter(F.split(F.get(halves, 0), ":"), nonempty)
+    rseg = F.when(
+        F.size(halves) > 1,
+        F.filter(F.split(F.get(halves, 1), ":"), nonempty),
+    ).otherwise(F.array().cast("array<string>"))
+    pad4 = lambda seg: F.lpad(F.lower(seg), 4, "0")  # noqa: E731
+    mid = F.lit(8) - F.size(lseg) - F.size(rseg)
+    zeros = F.lit("0" * 32).substr(F.lit(1), mid * 4)
+    v6 = F.concat(
+        F.array_join(F.transform(lseg, pad4), ""),
+        zeros,
+        F.array_join(F.transform(rseg, pad4), ""),
+    )
+    return F.when(ip.contains(":"), v6).otherwise(v4)
+
+
+def community_id_spec(
+    src_ip: Column,
+    src_port: Column,
+    dst_ip: Column,
+    dst_port: Column,
+    proto: Column,
+    seed: int = 0,
+) -> Column:
+    """The PUBLISHED community-id v1 flow hash (Corelight spec; the
+    beats processor's exact bytes): ``"1:" + base64(sha1(seed_2B +
+    saddr + daddr + proto_1B + 0x00 + sport_2B + dport_2B))`` with the
+    endpoint pair byte-ordered (smaller (addr, port) first). All
+    Column work: hex-packed fields → unhex → sha1 → base64; verified
+    byte-for-byte against the suricata module goldens
+    (x-pack/.../eve-small.log-expected.json)."""
+    sa, da = _cid_ip_hex(src_ip), _cid_ip_hex(dst_ip)
+    pname = F.lower(proto.cast("string"))
+    pnum = F.coalesce(
+        *[F.when(pname == k, F.lit(v)) for k, v in _CID_PROTO.items()],
+        proto.try_cast("int"),
+    )
+    # ICMP: the "ports" are (type, code); a type with a defined
+    # counterpart hashes as the orderable pair (type, counterpart),
+    # any other type hashes one-way (no endpoint flip) — the beats
+    # flowhash ICMPv4/v6 equivalence tables
+    eq4 = {0: 8, 8: 0, 9: 10, 10: 9, 13: 14, 14: 13, 15: 16,
+           16: 15, 17: 18, 18: 17}
+    eq6 = {128: 129, 129: 128, 133: 134, 134: 133, 135: 136,
+           136: 135, 139: 140, 140: 139}
+    # Go packs ports as uint16 — an out-of-range port TRUNCATES
+    # (zeek test data carries port 383341; the golden hashes its low
+    # 16 bits)
+    sp_l = src_port.cast("long").bitwiseAND(F.lit(0xFFFF))
+    equiv = F.coalesce(
+        *[
+            F.when((pnum == 1) & (sp_l == k), F.lit(v))
+            for k, v in eq4.items()
+        ],
+        *[
+            F.when((pnum == 58) & (sp_l == k), F.lit(v))
+            for k, v in eq6.items()
+        ],
+    )
+    is_icmp = pnum.isin(1, 58)
+    eff_dp = F.when(is_icmp & equiv.isNotNull(), equiv).otherwise(
+        dst_port.cast("long").bitwiseAND(F.lit(0xFFFF))
+    )
+    oneway = is_icmp & equiv.isNull()
+    sp = F.lpad(F.lower(F.hex(sp_l)), 4, "0")
+    dp = F.lpad(F.lower(F.hex(eff_dp)), 4, "0")
+    fwd = oneway | (sa < da) | ((sa == da) & (sp <= dp))
+    lo_a, hi_a = F.when(fwd, sa).otherwise(da), F.when(fwd, da).otherwise(sa)
+    lo_p, hi_p = F.when(fwd, sp).otherwise(dp), F.when(fwd, dp).otherwise(sp)
+    data_hex = F.concat(
+        F.lit(f"{seed:04x}"),
+        lo_a,
+        hi_a,
+        F.lpad(F.lower(F.hex(pnum)), 2, "0"),
+        F.lit("00"),
+        lo_p,
+        hi_p,
+    )
+    return F.concat(
+        F.lit("1:"), F.base64(F.unhex(F.sha1(F.unhex(data_hex))))
+    )
+
+
 @dataclass
 class CommunityID(Processor):
     """community_id (libbeat/processors/communityid/communityid.go:39,93):
@@ -155,8 +262,25 @@ class CommunityID(Processor):
     seed: int = 0
     target: str = "community_id"
     hash_fn: str = "sha1"
+    #: spec=True computes the PUBLISHED byte-exact community-id v1
+    #: (:func:`community_id_spec`, golden-verified); the default
+    #: canonical-text form stays for DuckDB-oracle twins (no sha1
+    #: there) and pre-r5 rows
+    spec: bool = False
 
     def apply(self, df, guard=None):
+        if self.spec:
+            cid = community_id_spec(
+                _fcol(df, self.src_ip).cast("string"),
+                _fcol(df, self.src_port),
+                _fcol(df, self.dst_ip).cast("string"),
+                _fcol(df, self.dst_port),
+                _fcol(df, self.proto),
+                seed=self.seed,
+            )
+            return df.withColumn(
+                self.target, self._guarded(df, guard, self.target, cid)
+            )
         s_ip, d_ip = _fcol(df, self.src_ip).cast("string"), _fcol(df, self.dst_ip).cast("string")
         s_pt, d_pt = _fcol(df, self.src_port).cast("long"), _fcol(df, self.dst_port).cast("long")
         # normalize flow direction: order endpoints so both directions

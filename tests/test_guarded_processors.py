@@ -410,3 +410,31 @@ def test_guarded_metadata_enrichers(spark):
     assert rows["raw"]["container.name"] is None
     assert rows["log"]["process.name"] == "svc"
     assert rows["raw"]["process.name"] is None
+
+
+def test_community_id_spec_published_vector(spark):
+    """community_id_spec reproduces the spec's canonical example
+    (corelight/community-id-spec README: 128.232.110.120:34855 →
+    66.35.250.204:80/tcp = 1:LQU9qZlK+B5F3KDmev6m5PMibrg=), plus
+    direction invariance and the ICMP one-way rule."""
+    from beats_spark.operators.actions import CommunityID
+
+    df = spark.createDataFrame(
+        [
+            (1, "128.232.110.120", 34855, "66.35.250.204", 80, "tcp"),
+            # reversed direction must hash identically
+            (2, "66.35.250.204", 80, "128.232.110.120", 34855, "tcp"),
+            # icmp echo (type 8 ↔ 0 equivalence, two-way)
+            (3, "192.168.0.89", 8, "192.168.0.1", 0, "icmp"),
+            (4, "192.168.0.1", 0, "192.168.0.89", 8, "icmp"),
+        ],
+        "i long, source_ip string, source_port long, "
+        "dest_ip string, dest_port long, proto string",
+    )
+    out = {
+        r["i"]: r["community_id"]
+        for r in CommunityID(spec=True).apply(df).collect()
+    }
+    assert out[1] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert out[2] == out[1]
+    assert out[3] == out[4]

@@ -38,11 +38,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 #: fields the x-pack goldens carry that this harness can't reproduce:
-#: the flow-tuple community_id (the reference hashes PACKED BINARY
-#: endpoints per the published spec; our processor hashes the
-#: canonical text form — deterministic per flow but not
-#: byte-compatible), and filebeat-side tags/prospector metadata.
-_XSKIP = re.compile(r"^(network\.community_id|tags|event\.severity$)")
+#: filebeat-side tags/prospector metadata. network.community_id IS
+#: reproduced byte-exactly (community_id_spec, golden-verified).
+_XSKIP = re.compile(r"^(tags|event\.severity$)")
 
 
 def _entry_pipelines() -> list[str]:
@@ -56,6 +54,41 @@ def _entry_pipelines() -> list[str]:
             referenced.add(base + ".json")
             referenced.add(base + ".yml")
     return [p for p in all_files if p not in referenced]
+
+
+def _community_id_pre(conf: dict):
+    """The config's ``community_id`` processor (suricata reads the
+    json map's src/dest tuple; zeek connection branches icmp type/code
+    into the port slots) → the byte-exact spec hash, reading each
+    configured field through the map-aware resolver."""
+    from beats_spark.operators.actions import community_id_spec
+    from beats_spark.operators.ingest import _read_field
+
+    fields = {
+        "source_ip": "source.ip", "source_port": "source.port",
+        "destination_ip": "destination.ip",
+        "destination_port": "destination.port",
+        "transport": "network.transport",
+        **(conf.get("fields") or {}),
+    }
+
+    def pre(spark, df):
+        def rd(name):
+            c = _read_field(df, fields[name])
+            return c if c is not None else F.lit(None)
+
+        return df.withColumn(
+            "network.community_id",
+            community_id_spec(
+                rd("source_ip").cast("string"),
+                rd("source_port"),
+                rd("destination_ip").cast("string"),
+                rd("destination_port"),
+                rd("transport"),
+            ),
+        )
+
+    return pre
 
 
 def _config_pre_steps(module: str, fileset: str) -> list[dict]:
@@ -72,6 +105,7 @@ def _config_pre_steps(module: str, fileset: str) -> list[dict]:
     )
     doc = yaml.safe_load(kept) or {}
     steps: list[dict] = []
+    cid_confs: list[dict] = []
     # constant `fields:` (zeek http/ssl pin network.transport: tcp);
     # fields_under_root: true puts them at the event root
     prefix = "" if doc.get("fields_under_root") else "fields."
@@ -80,14 +114,17 @@ def _config_pre_steps(module: str, fileset: str) -> list[dict]:
     for proc in doc.get("processors") or []:
         if "if" in proc:
             # conditional wrapper — the corpus only uses it around
-            # community_id (zeek connection's icmp branch), whose
-            # values the compare skips (_XSKIP)
+            # community_id (zeek connection's icmp branch maps
+            # type/code into the SAME port slots the else branch
+            # reads, and community_id_spec handles the icmp pseudo-
+            # port rules itself, so one unconditional hash suffices)
             leaves = set()
             for branch in ("then", "else"):
                 b = proc.get(branch)
                 if isinstance(b, dict):
                     leaves |= set(b.keys())
             assert leaves <= {"community_id"}, proc
+            cid_confs.append(proc.get("else", {}).get("community_id", {}))
             continue
         ((name, conf),) = proc.items()
         if name == "drop_fields":
@@ -111,22 +148,26 @@ def _config_pre_steps(module: str, fileset: str) -> list[dict]:
                     }
                 )
         elif name == "community_id":
-            # values skipped in compare (_XSKIP) — binary-packed hash
+            cid_confs.append(conf or {})
             continue
         else:  # pragma: no cover - corpus drift guard
             raise AssertionError(f"untranslated config processor {name}")
-    return steps
+    return steps, cid_confs
 
 
 def _json_pre(module: str, fileset: str):
     """Per-case `pre` hook: apply the fileset config's translated
-    processor steps over the json-decoded frame."""
-    steps = _config_pre_steps(module, fileset)
+    processor steps over the json-decoded frame, then its
+    community_id processors (they sit last in every config that has
+    one)."""
+    steps, cid_confs = _config_pre_steps(module, fileset)
 
     def pre(spark, df):
-        if not steps:
-            return df
-        return IngestPipeline(steps=steps).apply(df)
+        if steps:
+            df = IngestPipeline(steps=steps).apply(df)
+        for conf in cid_confs:
+            df = _community_id_pre(conf)(spark, df)
+        return df
 
     return pre
 
