@@ -960,6 +960,13 @@ def semdedup(
     brief).
     """
     assigned = kmeans_ivf(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # rank for the hot-cell anchors on the SLIM (id, cell, dist)
+    # table BEFORE vectors attach — the window sort then never moves
+    # an embedding array, and the vector join carries _rk for free
+    wc = Window.partitionBy("cell").orderBy(
+        F.col("dist").desc(), F.col(id_col).asc()
+    )
+    assigned = assigned.withColumn("_rk", F.row_number().over(wc))
     # one row per vector, consumed by BOTH self-join sides and the
     # final keep-join — materialize once. The norm is precomputed per
     # VECTOR (the identical fold the per-pair cosine would run, so the
@@ -972,14 +979,7 @@ def semdedup(
         .withColumn("_nrm", norm(F.col(vec_col)))
         .transform(_materialize)
     )
-    wc = Window.partitionBy("cell").orderBy(
-        F.col("dist").desc(), F.col(id_col).asc()
-    )
-    anchors = (
-        av.withColumn("_rk", F.row_number().over(wc))
-        .where(F.col("_rk") <= cell_cap)
-        .drop("_rk")
-    )
+    anchors = av.where(F.col("_rk") <= cell_cap)
     lhs = anchors.select(
         F.col(id_col).alias("id_a"),
         F.col("cell"),
@@ -1071,17 +1071,18 @@ def semdedup_sql(
         table, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
     return f"""
-WITH assigned AS ({km}),
+WITH assigned0 AS ({km}),
+assigned AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cell ORDER BY dist DESC, {id_col} ASC
+  ) AS rk FROM assigned0
+),
 av AS MATERIALIZED (
-  SELECT a.{id_col}, a.cell, a.dist, e.{vec_col}
+  SELECT a.{id_col}, a.cell, a.dist, a.rk, e.{vec_col}
   FROM assigned a JOIN {table} e USING ({id_col})
 ),
 anchors AS (
-  SELECT {id_col}, cell, dist, {vec_col} FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY cell ORDER BY dist DESC, {id_col} ASC
-    ) AS rk FROM av
-  ) WHERE rk <= {cell_cap}
+  SELECT {id_col}, cell, dist, {vec_col} FROM av WHERE rk <= {cell_cap}
 ),
 dup AS (
   SELECT DISTINCT

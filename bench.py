@@ -101,6 +101,7 @@ def emit(out: dict) -> None:
         for k in (
             "metric", "value", "unit", "sf", "bench_rows",
             "throughput_turns_per_sec", "cpus", "partial",
+            "headline_healthy_window",
         )
         if k in out
     }
