@@ -304,11 +304,31 @@ class AddProcessMetadata(Processor):
         )
         pid = _first_present(df, self.match_pids).try_cast("long")
         df = df.withColumn("_apm_pid", pid)
+        pairs = [
+            (f, t) for f, t in zip(fields, targets) if f in dim.columns
+        ]
+        # dim columns land under temp names: a target that already
+        # exists (overwrite_keys=True) must not create a DUPLICATE
+        # column through the join — a dim hit overwrites, a miss
+        # keeps the event's value (add_process_metadata.go:164-167)
         meta = dim.select(
             F.col("pid").cast("long").alias("_apm_dim_pid"),
-            *[F.col(f).alias(t) for f, t in zip(fields, targets) if f in dim.columns],
+            *[F.col(f).alias(f"_apm_v_{i}") for i, (f, _) in enumerate(pairs)],
         )
         out = df.join(
             F.broadcast(meta), df["_apm_pid"] == meta["_apm_dim_pid"], "left"
-        ).drop("_apm_pid", "_apm_dim_pid")
-        return guard_added_columns(orig, out, guard)
+        )
+        for i, (_, t) in enumerate(pairs):
+            new_val = F.col(f"_apm_v_{i}")
+            if t in orig.columns:
+                new_val = F.coalesce(new_val, F.col(f"`{t}`"))
+            if guard is not None:
+                old_val = (
+                    F.col(f"`{t}`") if t in orig.columns else F.lit(None)
+                )
+                new_val = F.when(guard, new_val).otherwise(old_val)
+            out = out.withColumn(t, new_val)
+        return out.drop(
+            "_apm_pid", "_apm_dim_pid",
+            *[f"_apm_v_{i}" for i in range(len(pairs))],
+        )

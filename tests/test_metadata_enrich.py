@@ -256,3 +256,26 @@ class TestConfigSurface:
         df = _events(spark, ["/x.log"])
         with pytest.raises(ValueError, match="inline inventory"):
             AddDockerMetadata().apply(df)
+
+
+def test_process_metadata_overwrite_keys(spark):
+    """overwrite_keys=True with an existing target column: a dim hit
+    overwrites, a dim miss keeps the event's value, and the join must
+    never leave a duplicate column name
+    (add_process_metadata.go:164-167)."""
+    from pyspark.sql import functions as F
+    from beats_spark.operators.metadata import AddProcessMetadata
+
+    df = spark.createDataFrame(
+        [(1, 100, "old-a"), (2, 999, "old-b")],
+        "id long, `process.pid` long, `process.name` string",
+    )
+    dim = spark.createDataFrame([(100, "nginx")], "pid long, name string")
+    out = AddProcessMetadata(
+        dim=dim, match_pids=["process.pid"], include_fields=["name"],
+        overwrite_keys=True,
+    ).apply(df)
+    assert out.columns.count("process.name") == 1
+    rows = {r["id"]: r["process.name"] for r in out.collect()}
+    assert rows[1] == "nginx"   # dim hit overwrites
+    assert rows[2] == "old-b"   # dim miss keeps the event's value

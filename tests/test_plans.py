@@ -595,3 +595,49 @@ class TestMaterializeTiers:
             spark.conf.unset("spark.beats.materialize")
         # default tier: localCheckpoint
         assert materialize(df).count() == 100
+
+
+class TestHotBucketCapPlans:
+    def test_lsh_anchor_window_shares_the_band_exchange(self, spark):
+        """The r5 hot-bucket cap must not add a shuffle: the anchor
+        window's (band, key) exchange is the only one keyed on the
+        band table — the candidate join consumes it (or broadcasts),
+        never re-exchanges on (band, key)."""
+        import re
+        from beats_spark.operators.dedup import minhash_lsh_pairs
+        from tests.conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = (
+            minhash_lsh_pairs(docs, threshold=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        band_exchanges = [
+            m.group(0)
+            for m in re.finditer(
+                r"Exchange hashpartitioning\(band#\d+, key#\d+", plan
+            )
+        ]
+        assert len(band_exchanges) == 1, plan[:2000]
+
+    def test_semdedup_window_never_sorts_embeddings(self, spark):
+        """The hot-cell rank runs on the slim (id, cell, dist) table
+        BEFORE vectors attach — no Sort node may carry the embedding
+        array (the r5 fix that removed the array-shuffling window)."""
+        import re
+        from beats_spark.operators.similarity import semdedup
+        from tests.conftest import SF_DIR
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        plan = (
+            semdedup(emb, k=2, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+            assert "embedding" not in m.group(1), m.group(1)
