@@ -713,17 +713,186 @@ def q_multiline_flush(spark, sf_dir):
 
 
 def q_multiline_modes(spark, sf_dir):
-    """multiline_combine + multiline_flush under one driver row (the
-    driver correctness check windows at ~50 registrations; both modes
-    share a schema, so a variant tag keeps each independently
-    hash-checked)."""
+    """multiline_combine + multiline_flush + the docker/CRI reader
+    under one driver row (the driver correctness check windows at ~50
+    registrations — r5 folds `docker_logs` in per the SURVEY merge
+    plan, freeing its slot for `framing_charsets`). Unified schema
+    (variant, source, first_turn_idx, doc_chars, n_lines, text): the
+    multiline variants carry NULL text (their check is the boundary
+    structure, as before), the docker variants keep the FULL
+    round-trip text fixpoint and fold the stream into the variant
+    tag ('docker:stdout' / 'docker:stderr')."""
     a = q_multiline_combine(spark, sf_dir).select(
-        F.lit("combine").alias("variant"), "*"
+        F.lit("combine").alias("variant"),
+        "*",
+        F.lit(None).cast("string").alias("text"),
     )
     b = q_multiline_flush(spark, sf_dir).select(
-        F.lit("flush").alias("variant"), "*"
+        F.lit("flush").alias("variant"),
+        "*",
+        F.lit(None).cast("string").alias("text"),
     )
-    return a.unionByName(b)
+    d = q_docker_logs(spark, sf_dir).select(
+        F.concat(F.lit("docker:"), F.col("stream")).alias("variant"),
+        "source",
+        F.col("doc_id").cast("int").alias("first_turn_idx"),
+        F.length("text").alias("doc_chars"),
+        "n_lines",
+        "text",
+    )
+    return a.unionByName(b).unionByName(d)
+
+
+#: single-byte charmaps exercised by the framing_charsets oracle row —
+#: one representative per family in the reference registry
+#: (encoding.go:47-104); the full set is pytest-covered
+#: (tests/test_framing.py 256-byte vectors)
+CHARSET_PANEL = [
+    "iso8859-2", "iso8859-5", "iso8859-7", "iso8859-15",
+    "cp437", "cp850", "cp866", "ebcdic-037",
+    "koi8r", "macintosh", "windows1250", "windows1252", "windows874",
+]
+
+#: multi-byte JVM codecs: (charset, fixture) round-trip rows — the
+#: oracle pins the fixture, so the JVM encode→decode must be lossless
+MB_FIXTURES = [
+    ("gbk", "中文日志行"),
+    ("shift-jis", "ログ出力テスト"),
+    ("euc-jp", "ログ解析"),
+    ("euc-kr", "로그라인"),
+    ("big5", "日誌輸出"),
+    ("gb18030", "中文€日志"),
+]
+
+
+def q_framing_charsets(spark, sf_dir):
+    """Reader charset tier as an oracle row (r5; slot freed by the
+    docker→multiline_modes merge). Three sub-checks in one
+    (charset, byte, decoded) frame:
+
+    - every byte 1..255 (doc_id-driven; NUL excluded — DuckDB VARCHAR
+      can't carry it) through each CHARSET_PANEL single-byte charmap:
+      Spark runs the REAL decode machinery (ISO-8859-1 passthrough +
+      translate — functions/framing.decode_blob) while the oracle
+      states the published byte table (chr() code points), so a
+      translate/decode defect on either engine breaks the hash;
+    - multi-byte JVM codecs (gbk/shift-jis/euc-*/big5/gb18030):
+      encode(fixture)→decode must round-trip to the pinned fixture —
+      a genuine JVM-vs-literal cross-check;
+    - UTF-16 BOM ladder + UTF-8 replacement semantics on fixed blobs
+      (BOM detected AND stripped; BOM-required mode NULL without one;
+      invalid UTF-8 byte → U+FFFD)."""
+    from .functions.framing import decode_blob
+
+    bytes_df = _docs(spark, sf_dir).where(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") <= 255)
+    ).select(F.col("doc_id").cast("int").alias("byte"))
+    blob = F.unhex(F.lpad(F.lower(F.hex(F.col("byte"))), 2, "0"))
+    sb = bytes_df.select(
+        F.explode(
+            F.array(*[F.lit(c) for c in CHARSET_PANEL])
+        ).alias("charset"),
+        "byte",
+    )
+    decoded = F.coalesce(
+        *[
+            F.when(
+                F.col("charset") == c, decode_blob(blob, c)
+            )
+            for c in CHARSET_PANEL
+        ]
+    )
+    out = sb.select("charset", "byte", decoded.alias("decoded"))
+
+    special = []
+    for i, (cs, text) in enumerate(MB_FIXTURES):
+        special.append(
+            (cs, -1 - i, decode_blob(F.encode(F.lit(text), _JVM(cs)), cs))
+        )
+    special += [
+        # BOM detected + stripped, both endiannesses
+        ("utf-16", -101,
+         decode_blob(F.unhex(F.lit("FEFF00680069")), "utf-16")),
+        ("utf-16", -102,
+         decode_blob(F.unhex(F.lit("FFFE680069006A00")), "utf-16")),
+        # BOM required: absent → NULL
+        ("utf-16", -103,
+         decode_blob(F.unhex(F.lit("00680069")), "utf-16")),
+        # named endianness without BOM
+        ("utf-16le", -104,
+         decode_blob(F.unhex(F.lit("680069006B00")), "utf-16le")),
+        ("utf-16be", -105,
+         decode_blob(F.unhex(F.lit("006800690042")), "utf-16be")),
+        # replacement-semantics UTF-8: 0xFF → U+FFFD
+        ("utf-8", -106,
+         decode_blob(F.unhex(F.lit("61FF62")), "utf-8")),
+    ]
+    sp = None
+    for cs, idx, col in special:
+        row = _docs(spark, sf_dir).limit(1).select(
+            F.lit(cs).alias("charset"),
+            F.lit(idx).cast("int").alias("byte"),
+            col.alias("decoded"),
+        )
+        sp = row if sp is None else sp.unionByName(row)
+    return out.unionByName(sp)
+
+
+def _JVM(cs: str) -> str:
+    from .functions.framing import _JVM_MULTIBYTE
+
+    return _JVM_MULTIBYTE[cs]
+
+
+def framing_charsets_sql() -> str:
+    """DuckDB twin: the single-byte expectations come from the
+    PUBLISHED byte tables (Python's codecs — the same tables x/text
+    implements), rendered as chr() code points for the bytes that
+    differ from latin-1; everything else is chr(byte)."""
+    from .functions.framing import _CHARMAPS
+
+    cs_rows = ", ".join(f"('{c}')" for c in CHARSET_PANEL)
+    diff_rows = []
+    for cs in CHARSET_PANEL:
+        codec = _CHARMAPS[cs]
+        for b in range(1, 256):
+            ch = bytes([b]).decode(codec, errors="replace")
+            if ch != chr(b):
+                diff_rows.append(f"('{cs}', {b}, chr({ord(ch)}))")
+    diffs = ",\n    ".join(diff_rows)
+    mb_rows = []
+    for i, (cs, text) in enumerate(MB_FIXTURES):
+        pts = "||".join(f"chr({ord(ch)})" for ch in text)
+        mb_rows.append(f"SELECT '{cs}' AS charset, {-1 - i} AS byte, {pts} AS decoded")
+    specials = [
+        ("utf-16", -101, "chr(104)||chr(105)"),
+        ("utf-16", -102, "chr(104)||chr(105)||chr(106)"),
+        ("utf-16", -103, "NULL"),
+        ("utf-16le", -104, "chr(104)||chr(105)||chr(107)"),
+        ("utf-16be", -105, "chr(104)||chr(105)||chr(66)"),
+        ("utf-8", -106, "chr(97)||chr(65533)||chr(98)"),
+    ]
+    for cs, idx, expr in specials:
+        mb_rows.append(f"SELECT '{cs}' AS charset, {idx} AS byte, {expr} AS decoded")
+    mb = "\nUNION ALL\n".join(mb_rows)
+    return f"""
+WITH b AS (
+  SELECT CAST(doc_id AS INT) AS byte FROM documents
+  WHERE doc_id BETWEEN 1 AND 255
+),
+cs(charset) AS (VALUES {cs_rows}),
+diff(charset, byte, ch) AS (VALUES
+    {diffs}),
+sb AS (
+  SELECT cs.charset, b.byte,
+         coalesce(d.ch, chr(b.byte)) AS decoded
+  FROM b CROSS JOIN cs
+  LEFT JOIN diff d ON d.charset = cs.charset AND d.byte = b.byte
+)
+SELECT charset, byte, decoded FROM sb
+UNION ALL
+{mb}
+"""
 
 
 #: docker synth chunk width — small enough that sf0.01 documents split
@@ -1627,8 +1796,9 @@ def dataops_queries_front() -> dict[str, Callable[[SparkSession, str], DataFrame
         "bpe_tokenize": q_bpe_tokenize,
         "multimodal_features": q_multimodal_features,
         "embedding_neardup": q_embedding_neardup,
-        # new in r3: docker/CRI container-log reader (round-trip oracle)
-        "docker_logs": q_docker_logs,
+        # r5: docker/CRI reader folded into multiline_modes (variant
+        # 'docker:*'), freeing this slot for the reader charset tier
+        "framing_charsets": q_framing_charsets,
         # merged from multiline_combine + multiline_flush to keep the
         # registry at ≤ 50 driver rows
         "multiline_modes": q_multiline_modes,
@@ -1695,7 +1865,9 @@ _VARIANT_ROWS: dict[str, tuple[str, list[str]]] = {
     "multimodal_features": ("variant", ["feat", "resize", "frame", "dims"]),
     "dedup_exact": ("variant", ["doc", "span", "para", "bloom", "hll", "hllx", "diff"]),
     "simhash_dedup": ("variant", ["groups", "hamming"]),
-    "multiline_modes": ("variant", ["combine", "flush"]),
+    "multiline_modes": (
+        "variant", ["combine", "flush", "docker:stdout", "docker:stderr"]
+    ),
     "stratified_sample": ("variant", ["fixed", "mix", "tmix"]),
     "quantize_embeddings": ("variant", ["int8", "pq"]),
     "lm_scores": ("variant", ["lm", "dsir", "bucket"]),
@@ -2141,6 +2313,21 @@ SELECT 'tmix' AS variant, doc_id, source AS stratum FROM ({tmix})
 """
 
 
+#: docker/CRI reader round-trip as a multiline_modes variant (r5
+#: merge): the oracle states the fixpoint straight from `documents`
+_DOCKER_VARIANT_SQL = f"""
+SELECT 'docker:' || CASE WHEN doc_id % 2 = 1 THEN 'stderr'
+                         ELSE 'stdout' END AS variant,
+       source,
+       CAST(doc_id AS INT) AS first_turn_idx,
+       CAST(len(regexp_replace(text, chr(10), ' ', 'g')) AS INT)
+         AS doc_chars,
+       CAST(greatest(ceil(len(regexp_replace(text, chr(10), ' ', 'g'))
+                          / {DOCKER_CHUNK}.0), 1) AS INT) AS n_lines,
+       regexp_replace(text, chr(10), ' ', 'g') AS text
+FROM documents
+"""
+
 _MULTILINE_COMBINE_SQL = """
 WITH lines AS (
   SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx, text
@@ -2349,23 +2536,17 @@ SELECT host,
        count(*) AS n_docs
 FROM hosts GROUP BY 1, 2
 """,
-        "docker_logs": f"""
-WITH d AS (
-  SELECT doc_id, source, regexp_replace(text, chr(10), ' ', 'g') AS txt
-  FROM documents
-)
-SELECT doc_id,
-       source,
-       txt AS text,
-       CASE WHEN doc_id % 2 = 1 THEN 'stderr' ELSE 'stdout' END AS stream,
-       CAST(greatest(ceil(len(txt) / {DOCKER_CHUNK}.0), 1) AS INT)
-         AS n_lines
-FROM d
-""",
+        "framing_charsets": framing_charsets_sql(),
         "multiline_modes": (
-            f"SELECT 'combine' AS variant, m.* FROM ({_MULTILINE_COMBINE_SQL}) m"
+            f"SELECT 'combine' AS variant, m.*,"
+            f" CAST(NULL AS VARCHAR) AS text"
+            f" FROM ({_MULTILINE_COMBINE_SQL}) m"
             f" UNION ALL "
-            f"SELECT 'flush' AS variant, m.* FROM ({_MULTILINE_FLUSH_SQL}) m"
+            f"SELECT 'flush' AS variant, m.*,"
+            f" CAST(NULL AS VARCHAR) AS text"
+            f" FROM ({_MULTILINE_FLUSH_SQL}) m"
+            f" UNION ALL "
+            f"{_DOCKER_VARIANT_SQL}"
         ),
         "chunk_documents": _chunk_oracle(),
         "quantize_embeddings": _quant_oracle(),
