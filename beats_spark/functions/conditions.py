@@ -140,12 +140,13 @@ def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) ->
                 raise ConditionError(
                     f"network condition for {fld!r} needs at least one range"
                 )
-            ip_long = _ipv4_to_long(_field(df, fld).cast("string"))
+            ip_s = _field(df, fld).cast("string")
+            ip_long = _ipv4_to_long(ip_s)
+            ip_hex = _ipv6_to_hex(ip_s)
             alts = None
             for r in ranges:
-                for cidr in _NAMED_NETWORKS.get(r, [r]):
-                    m = _cidr_match(ip_long, cidr)
-                    alts = m if alts is None else (alts | m)
+                m = _range_match(ip_long, ip_hex, r)
+                alts = m if alts is None else (alts | m)
             parts.append(_leaf(alts))
         return _all(parts)
 
@@ -157,16 +158,71 @@ def compile_condition(config: Mapping[str, Any], df: DataFrame | None = None) ->
 
 
 #: named ranges from the reference's network condition
-#: (libbeat/conditions/network.go; IPv4 subset — transcripts carry no
-#: IPv6, and the bit math below is 32-bit)
+#: (libbeat/conditions/network.go:30-56) — both families (r5: IPv6
+#: added; Go's Is* predicates expressed as CIDR lists). The
+#: interface/link-local multicast predicates test the second byte's
+#: LOW nibble only (ip[1]&0x0f), so each expands to 16 ffX?::/16
+#: blocks.
 _NAMED_NETWORKS = {
-    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
-    "loopback": ["127.0.0.0/8"],
-    "link_local_unicast": ["169.254.0.0/16"],
-    "link_local_multicast": ["224.0.0.0/24"],
-    "multicast": ["224.0.0.0/4"],
-    "unspecified": ["0.0.0.0/32"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+                # RFC 4193 as the reference masks it (ff00::… over
+                # fd00 → fd00::/8, network.go:40-43)
+                "fd00::/8"],
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
+    "link_local_multicast": ["224.0.0.0/24"] + [
+        f"ff{h:x}2::/16" for h in range(16)
+    ],
+    "interface_local_multicast": [f"ff{h:x}1::/16" for h in range(16)],
+    "multicast": ["224.0.0.0/4", "ff00::/8"],
+    "unspecified": ["0.0.0.0/32", "::/128"],
 }
+
+#: composite predicates (network.go:46-55,225-232): boolean combos of
+#: the primitive sets, Go net.IP semantics (broadcast excluded from
+#: global unicast; public = NOT local-or-private)
+_COMPOSITE_NETWORKS = {
+    "global_unicast": (
+        [], ["unspecified", "loopback", "multicast",
+             "link_local_unicast"], ["255.255.255.255/32"]
+    ),
+    "unicast": (
+        [], ["unspecified", "loopback", "multicast",
+             "link_local_unicast"], ["255.255.255.255/32"]
+    ),
+    "public": (
+        [], ["private", "loopback", "unspecified",
+             "link_local_unicast", "link_local_multicast",
+             "interface_local_multicast"], ["255.255.255.255/32"]
+    ),
+}
+
+
+def _range_match(ip_long: Column, ip_hex: Column, r: str) -> Column:
+    """One range name / CIDR → boolean Column over the pre-parsed
+    v4-long and v6-hex forms of the field."""
+    if r in _COMPOSITE_NETWORKS:
+        includes, excludes, extra_excludes = _COMPOSITE_NETWORKS[r]
+        # a parseable IP of either family...
+        base = ip_long.isNotNull() | ip_hex.isNotNull()
+        out = base
+        for name in includes:
+            out = out & _range_match(ip_long, ip_hex, name)
+        for name in excludes + extra_excludes:
+            out = out & ~F.coalesce(
+                _range_match(ip_long, ip_hex, name), F.lit(False)
+            )
+        return out
+    cidrs = _NAMED_NETWORKS.get(r, [r])
+    alts = None
+    for cidr in cidrs:
+        m = (
+            _cidr6_match(ip_hex, cidr)
+            if ":" in cidr
+            else _cidr_match(ip_long, cidr)
+        )
+        alts = m if alts is None else (alts | m)
+    return alts
 
 
 def _ipv4_to_long(c: Column) -> Column:
@@ -177,6 +233,75 @@ def _ipv4_to_long(c: Column) -> Column:
     in_range = _all([(o <= 255) for o in octs])
     val = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
     return F.when(ok & in_range, val)
+
+
+def _ipv6_to_hex(c: Column) -> Column:
+    """IPv6 text → the address's 16 bytes as 32 lowercase hex chars,
+    NULL for non-IPv6 — handles the full 8-hextet form, ``::``
+    compression, and a trailing dotted-quad (v4-mapped) tail. Fixed
+    width means string comparison == bytewise comparison (the same
+    packing as actions.community_id_spec)."""
+    ok = c.rlike(r"^[0-9A-Fa-f:]*(:[0-9]{1,3}(\.[0-9]{1,3}){3})?$") & (
+        c.contains(":")
+    )
+    # v4-mapped tail: convert the dotted quad into its 8 hex chars
+    tail4 = F.regexp_extract(c, r"(\d{1,3}(?:\.\d{1,3}){3})$", 1)
+    has4 = tail4 != ""
+    tail_hex = F.lpad(F.lower(F.hex(_ipv4_to_long(tail4))), 8, "0")
+    head = F.when(has4, F.regexp_replace(c, r"\d{1,3}(?:\.\d{1,3}){3}$", "")).otherwise(c)
+    halves = F.split(head, "::", -1)
+    nonempty = lambda x: x != F.lit("")  # noqa: E731
+    lseg = F.filter(F.split(F.get(halves, 0), ":"), nonempty)
+    rseg = F.when(
+        F.size(halves) > 1,
+        F.filter(F.split(F.get(halves, 1), ":"), nonempty),
+    ).otherwise(F.array().cast("array<string>"))
+    pad4 = lambda seg: F.lpad(F.lower(seg), 4, "0")  # noqa: E731
+    n_named = F.size(lseg) + F.size(rseg) + F.when(has4, 2).otherwise(0)
+    mid = F.lit(8) - n_named
+    # no '::' → segment count must be exact; with '::' the gap must
+    # be non-negative (Go ParseIP rejects both violations)
+    valid = ok & (
+        F.when(F.size(halves) > 1, mid >= 0).otherwise(mid == 0)
+    ) & F.when(has4, tail_hex.isNotNull()).otherwise(F.lit(True))
+    zeros = F.lit("0" * 32).substr(F.lit(1), mid * 4)
+    hx = F.concat(
+        F.array_join(F.transform(lseg, pad4), ""),
+        zeros,
+        F.array_join(F.transform(rseg, pad4), ""),
+        F.when(has4, tail_hex).otherwise(F.lit("")),
+    )
+    return F.when(valid & (F.length(hx) == 32), hx)
+
+
+def _cidr6_match(ip_hex: Column, cidr: str) -> Column:
+    """IPv6 CIDR containment over the 32-hex form: whole-nibble
+    prefix compare plus one masked nibble for prefix lengths that
+    aren't a multiple of 4. The CIDR itself parses driver-side via
+    the stdlib (bounded — condition config, not data)."""
+    import ipaddress
+
+    try:
+        net = ipaddress.IPv6Network(cidr, strict=False)
+    except ValueError as e:
+        raise ConditionError(f"bad CIDR network: {cidr!r}") from e
+    net_hex = format(int(net.network_address), "032x")
+    plen = net.prefixlen
+    nchars, rem = divmod(plen, 4)
+    out = ip_hex.isNotNull()
+    if nchars:
+        out = out & (
+            F.substring(ip_hex, 1, nchars) == net_hex[:nchars]
+        )
+    if rem:
+        nib = F.conv(F.substring(ip_hex, nchars + 1, 1), 16, 10).cast(
+            "int"
+        )
+        want = int(net_hex[nchars], 16) >> (4 - rem)
+        out = out & (
+            F.shiftright(nib, 4 - rem) == F.lit(want)
+        )
+    return out
 
 
 def _cidr_match(ip_long: Column, cidr: str) -> Column:

@@ -120,3 +120,106 @@ class TestCommunityID:
             hashlib.sha1(canon.encode()).digest()
         ).decode()
         assert got == want
+
+
+class TestNetworkConditionIPv6:
+    """r5: the reference's network condition is dual-stack
+    (conditions/network.go ParseIP + net.IP predicates) — parity
+    table checked against Python's ipaddress module, which implements
+    the same RFCs Go's net package does."""
+
+    CASES = [
+        # (ip, range, expected)
+        ("fe80::fada:cff:fedc:87f1", "link_local_unicast", True),
+        ("fe80::1", "fe80::/10", True),
+        ("2001:db8::1", "link_local_unicast", False),
+        ("::1", "loopback", True),
+        ("::1", "private", False),
+        ("fd12:3456::1", "private", True),
+        ("fc00::1", "private", False),  # reference masks fd00::/8 ONLY
+        ("ff02::1", "multicast", True),
+        ("ff02::1", "link_local_multicast", True),
+        ("ff71::1", "interface_local_multicast", True),
+        ("ff02::1", "interface_local_multicast", False),
+        ("::", "unspecified", True),
+        ("2001:db8::8a2e:370:7334", "2001:db8::/32", True),
+        ("2001:db9::1", "2001:db8::/32", False),
+        # odd prefix length (not nibble-aligned)
+        ("fe80::1", "fe80::/9", True),
+        ("fec0::1", "fe80::/9", True),   # second nibble e=1110, /9 keeps top bit
+        ("fd00::1", "fe80::/9", False),
+        # v4-mapped text form
+        ("::ffff:192.168.1.5", "::ffff:192.168.0.0/112", True),
+        # composites: dual-stack
+        ("2001:db8::1", "public", True),
+        ("fd00::5", "public", False),
+        ("fe80::1", "public", False),
+        ("2001:db8::1", "global_unicast", True),
+        ("ff02::9", "global_unicast", False),
+        ("8.8.8.8", "public", True),
+        ("10.1.2.3", "public", False),
+        ("255.255.255.255", "public", False),
+        ("8.8.8.8", "global_unicast", True),
+        ("224.0.0.5", "global_unicast", False),
+        # v4 strings never match v6 ranges and vice versa
+        ("10.0.0.1", "fd00::/8", False),
+        ("fd00::1", "10.0.0.0/8", False),
+    ]
+
+    def test_parity_table(self, spark):
+        from beats_spark.functions.conditions import compile_condition
+
+        df = spark.createDataFrame(
+            [(i, ip) for i, (ip, _, _) in enumerate(self.CASES)],
+            "i long, ip string",
+        )
+        import collections
+
+        by_range = collections.defaultdict(list)
+        for i, (ip, rng, want) in enumerate(self.CASES):
+            by_range[rng].append((i, want))
+        got = df
+        from pyspark.sql import functions as F
+
+        for j, rng in enumerate(by_range):
+            got = got.withColumn(
+                f"m{j}", compile_condition({"network": {"ip": rng}}, df)
+            )
+        rows = {r["i"]: r for r in got.collect()}
+        for j, (rng, checks) in enumerate(by_range.items()):
+            for i, want in checks:
+                assert bool(rows[i][f"m{j}"]) == want, (
+                    self.CASES[i][0], rng
+                )
+
+    def test_ipv6_python_parity_random_sweep(self, spark):
+        """Cross-check _ipv6_to_hex + _cidr6_match against the stdlib
+        on a deterministic address sweep."""
+        import ipaddress
+
+        from pyspark.sql import functions as F
+        from beats_spark.functions.conditions import (
+            _cidr6_match,
+            _ipv6_to_hex,
+        )
+
+        addrs = []
+        for i in range(200):
+            v = ipaddress.IPv6Address(
+                (i * 0x9E3779B97F4A7C15_5851F42D4C957F2D) % (1 << 128)
+            )
+            addrs.append(str(v))
+        addrs += ["fe80::", "::", "::1", "2001:db8::ffff:1.2.3.4"]
+        df = spark.createDataFrame([(a,) for a in addrs], "ip string")
+        nets = ["2000::/3", "fe80::/10", "fd00::/8", "ff00::/8",
+                "::/0", "2001:db8::/127"]
+        cols = {"hex": _ipv6_to_hex(F.col("ip"))}
+        for j, n in enumerate(nets):
+            cols[f"n{j}"] = _cidr6_match(_ipv6_to_hex(F.col("ip")), n)
+        rows = df.select("ip", *[c.alias(k) for k, c in cols.items()]).collect()
+        for r in rows:
+            a = ipaddress.IPv6Address(r["ip"])
+            assert r["hex"] == format(int(a), "032x"), r["ip"]
+            for j, n in enumerate(nets):
+                want = a in ipaddress.IPv6Network(n)
+                assert bool(r[f"n{j}"]) == want, (r["ip"], n)

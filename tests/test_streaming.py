@@ -216,3 +216,66 @@ class TestStreamingHll:
         mon.process_batch(df1, 0)
         again = mon.estimate(spark).collect()[0]
         assert again["estimate"] == got["estimate"]
+
+
+def test_module_ingest_pipeline_streams(spark, tmp_path):
+    """A module ingest pipeline is pure map-side Column work
+    (grok/dissect/painless/set/date + broadcast enriches), so the
+    SAME compiled program runs unchanged over a streaming frame —
+    the §2.10 form of the module tier. Drive the x-pack cisco/asa
+    YAML pipeline (guarded dissects + painless) through readStream →
+    availableNow → parquet and pin row-for-row equality with the
+    batch run."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.fileset import load_fileset_pipeline
+
+    src = "/root/reference/x-pack/filebeat/module/cisco/asa/test/sample.log"
+    if not os.path.exists(src):
+        pytest.skip("x-pack corpus not present")
+    lines = open(src).read().splitlines()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch_df = spark.createDataFrame(
+        [(i, ln, "2024-01-01T00:00:00.000Z") for i, ln in enumerate(lines)],
+        "rowid long, message string, `@timestamp` string",
+    )
+    batch_df.write.parquet(str(in_dir), mode="overwrite")
+
+    pipe = load_fileset_pipeline(
+        "/root/reference/x-pack/filebeat/module/cisco/asa/ingest/"
+        "pipeline.yml",
+        {"convert_timezone": False, "log_level": 7},
+        default_year=2019,
+    )
+    cols = ["rowid", "`cisco.asa.message_id`", "`event.outcome`",
+            "`log.level`", "`error.message`"]
+
+    batch_out = sorted(
+        tuple(r)
+        for r in pipe.apply(spark.read.parquet(str(in_dir)))
+        .select(*[F.col(c) for c in cols])
+        .collect()
+    )
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(in_dir))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        pipe.apply(stream)
+        .select(*[F.col(c) for c in cols])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert stream_out == batch_out
+    assert len(stream_out) == len(lines)
