@@ -345,29 +345,66 @@ class GeoIPEnrich(Processor):
     handful) — NOT a nested-loop range join, which would scan every
     dim row per fact row and defeat hash co-location at scale."""
 
-    dim: DataFrame  # columns: cidr ("a.b.c.d/len") + attribute columns
+    dim: DataFrame  # columns: cidr ("a.b.c.d/len" or v6) + attributes
     field: str = "ip"
     target_prefix: str = "geoip"
 
+    @staticmethod
+    def _v6_key(hex_col: Column, plen: int) -> Column:
+        """First ``plen`` bits of a 32-hex v6 address as an equi-join
+        key: whole nibbles verbatim plus one bit-shifted partial
+        nibble for non-nibble-aligned prefixes."""
+        chars, rem = divmod(plen, 4)
+        key = F.substring(hex_col, 1, chars)
+        if rem:
+            nib = F.conv(F.substring(hex_col, chars + 1, 1), 16, 10).cast(
+                "int"
+            )
+            key = F.concat(
+                key, F.lit("|"),
+                F.shiftright(nib, 4 - rem).cast("string"),
+            )
+        return F.when(hex_col.isNotNull(), key)
+
     def apply(self, df, guard=None):
+        # the SAFE parsers (NULL for the other family / dirty text,
+        # never an ANSI cast abort) — conditions.py shares them
+        from ..functions.conditions import _ipv4_to_long, _ipv6_to_hex
+
         attrs = self.dim.columns[1:]
         cidr = self.dim.columns[0]
+        is6 = F.col(cidr).contains(":")
         net = F.split(F.col(cidr), "/")
         dim2 = self.dim.select(
+            is6.alias("_is6"),
             net[1].cast("int").alias("_plen"),
-            ip_to_long(net[0]).alias("_net"),
+            F.when(~is6, _ipv4_to_long(net[0])).alias("_net"),
+            F.when(is6, _ipv6_to_hex(net[0])).alias("_net6"),
             *attrs,
         )
-        # ≤ 32 values even adversarially — dimension metadata, not data
-        plens = sorted(
-            (r[0] for r in dim2.select("_plen").distinct().collect()),
-            reverse=True,
-        )
-        ip_long = ip_to_long(F.col("`" + self.field + "`"))
-        out = df.withColumn("_ip_long", ip_long)
-        for plen in plens:
+        # ≤ 32 + 128 values even adversarially — dimension metadata,
+        # not data (GeoLite2 uses a few dozen lengths per family)
+        fams = dim2.select("_is6", "_plen").distinct().collect()
+        plens4 = sorted((r[1] for r in fams if not r[0]), reverse=True)
+        plens6 = sorted((r[1] for r in fams if r[0]), reverse=True)
+        ip_s = F.col("`" + self.field + "`").cast("string")
+        out = df.withColumn("_ip_long", _ipv4_to_long(ip_s))
+        if plens6:
+            out = out.withColumn("_ip_hex", _ipv6_to_hex(ip_s))
+        val_cols = []
+        for plen in plens6:
+            d = dim2.where(F.col("_is6") & (F.col("_plen") == plen)).select(
+                self._v6_key(F.col("_net6"), plen).alias(f"_k6_{plen}"),
+                *[F.col(a).alias(f"_{a}_6_{plen}") for a in attrs],
+            )
+            out = out.withColumn(
+                f"_k6_{plen}", self._v6_key(F.col("_ip_hex"), plen)
+            ).join(F.broadcast(d), on=f"_k6_{plen}", how="left")
+        for plen in plens4:
             shift = 32 - plen
-            d = dim2.where(F.col("_plen") == plen).select(
+            d = dim2.where(
+                ~F.col("_is6") & (F.col("_plen") == plen)
+            ).select(
                 F.shiftright("_net", shift).alias(f"_k{plen}"),
                 *[F.col(a).alias(f"_{a}_{plen}") for a in attrs],
             )
@@ -375,13 +412,23 @@ class GeoIPEnrich(Processor):
                 f"_k{plen}", F.shiftright("_ip_long", shift)
             ).join(F.broadcast(d), on=f"_k{plen}", how="left")
         for a in attrs:
+            # longest prefix first WITHIN each family; an address only
+            # ever hits its own family's joins
+            srcs = [F.col(f"_{a}_6_{p}") for p in plens6] + [
+                F.col(f"_{a}_{p}") for p in plens4
+            ]
             out = out.withColumn(
                 f"{self.target_prefix}.{a}",
-                F.coalesce(*[F.col(f"_{a}_{plen}") for plen in plens]),
+                srcs[0] if len(srcs) == 1 else F.coalesce(*srcs),
             )
-        drop = ["_ip_long"] + [f"_k{p}" for p in plens] + [
-            f"_{a}_{p}" for a in attrs for p in plens
-        ]
+        drop = (
+            ["_ip_long"]
+            + (["_ip_hex"] if plens6 else [])
+            + [f"_k{p}" for p in plens4]
+            + [f"_k6_{p}" for p in plens6]
+            + [f"_{a}_{p}" for a in attrs for p in plens4]
+            + [f"_{a}_6_{p}" for a in attrs for p in plens6]
+        )
         return guard_added_columns(df, out.drop(*drop), guard)
 
 

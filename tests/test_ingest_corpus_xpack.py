@@ -257,6 +257,33 @@ def test_golden_coredns_json(spark):
     )
 
 
+def _iptables_cid_pre(spark, df):
+    """The iptables config's community_id block (config/log.yml behind
+    the community_id var, default on): filebeat-side dissects pull
+    SRC/DST/PROTO and ports (or ICMP TYPE/CODE) from the RAW message,
+    then the processor hashes the tuple — all before the ingest
+    pipeline runs. community_id_spec's icmp rules take the type/code
+    pair directly in the port slots."""
+    from beats_spark.operators.actions import community_id_spec
+
+    m = F.col("message")
+    ex = lambda p: F.nullif(F.regexp_extract(m, p, 1), F.lit(""))  # noqa: E731
+    proto = F.lower(ex(r" PROTO=(\S+) "))
+    is_icmp = proto.isin("icmp", "icmpv6")
+    sport = F.when(is_icmp, ex(r" TYPE=(\d+) ")).otherwise(
+        ex(r" SPT=(\d+) ")
+    )
+    dport = F.when(is_icmp, ex(r" CODE=(\d+) ")).otherwise(
+        ex(r" DPT=(\d+) ")
+    )
+    return df.withColumn(
+        "network.community_id",
+        community_id_spec(
+            ex(r" SRC=(\S+) "), sport, ex(r" DST=(\S+) "), dport, proto
+        ),
+    )
+
+
 @pytest.mark.parametrize(
     "logname",
     ["iptables.log", "icmp.log", "geo.log", "ipv6.log", "ubiquiti.log"],
@@ -264,7 +291,10 @@ def test_golden_coredns_json(spark):
 def test_golden_iptables(spark, logname):
     # goldens generated in 2019: the ES date processor defaults the
     # year-less syslog stamp to the ingest-time year
-    _xgold(spark, "iptables", "log", logname, default_year=2019)
+    _xgold(
+        spark, "iptables", "log", logname, default_year=2019,
+        pre=_iptables_cid_pre,
+    )
 
 
 @pytest.mark.parametrize("logname", ["eve-small.log", "eve-alerts.log"])

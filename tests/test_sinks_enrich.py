@@ -304,3 +304,65 @@ class TestUARegexTier:
         cols = ua_regex_columns(F.col("ua"))
         got = [r["n"] for r in df.select(cols["name"].alias("n")).collect()]
         assert got == ["Chrome", "Safari"]
+
+
+class TestGeoIPv6:
+    def test_dual_stack_longest_prefix(self, spark):
+        """r5: the geoip enrich matches IPv6 CIDRs through the same
+        bounded per-prefix-length equi-join strategy (GeoLite2 is
+        dual-stack); longest prefix wins within each family and the
+        fact side still never shuffles."""
+        from beats_spark.operators.enrich import GeoIPEnrich
+
+        dim = spark.createDataFrame(
+            [
+                ("8.8.8.0/24", "US", "MountainView"),
+                ("8.0.0.0/8", "US", "Level3"),
+                ("2001:db8::/32", "EU", "DocNet"),
+                ("2001:db8:aaaa::/48", "DE", "DocSub"),
+                ("fd00::/8", "ZZ", "ULA"),
+                # non-nibble-aligned prefix
+                ("fe80::/10", "LL", "LinkLocal"),
+            ],
+            "cidr string, country string, city string",
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "8.8.8.8"),
+                (2, "8.1.2.3"),
+                (3, "2001:db8:aaaa::5"),
+                (4, "2001:db8:bbbb::5"),
+                (5, "fd12::9"),
+                (6, "fe80::fada:cff:fedc:87f1"),
+                (7, "febf::1"),   # still fe80::/10
+                (8, "fec0::1"),   # NOT fe80::/10
+                (9, "9.9.9.9"),
+                (10, None),
+            ],
+            "id long, ip string",
+        )
+        out = {
+            r["id"]: (r["geoip.country"], r["geoip.city"])
+            for r in GeoIPEnrich(dim=dim).apply(df).collect()
+        }
+        assert out[1] == ("US", "MountainView")   # /24 beats /8
+        assert out[2] == ("US", "Level3")
+        assert out[3] == ("DE", "DocSub")         # /48 beats /32
+        assert out[4] == ("EU", "DocNet")
+        assert out[5] == ("ZZ", "ULA")
+        assert out[6] == ("LL", "LinkLocal")
+        assert out[7] == ("LL", "LinkLocal")
+        assert out[8] == (None, None)
+        assert out[9] == (None, None)
+        assert out[10] == (None, None)
+
+        plan = (
+            GeoIPEnrich(dim=dim)
+            .apply(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Exchange hashpartitioning" not in plan  # map-side only
