@@ -58,6 +58,7 @@ _PROCESSORS: dict[str, type] = {
     "add_fields": A.AddFields,
     "add_labels": A.AddLabels,
     "add_tags": A.AddTags,
+    "add_locale": A.AddLocale,
     "community_id": A.CommunityID,
     "copy_fields": A.CopyFields,
     "decode_json_fields": A.DecodeJsonFields,

@@ -262,6 +262,12 @@ class CommunityID(Processor):
     seed: int = 0
     target: str = "community_id"
     hash_fn: str = "sha1"
+    #: beats YAML config shape (communityid config.go): ``fields:``
+    #: overrides the source field names, keys source_ip / source_port
+    #: / destination_ip / destination_port / transport, plus
+    #: icmp_type / icmp_code which replace the ports on ICMP flows
+    #: (the iptables/zeek module configs use exactly this)
+    fields: Mapping[str, str] | None = None
     #: spec=True computes the PUBLISHED byte-exact community-id v1
     #: (:func:`community_id_spec`, golden-verified); the default
     #: canonical-text form stays for DuckDB-oracle twins (no sha1
@@ -269,20 +275,36 @@ class CommunityID(Processor):
     spec: bool = False
 
     def apply(self, df, guard=None):
+        f = dict(self.fields or {})
+        src_ip = f.get("source_ip", self.src_ip)
+        src_port = f.get("source_port", self.src_port)
+        dst_ip = f.get("destination_ip", self.dst_ip)
+        dst_port = f.get("destination_port", self.dst_port)
+        proto = f.get("transport", self.proto)
         if self.spec:
+            proto_c = _fcol(df, proto)
+            sp, dp = _fcol(df, src_port), _fcol(df, dst_port)
+            if "icmp_type" in f or "icmp_code" in f:
+                is_icmp = F.lower(proto_c.cast("string")).isin(
+                    "icmp", "icmpv6", "ipv6-icmp", "icmp6"
+                )
+                if "icmp_type" in f:
+                    sp = F.when(is_icmp, _fcol(df, f["icmp_type"])).otherwise(sp)
+                if "icmp_code" in f:
+                    dp = F.when(is_icmp, _fcol(df, f["icmp_code"])).otherwise(dp)
             cid = community_id_spec(
-                _fcol(df, self.src_ip).cast("string"),
-                _fcol(df, self.src_port),
-                _fcol(df, self.dst_ip).cast("string"),
-                _fcol(df, self.dst_port),
-                _fcol(df, self.proto),
+                _fcol(df, src_ip).cast("string"),
+                sp,
+                _fcol(df, dst_ip).cast("string"),
+                dp,
+                proto_c,
                 seed=self.seed,
             )
             return df.withColumn(
                 self.target, self._guarded(df, guard, self.target, cid)
             )
-        s_ip, d_ip = _fcol(df, self.src_ip).cast("string"), _fcol(df, self.dst_ip).cast("string")
-        s_pt, d_pt = _fcol(df, self.src_port).cast("long"), _fcol(df, self.dst_port).cast("long")
+        s_ip, d_ip = _fcol(df, src_ip).cast("string"), _fcol(df, dst_ip).cast("string")
+        s_pt, d_pt = _fcol(df, src_port).cast("long"), _fcol(df, dst_port).cast("long")
         # normalize flow direction: order endpoints so both directions
         # of a flow hash identically (communityid.go flow ordering)
         fwd = (s_ip < d_ip) | ((s_ip == d_ip) & (s_pt <= d_pt))
@@ -291,11 +313,42 @@ class CommunityID(Processor):
         hi_pt = F.when(fwd, d_pt).otherwise(s_pt)
         canon = F.concat_ws(
             ":", F.lit(self.seed), lo_ip, hi_ip, lo_pt, hi_pt,
-            _fcol(df, self.proto).cast("string"),
+            _fcol(df, proto).cast("string"),
         )
         digest = F.sha1(canon) if self.hash_fn == "sha1" else F.md5(canon)
         cid = F.concat(F.lit("1:"), F.base64(F.unhex(digest)))
         return df.withColumn(self.target, self._guarded(df, guard, self.target, cid))
+
+
+@dataclass
+class AddLocale(Processor):
+    """add_locale (libbeat/processors/add_locale/add_locale.go): set
+    ``event.timezone`` to the host zone (abbreviation or offset
+    format). A distributed replay must not depend on executor wall
+    clocks — the zone is explicit config here, defaulting to the
+    session's pinned UTC."""
+
+    format: str = "offset"
+    timezone: str = "UTC"
+
+    def apply(self, df, guard=None):
+        import datetime
+        import zoneinfo
+
+        if self.format == "abbreviation":
+            val = self.timezone
+        else:
+            off = datetime.datetime.now(
+                zoneinfo.ZoneInfo(self.timezone)
+            ).utcoffset() or datetime.timedelta(0)
+            mins = int(off.total_seconds() // 60)
+            sign = "-" if mins < 0 else "+"
+            mins = abs(mins)
+            val = f"{sign}{mins // 60:02d}:{mins % 60:02d}"
+        return df.withColumn(
+            "event.timezone",
+            self._guarded(df, guard, "event.timezone", F.lit(val)),
+        )
 
 
 @dataclass

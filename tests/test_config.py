@@ -149,3 +149,44 @@ def test_ingest_pipeline_config_validation():
         IngestProcessor()  # neither steps nor document
     with _pytest.raises(IngestError):
         IngestProcessor(steps=[], document={"processors": []})  # both
+
+
+def test_community_id_config_fields_and_add_locale(spark):
+    """Beats YAML shapes: community_id with a `fields:` override (the
+    iptables/zeek module configs' form, icmp_type/icmp_code replacing
+    ports on ICMP flows) and add_locale → event.timezone."""
+    from beats_spark.config import compile_processor
+
+    df = spark.createDataFrame(
+        [
+            (1, "192.0.2.205", "198.51.100.249", None, None, 3, 3, "icmp"),
+            (2, "10.0.0.1", "10.0.0.2", 1000, 80, None, None, "tcp"),
+        ],
+        "id long, `source.ip` string, `destination.ip` string, "
+        "`source.port` long, `destination.port` long, "
+        "`icmp.type` long, `icmp.code` long, `network.transport` string",
+    )
+    proc = compile_processor(
+        {
+            "community_id": {
+                "spec": True,
+                "fields": {
+                    "source_ip": "source.ip",
+                    "destination_ip": "destination.ip",
+                    "source_port": "source.port",
+                    "destination_port": "destination.port",
+                    "transport": "network.transport",
+                    "icmp_type": "icmp.type",
+                    "icmp_code": "icmp.code",
+                },
+            }
+        }
+    )
+    rows = {r["id"]: r["community_id"] for r in proc.apply(df).collect()}
+    # the zeek connection golden's icmp flow (same tuple)
+    assert rows[1] == "1:gzTID87+KHoT4RFDSqb5aInTPeg="
+    assert rows[2].startswith("1:")
+
+    loc = compile_processor({"add_locale": {}})
+    out = loc.apply(df).collect()[0]
+    assert out["event.timezone"] == "+00:00"
