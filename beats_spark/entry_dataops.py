@@ -827,14 +827,27 @@ def q_framing_charsets(spark, sf_dir):
         ("utf-8", -106,
          decode_blob(F.unhex(F.lit("61FF62")), "utf-8")),
     ]
-    sp = None
-    for cs, idx, col in special:
-        row = _docs(spark, sf_dir).limit(1).select(
-            F.lit(cs).alias("charset"),
-            F.lit(idx).cast("int").alias("byte"),
-            col.alias("decoded"),
+    # all special rows are constant expressions — anchor them on ONE
+    # single-row scan and explode, not a per-row scan+union chain
+    sp = (
+        _docs(spark, sf_dir)
+        .limit(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cs).alias("charset"),
+                            F.lit(idx).cast("int").alias("byte"),
+                            col.alias("decoded"),
+                        )
+                        for cs, idx, col in special
+                    ]
+                )
+            ).alias("s")
         )
-        sp = row if sp is None else sp.unionByName(row)
+        .select("s.*")
+    )
     return out.unionByName(sp)
 
 

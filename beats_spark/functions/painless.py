@@ -885,8 +885,13 @@ class _Compiler:
         if mp is not None:
             parent, full_key = mp
             cur = self.read(parent)
+            # the removed name may be an OBJECT prefix inside the map
+            # (dotted child keys) — drop those too, like ES dropping
+            # the whole subtree
             self.store[parent] = F.map_filter(
-                cur, lambda k, _: k != full_key
+                cur,
+                lambda k, _: (k != full_key)
+                & ~k.startswith(full_key + "."),
             )
         for c in list(self.store) + self.columns:
             if c == name or c.startswith(name + "."):
@@ -896,7 +901,8 @@ class _Compiler:
         """``ctx.tags.add(x)``: append to an array field (painless
         List.add — duplicates allowed, unlike the add_tags dedup)."""
         name = ".".join(s.path)
-        absent = (
+        removed = name in self.store and self.store[name] is None
+        absent = removed or (
             name not in self.store
             and name not in self.columns
             and (self.resolver is None or self.resolver(name) is None)

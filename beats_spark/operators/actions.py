@@ -148,32 +148,19 @@ _CID_PROTO = {
 def _cid_ip_hex(ip: Column) -> Column:
     """Dotted-quad or IPv6 text → the address's big-endian bytes as
     fixed-width lowercase hex (so string comparison == bytewise
-    comparison). IPv6 handles both the full 8-hextet form and ``::``
-    compression."""
-    parts = F.split(ip, r"\.")
-    v4_long = (
-        parts[0].cast("long") * 16777216
-        + parts[1].cast("long") * 65536
-        + parts[2].cast("long") * 256
-        + parts[3].cast("long")
+    comparison). Delegates to the VALIDATED dual parsers the network
+    condition uses (malformed text → NULL, never a wrong hash), and
+    applies Go's ``ip.To4()`` rule (flowhash/communityid.go:95): a
+    v4-mapped v6 address hashes as its FOUR v4 bytes."""
+    from ..functions.conditions import _ipv4_to_long, _ipv6_to_hex
+
+    v4 = F.lpad(F.lower(F.hex(_ipv4_to_long(ip))), 8, "0")
+    hx = _ipv6_to_hex(ip)
+    mapped = hx.startswith("00000000000000000000ffff")
+    v6 = F.when(mapped, F.substring(hx, 25, 8)).otherwise(hx)
+    return F.when(ip.contains(":"), v6).otherwise(
+        F.when(_ipv4_to_long(ip).isNotNull(), v4)
     )
-    v4 = F.lpad(F.lower(F.hex(v4_long)), 8, "0")
-    halves = F.split(ip, "::", -1)
-    nonempty = lambda x: x != F.lit("")  # noqa: E731
-    lseg = F.filter(F.split(F.get(halves, 0), ":"), nonempty)
-    rseg = F.when(
-        F.size(halves) > 1,
-        F.filter(F.split(F.get(halves, 1), ":"), nonempty),
-    ).otherwise(F.array().cast("array<string>"))
-    pad4 = lambda seg: F.lpad(F.lower(seg), 4, "0")  # noqa: E731
-    mid = F.lit(8) - F.size(lseg) - F.size(rseg)
-    zeros = F.lit("0" * 32).substr(F.lit(1), mid * 4)
-    v6 = F.concat(
-        F.array_join(F.transform(lseg, pad4), ""),
-        zeros,
-        F.array_join(F.transform(rseg, pad4), ""),
-    )
-    return F.when(ip.contains(":"), v6).otherwise(v4)
 
 
 def community_id_spec(
@@ -330,6 +317,11 @@ class AddLocale(Processor):
 
     format: str = "offset"
     timezone: str = "UTC"
+    #: the instant the offset is evaluated at — DST makes a zone's
+    #: offset time-dependent, and a replay must not read the driver
+    #: wall clock (Europe/Berlin is +01:00 in January, +02:00 in
+    #: July); pin it in config
+    at: str = "2020-01-01T00:00:00+00:00"
 
     def apply(self, df, guard=None):
         import datetime
@@ -338,7 +330,10 @@ class AddLocale(Processor):
         if self.format == "abbreviation":
             val = self.timezone
         else:
-            off = datetime.datetime.now(
+            ref = datetime.datetime.fromisoformat(self.at)
+            if ref.tzinfo is None:
+                ref = ref.replace(tzinfo=datetime.timezone.utc)
+            off = ref.astimezone(
                 zoneinfo.ZoneInfo(self.timezone)
             ).utcoffset() or datetime.timedelta(0)
             mins = int(off.total_seconds() // 60)

@@ -542,7 +542,9 @@ class IngestPipeline:
             if name == "remove":
                 # failed rows lose the listed fields (a name may be an
                 # object prefix — cisco asa clears its _temp_ scratch
-                # object); others keep theirs, so NULL not drop
+                # object); others keep theirs, so NULL not drop. The
+                # two-homes rule applies: a field living in a kv/json
+                # MAP must be filtered out of the map as well
                 fields = conf["field"]
                 if isinstance(fields, str):
                     fields = [fields]
@@ -552,6 +554,20 @@ class IngestPipeline:
                             df = df.withColumn(
                                 c, F.when(~failed, _fcol(c))
                             )
+                    mp = _map_parent(df, f)
+                    if mp is not None:
+                        parent, key, residual = mp
+                        full = key + "." + residual if residual else key
+                        df = df.withColumn(
+                            parent,
+                            F.when(~failed, _fcol(parent)).otherwise(
+                                F.map_filter(
+                                    _fcol(parent),
+                                    lambda k, _: (k != full)
+                                    & ~k.startswith(full + "."),
+                                )
+                            ),
+                        )
                 continue
             field = conf["field"]
             val = conf["value"]
@@ -935,25 +951,41 @@ class IngestPipeline:
             df = df.withColumn(field, src)
         from .actions import FLAG_PARSING_ERROR, FLAGS_FIELD
 
+        snap = None
+        if self.on_failure and FLAGS_FIELD in df.columns:
+            # the flag array ACCUMULATES across the pipeline's many
+            # dissects (cisco asa runs ~46) — materialize whether the
+            # error flag predates this step, so only THIS step's
+            # outcome records a failure (first-failure-wins keeps the
+            # earlier step's message either way)
+            snap = "_dissect_preflag"
+            df = df.withColumn(
+                snap,
+                F.coalesce(
+                    F.array_contains(
+                        F.col(FLAGS_FIELD), FLAG_PARSING_ERROR
+                    ),
+                    F.lit(False),
+                ),
+            )
         out = Dissect(
             tokenizer=conf["pattern"], field=field, target_prefix="",
             overwrite=True,
         ).apply(df, guard=cond)
         if self.on_failure:
-            # the Dissect operator tags parse failures in log_flags
             fail = F.array_contains(
                 F.col(FLAGS_FIELD), FLAG_PARSING_ERROR
             )
+            if snap is not None:
+                fail = fail & ~F.col(snap)
             if cond is not None:
-                # the flag array accumulates across the pipeline's
-                # many guarded dissects — only THIS step's rows
-                # (guard-matching) may record the failure
+                # guarded-out rows can never fail this step
                 fail = fail & F.coalesce(cond, F.lit(False))
             out = self._record_failure(
                 out, conf, fail,
                 f"Unable to find match for dissect pattern on [{field}]",
             )
-        return out
+        return out.drop(snap) if snap else out
 
     def _step_dot_expander(
         self, df: DataFrame, conf: Mapping[str, Any]

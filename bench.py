@@ -368,33 +368,38 @@ def main() -> None:
         t_head0 = time.monotonic()
         wait_for_quiet(gate_lo=headline_gate)
         one = run_one(CPUS, synth_path)
-        out["headline_probe"] = [
-            last_probe[0], round(host_parallel_speedup(), 2)
-        ]
+        pair = [last_probe[0], round(host_parallel_speedup(), 2)]
+        out["headline_probe"] = list(pair)
+        kept_pair = pair
+
+        def healthy(p) -> bool:
+            return probe_ok(p[0], lo=headline_gate) and probe_ok(
+                p[1], lo=headline_gate
+            )
+
         retries = int(os.environ.get("BENCH_HEADLINE_RETRIES", "5"))
         for _ in range(retries):
             # a run is trusted only if the probes on BOTH sides of it
             # were comfortably healthy — otherwise it may straddle a
             # degradation window and understate the rate
-            if probe_ok(out["headline_probe"][-2], lo=headline_gate) and (
-                probe_ok(out["headline_probe"][-1], lo=headline_gate)
-            ):
+            if healthy(pair):
                 break
             if time.monotonic() - t_head0 > h_budget:
                 break
             wait_for_quiet(gate_lo=headline_gate)
-            out["headline_probe"].append(last_probe[0])
+            pre = last_probe[0]
             retry = run_one(CPUS, synth_path)
-            out["headline_probe"].append(round(host_parallel_speedup(), 2))
+            pair = [pre, round(host_parallel_speedup(), 2)]
+            out["headline_probe"] += pair
             if retry["sec"] < one["sec"]:
                 one = retry
-        # transparency: the artifact says whether the kept run ever
-        # got a both-sides-healthy window (the judge should not read
-        # a degraded-window absolute as the code's speed)
-        out["headline_healthy_window"] = bool(
-            probe_ok(out["headline_probe"][-2], lo=headline_gate)
-            and probe_ok(out["headline_probe"][-1], lo=headline_gate)
-        )
+                kept_pair = pair
+        # transparency: the flag describes the probe window of the
+        # RUN THE ARTIFACT KEEPS (fastest), not whichever retry ran
+        # last — the judge should not read a degraded-window absolute
+        # as the code's speed
+        out["headline_healthy_window"] = healthy(kept_pair)
+        out["headline_kept_probe"] = kept_pair
     else:
         one = {"sec": 1.0, "rows": 0}
     tp_sec, n_rows = one["sec"], one["rows"]

@@ -223,3 +223,61 @@ class TestNetworkConditionIPv6:
             for j, n in enumerate(nets):
                 want = a in ipaddress.IPv6Network(n)
                 assert bool(r[f"n{j}"]) == want, (r["ip"], n)
+
+
+class TestIPv6Validation:
+    def test_malformed_v6_never_matches(self, spark):
+        """Go net.ParseIP rejects these outright — the parser must
+        yield NULL (no match), never a silently truncated parse
+        (review r5 finding: 'fd00::1::2' used to hex as fd00::1 and
+        match `private`)."""
+        from pyspark.sql import functions as F
+        from beats_spark.functions.conditions import (
+            _ipv6_to_hex,
+            compile_condition,
+        )
+
+        bad = ["fd00::1::2", "12345::", "fd00::12345", "1::2::3",
+               ":::", "fd00:1:2:3:4:5:6:7:8"]
+        df = spark.createDataFrame([(b,) for b in bad], "ip string")
+        rows = df.select(
+            "ip",
+            _ipv6_to_hex(F.col("ip")).alias("hex"),
+            compile_condition({"network": {"ip": "private"}}, df).alias(
+                "m"
+            ),
+        ).collect()
+        for r in rows:
+            assert r["hex"] is None, r["ip"]
+            assert not r["m"], r["ip"]
+
+
+def test_community_id_v4_mapped_and_malformed(spark):
+    """Go's flowhash applies ip.To4() (communityid.go:95): a
+    v4-mapped v6 address hashes as its FOUR v4 bytes — identical to
+    the dotted-quad spelling; malformed addresses hash to NULL, never
+    a wrong value (review r5 finding)."""
+    from pyspark.sql import functions as F
+    from beats_spark.operators.actions import community_id_spec
+
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.0.1"),
+            (2, "::ffff:10.0.0.1"),
+            (3, "1::2::3"),
+        ],
+        "i long, sip string",
+    )
+    out = {
+        r["i"]: r["cid"]
+        for r in df.select(
+            "i",
+            community_id_spec(
+                F.col("sip"), F.lit(1000), F.lit("10.0.0.2"),
+                F.lit(80), F.lit("tcp"),
+            ).alias("cid"),
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1].startswith("1:")
+    assert out[3] is None
