@@ -190,3 +190,58 @@ class TestRecognizedScripts:
 
     def test_unrecognized_returns_none(self):
         assert compile_recognized_script("while (true) {}", {}, []) is None
+
+
+class TestParserRobustness:
+    def test_fuzz_never_crashes_uncleanly(self):
+        """Hypothesis sweep over token soup: the parser/compiler must
+        either produce a result or raise PainlessError — never an
+        uncaught IndexError/RecursionError/etc. (a module pipeline
+        with a typo'd script should fail with a diagnosable message,
+        not a stack trace from parser internals)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from beats_spark.functions.painless import (
+            PainlessError,
+            _Parser,
+            _tokenize,
+        )
+
+        tokens = st.sampled_from(
+            ["ctx", ".", "a", "b", "=", "==", "(", ")", "[", "]", "'x'",
+             "1", "if", "else", "{", "}", ";", "&&", "null", "remove",
+             "new", "HashMap", "def", "+", "?.", ",", "contains",
+             "charAt", "substring", "(long)", "!"]
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(tokens, min_size=1, max_size=12))
+        def run(parts):
+            src = " ".join(parts)
+            try:
+                _Parser(_tokenize(src), {}).parse_program()
+            except PainlessError:
+                pass  # the clean failure mode
+
+        run()
+
+    def test_fuzz_expressions(self, spark):
+        # spark fixture: Column construction needs an active session
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from beats_spark.functions.painless import (
+            PainlessError,
+            compile_expression,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(alphabet="ctx.ab=!&|'\"()[]0123 <>?", max_size=30))
+        def run(src):
+            try:
+                compile_expression(src, ["a", "b"])
+            except PainlessError:
+                pass
+
+        run()
